@@ -1,0 +1,408 @@
+"""Per-document CATENA-style extraction (the semantic core).
+
+This module holds the *document-local* logic shared verbatim by the
+single-process oracle (erex.oracle) and the Ray Data pipeline
+(erex.pipeline): the pipeline's three distributed stages call exactly
+these functions, which is what makes Ray-vs-oracle parity exact by
+construction (SURVEY.md §5 test plan).
+
+Stage structure mirrors SURVEY.md §3.3's canonical Ray shape:
+
+  stage1_document(content)        -> pair rows + node rows + tt links
+                                     (parse, mention model, rule sieves,
+                                     feature vectors)      [stateless]
+  LinearModel.predict_labels(...) -> classifier labels     [actor pool]
+  merge_document(rows, models)    -> final triples         [per-doc group:
+                                     anchor reasoning R4, CLINK post-edit
+                                     R6, timegraph closure R7]
+
+Pipeline wiring follows relpro.TempRelPro.testModel
+(/root/reference/src/relpro/TempRelPro.java:508-615) and
+task.TempEval3TaskC.main (TempEval3TaskC.java:395-584): T-T rule grid
+first, then rules-before-classifier for E-DCT / E-T / E-E, anchor
+reasoning from E-T output, CLINK post-edit (CLINK=>BEFORE,
+CLINK-R=>AFTER, TempEval3TaskC.java:536-544), rule-first insertion order
+into the closure (links from rules are *prepended*)."""
+
+from __future__ import annotations
+
+import importlib.resources as _res
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+
+from .doc import Doc
+from .deppath import ee_dependency_path, et_dependency_path
+from .features import (ET_DIM, EE_DIM, CAUSAL_DIM, causal_vector,
+                       causal_verb_pair, ee_vector, et_vector,
+                       sentence_contains_causal_signal,
+                       sentence_contains_causal_verb)
+from .labels import TLINK_LABELS, CLINK_LABELS, inverse_tlink
+from .liblinear import LinearModel
+from .rules.event_event import (anchor_reasoning, causality_link,
+                                event_causality_rule, event_event_rule)
+from .rules.event_timex import event_timex_rule
+from .rules.timex_algebra import timex_timex_rule
+from .txp import parse_txp
+
+
+@dataclass
+class PipelineConfig:
+    anchor_reasoning: bool = True     # R4
+    clink_postedit: bool = True       # R6
+    closure: bool = True              # R7
+    causal: bool = True               # CLINK pipeline
+    identity_rel: bool = False        # R1 IDENTITY vs SIMULTANEOUS
+
+
+DEFAULT_CONFIG = PipelineConfig()
+
+PAIR_TT = "tt"
+PAIR_DCT = "dct"
+PAIR_ET = "et"
+PAIR_EE = "ee"
+PAIR_CAUSAL = "causal"
+
+FEAT_DIM = {PAIR_DCT: ET_DIM, PAIR_ET: ET_DIM, PAIR_EE: EE_DIM,
+            PAIR_CAUSAL: CAUSAL_DIM}
+
+
+class CatenaModels:
+    """The four liblinear-format weight matrices (ST3-ST5), ~100 KB of
+    read-only state — load once per actor / worker process."""
+
+    def __init__(self, model_dir=None):
+        if model_dir is None:
+            base = _res.files("erex") / "resources" / "models"
+            self.dct = LinearModel.load(str(base / "dct.model"))
+            self.et = LinearModel.load(str(base / "et.model"))
+            self.ee = LinearModel.load(str(base / "ee.model"))
+            self.causal = LinearModel.load(str(base / "causal.model"))
+        else:
+            self.dct = LinearModel.load(f"{model_dir}/dct.model")
+            self.et = LinearModel.load(f"{model_dir}/et.model")
+            self.ee = LinearModel.load(f"{model_dir}/ee.model")
+            self.causal = LinearModel.load(f"{model_dir}/causal.model")
+
+    def for_class(self, pair_class: str) -> LinearModel:
+        return {PAIR_DCT: self.dct, PAIR_ET: self.et, PAIR_EE: self.ee,
+                PAIR_CAUSAL: self.causal}[pair_class]
+
+
+@lru_cache(maxsize=4)
+def get_models(model_dir=None) -> CatenaModels:
+    return CatenaModels(model_dir)
+
+
+# ---------------------------------------------------------------------------
+# stage 1: parse + rules + features  (pure per document)
+# ---------------------------------------------------------------------------
+def tt_rule_grid(doc: Doc, identity_rel: bool = False) -> dict:
+    """getTimexTimexRuleRelation (TempRelPro.java:63-83): full pairwise
+    grid over the document's timexes; stores pair AND inverse."""
+    ents = list(doc.entities.values())
+    ttlinks: dict = {}
+    dct_value = doc.dct.value if doc.dct is not None else "XXXX-XX-XX"
+    for i in range(len(ents)):
+        if not ents[i].is_timex:
+            continue
+        for j in range(i + 1, len(ents)):
+            if not ents[j].is_timex:
+                continue
+            t1, t2 = ents[i], ents[j]
+            rel = timex_timex_rule(
+                t1.eid, t1.ttype, t1.value, t1.is_dct,
+                t2.eid, t2.ttype, t2.value, t2.is_dct,
+                dct_value, identity_rel)
+            if rel != "O":
+                ttlinks[(t1.eid, t2.eid)] = rel
+                ttlinks[(t2.eid, t1.eid)] = inverse_tlink(rel)
+    return ttlinks
+
+
+def causal_candidates(doc: Doc) -> dict:
+    """M9 (CauseRelPro.getCandidatePairs, CauseRelPro.java:97-153):
+    same-sentence E-E pairs when the sentence has a causal signal/verb,
+    plus (e in s_i, e' in s_{i+1}) pairs when s_{i+1} has a signal."""
+    clinks: dict = {}
+    for src, tgt in doc.clinks:
+        clinks[(src, tgt)] = "CLINK"
+        clinks[(tgt, src)] = "CLINK-R"
+    cands: dict = {}
+    sids = doc.sentence_arr
+    gate_cache: dict = {}
+
+    def same_sent_gate(sid):
+        if sid not in gate_cache:
+            gate_cache[sid] = (sentence_contains_causal_signal(doc, sid)
+                              or sentence_contains_causal_verb(doc, sid))
+        return gate_cache[sid]
+
+    sig_cache: dict = {}
+
+    def signal_gate(sid):
+        if sid not in sig_cache:
+            sig_cache[sid] = sentence_contains_causal_signal(doc, sid)
+        return sig_cache[sid]
+
+    for si, sid in enumerate(sids):
+        arr = doc.sentences[sid].entity_arr
+        for i, eid1 in enumerate(arr):
+            e1 = doc.entities[eid1]
+            if same_sent_gate(sid):
+                for eid2 in arr[i + 1:]:
+                    e2 = doc.entities[eid2]
+                    if e1.is_event and e2.is_event:
+                        pair = (eid1, eid2)
+                        if pair not in cands:
+                            cands[pair] = clinks.get(pair, "NONE")
+            if si < len(sids) - 1:
+                sid2 = sids[si + 1]
+                if signal_gate(sid2):
+                    for eid2 in doc.sentences[sid2].entity_arr:
+                        e2 = doc.entities[eid2]
+                        if e1.is_event and e2.is_event:
+                            pair = (eid1, eid2)
+                            if pair not in cands:
+                                cands[pair] = clinks.get(pair, "NONE")
+    return cands
+
+
+def stage1_document(content: str, name: str = "TEXT",
+                    config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Parse one TXP document and produce everything downstream stages
+    need, with no cross-document state. Returns
+    {pairs, tt, nodes, ttlinks} where `pairs` rows are
+    (src, tgt, pair_class, rule_label, gold, feats|None)."""
+    doc = parse_txp(content, name=name)
+    ttlinks = tt_rule_grid(doc, config.identity_rel)
+
+    pairs = []
+    for src, tgt, gold in doc.tlinks:
+        if src == tgt or src not in doc.entities or tgt not in doc.entities:
+            continue  # M5 candidate filter (TempRelPro.java:104-107)
+        e1 = doc.entities[src]
+        e2 = doc.entities[tgt]
+        if e1.is_event and e2.is_event:
+            # orderPair: document order, invert label on swap
+            if doc.entity_order(e1, e2) == "AFTER":
+                e1, e2 = e2, e1
+                gold = inverse_tlink(gold)
+            dep = ee_dependency_path(doc, e1, e2)
+            rule = event_event_rule(doc, e1, e2, dep)
+            feats = None
+            if rule == "O":
+                feats = ee_vector(doc, e1, e2, dep)
+            pairs.append({"src": e1.eid, "tgt": e2.eid,
+                          "pair_class": PAIR_EE, "rule_label": rule,
+                          "gold": gold, "dep_path": dep, "feats": feats})
+        elif (e1.is_event and e2.is_timex) or (e1.is_timex and e2.is_event):
+            if e1.is_timex:  # orderPair: event first
+                e1, e2 = e2, e1
+                gold = inverse_tlink(gold)
+            dep = et_dependency_path(doc, e1, e2)
+            rule = event_timex_rule(doc, e1, e2, dep)
+            pc = PAIR_DCT if e2.is_dct else PAIR_ET
+            feats = None
+            if rule == "O":
+                feats = et_vector(doc, e1, e2)
+            pairs.append({"src": e1.eid, "tgt": e2.eid,
+                          "pair_class": pc, "rule_label": rule,
+                          "gold": gold, "dep_path": dep, "feats": feats})
+        # timex-timex candidates are covered by the rule grid
+
+    if config.causal:
+        for (src, tgt), gold in causal_candidates(doc).items():
+            e1, e2 = doc.entities[src], doc.entities[tgt]
+            same = e1.sent_id == e2.sent_id
+            m = causal_verb_pair(doc, e1, e2)
+            cverb = event_causality_rule(same, m.text, m.cluster,
+                                         m.dep1, m.dep2)
+            rule = causality_link(cverb)
+            feats = None
+            if rule == "O":
+                dep = ee_dependency_path(doc, e1, e2)
+                # TLINK-type one-hot is appended at merge time (the final
+                # temporal label is not known yet); base vector has zeros.
+                feats = causal_vector(doc, e1, e2, dep, "O")
+            pairs.append({"src": src, "tgt": tgt, "pair_class": PAIR_CAUSAL,
+                          "rule_label": rule, "gold": gold,
+                          "dep_path": "", "feats": feats})
+
+    nodes = []
+    for e in doc.entities.values():
+        if e.is_event:
+            surface = doc.entity_token_attr(e, "lemma")
+            nodes.append({"mention_id": e.eid, "kind": "EVENT",
+                          "surface": surface, "attr": e.ev_class,
+                          "sent_id": e.sent_id})
+        else:
+            nodes.append({"mention_id": e.eid, "kind": "TIMEX",
+                          "surface": e.value, "attr": e.ttype,
+                          "sent_id": e.sent_id if not (e.is_dct or e.is_empty)
+                          else ("DCT" if e.is_dct else "ETX")})
+    return {"pairs": pairs, "ttlinks": ttlinks, "nodes": nodes}
+
+
+# ---------------------------------------------------------------------------
+# stage 3: per-document merge (R4 + R6 + R7)
+# ---------------------------------------------------------------------------
+def merge_document(pairs: list, ttlinks: dict, models: CatenaModels,
+                   config: PipelineConfig = DEFAULT_CONFIG) -> list:
+    """`pairs` rows must carry cls_label (classifier output) for rows with
+    rule_label == 'O' of classes dct/et/ee, and feats for causal rows.
+    Returns final triple rows:
+    (src, tgt, label, pair_class, stage, consistent, gold)."""
+    out = []
+
+    # T-T triples: the whole grid, both directions (TempRelPro.java:520-527)
+    tt_rows = [{"src": s, "tgt": t, "label": r, "pair_class": PAIR_TT,
+                "stage": "rule", "gold": "NONE"}
+               for (s, t), r in ttlinks.items()]
+
+    # E-T / E-DCT: rule preferred over classifier; build anchor maps from
+    # the final labels (TempEval3TaskC.java:467-502)
+    etanchor, etbefore, etafter = {}, {}, {}
+    et_rows = []
+    for p in pairs:
+        if p["pair_class"] not in (PAIR_DCT, PAIR_ET):
+            continue
+        rule = p["rule_label"]
+        label = rule if rule != "O" else p.get("cls_label", "NONE")
+        stage = "rule" if rule != "O" else "classifier"
+        if label == "IS_INCLUDED":
+            etanchor[p["src"]] = p["tgt"]
+        elif label == "BEFORE":
+            etbefore[p["src"]] = p["tgt"]
+        elif label == "AFTER":
+            etafter[p["src"]] = p["tgt"]
+        et_rows.append({"src": p["src"], "tgt": p["tgt"], "label": label,
+                        "pair_class": p["pair_class"], "stage": stage,
+                        "gold": p["gold"]})
+
+    # temporal label map for the causal TLINK feature
+    # (CauseRelPro.java:200-213 with supplied tlinks)
+    tlink_map = {}
+    for r in tt_rows + et_rows:
+        tlink_map[(r["src"], r["tgt"])] = r["label"]
+
+    ee_pairs = [p for p in pairs if p["pair_class"] == PAIR_EE]
+    ee_pre = {}
+    for p in ee_pairs:
+        rule = p["rule_label"]
+        if rule == "O" and config.anchor_reasoning:
+            reason = anchor_reasoning(p["src"], p["tgt"], etanchor, etbefore,
+                                      etafter, ttlinks)
+            if reason != "O":
+                if reason in ("DURING", "DURING_INV"):
+                    reason = "SIMULTANEOUS"
+                ee_pre[(p["src"], p["tgt"])] = ("reason", reason)
+                continue
+        if rule != "O":
+            # IDENTITY downgrade happens at emission (TempRelPro.java:572)
+            ee_pre[(p["src"], p["tgt"])] = (
+                "rule", "SIMULTANEOUS" if rule == "IDENTITY" else rule)
+        else:
+            ee_pre[(p["src"], p["tgt"])] = (
+                "classifier", p.get("cls_label", "NONE"))
+    for p in ee_pairs:
+        stage, label = ee_pre[(p["src"], p["tgt"])]
+        tlink_map.setdefault((p["src"], p["tgt"]), label)
+
+    # causal pairs: rule triples pass through; classifier with the TLINK
+    # one-hot filled from the temporal output; NONE dropped (M14)
+    clink_map = {}
+    causal_rows = []
+    if config.causal:
+        cls_pairs = [p for p in pairs if p["pair_class"] == PAIR_CAUSAL]
+        todo = [p for p in cls_pairs if p["rule_label"] == "O"]
+        if todo:
+            X = np.stack([np.asarray(p["feats"], dtype=np.float32)
+                          for p in todo])
+            # fill the trailing 14-dim TLINK one-hot
+            for i, p in enumerate(todo):
+                t = tlink_map.get((p["src"], p["tgt"]))
+                if t is None:
+                    inv = tlink_map.get((p["tgt"], p["src"]))
+                    t = inverse_tlink(inv) if inv else None
+                if t in TLINK_LABELS:
+                    X[i, CAUSAL_DIM - 14 + TLINK_LABELS.index(t)] = 1.0
+            labels = models.causal.predict_labels(X, CLINK_LABELS)
+        else:
+            labels = []
+        for p in cls_pairs:
+            if p["rule_label"] != "O":
+                label, stage = p["rule_label"], "rule"
+            else:
+                label, stage = labels.pop(0), "classifier"
+            if label == "NONE":
+                continue
+            clink_map[(p["src"], p["tgt"])] = label
+            causal_rows.append({"src": p["src"], "tgt": p["tgt"],
+                                "label": label, "pair_class": PAIR_CAUSAL,
+                                "stage": stage, "gold": p["gold"]})
+
+    # E-E final: rule / reason / clink post-edit / classifier
+    ee_rows = []
+    for p in ee_pairs:
+        stage, label = ee_pre[(p["src"], p["tgt"])]
+        if stage == "classifier" and config.clink_postedit:
+            cl = clink_map.get((p["src"], p["tgt"]))
+            if cl is not None:
+                label = "BEFORE" if cl == "CLINK" else "AFTER"
+                stage = "clink-edit"
+        ee_rows.append({"src": p["src"], "tgt": p["tgt"], "label": label,
+                        "pair_class": PAIR_EE, "stage": stage,
+                        "gold": p["gold"]})
+
+    # closure: rule-derived links first within each block (prepend order,
+    # TempEval3TaskC.java:456,498,552)
+    def rule_first(rows):
+        rules = [r for r in rows if r["stage"] in ("rule", "reason")]
+        others = [r for r in rows if r["stage"] not in ("rule", "reason")]
+        return list(reversed(rules)) + others
+
+    temporal = rule_first(tt_rows) + rule_first(et_rows) + rule_first(ee_rows)
+    if config.closure:
+        from .timegraph import TimeGraph
+        tg = TimeGraph()
+        for r in temporal:
+            r["consistent"] = tg.add(r["src"], r["tgt"], r["label"])
+    else:
+        for r in temporal:
+            r["consistent"] = True
+    for r in causal_rows:
+        r["consistent"] = True
+    return temporal + causal_rows
+
+
+# ---------------------------------------------------------------------------
+# fused single-process path (oracle + tests)
+# ---------------------------------------------------------------------------
+def score_stage(pairs: list, models: CatenaModels) -> None:
+    """Fill cls_label in-place for dct/et/ee rows with rule 'O' —
+    the oracle equivalent of the actor-pool scorer stage."""
+    for pc, vocab in ((PAIR_DCT, TLINK_LABELS), (PAIR_ET, TLINK_LABELS),
+                      (PAIR_EE, TLINK_LABELS)):
+        todo = [p for p in pairs
+                if p["pair_class"] == pc and p["rule_label"] == "O"]
+        if not todo:
+            continue
+        X = np.stack([np.asarray(p["feats"], dtype=np.float32)
+                      for p in todo])
+        for p, lbl in zip(todo, models.for_class(pc).predict_labels(X, vocab)):
+            p["cls_label"] = lbl
+
+
+def extract_document(content: str, models: CatenaModels = None,
+                     config: PipelineConfig = DEFAULT_CONFIG,
+                     name: str = "TEXT") -> dict:
+    """Whole per-document pipeline in-process; returns
+    {triples, nodes}."""
+    if models is None:
+        models = get_models()
+    s1 = stage1_document(content, name=name, config=config)
+    score_stage(s1["pairs"], models)
+    triples = merge_document(s1["pairs"], s1["ttlinks"], models, config)
+    return {"triples": triples, "nodes": s1["nodes"]}

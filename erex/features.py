@@ -1,0 +1,711 @@
+"""Pair feature extraction (F1-F13) producing fixed-width numeric vectors.
+
+Re-derives the liblinear feature lists of the reference classifiers:
+- ET / E-DCT (EventTimexRelationClassifier.java liblinear branch):
+  eventClass, tense, aspect, polarity  -> 19 dims
+- EE temporal (EventEventRelationClassifier.java:61-87 liblinear branch):
+  pos, samePos, chunk, entDistance, sentDistance, eventClass, tense,
+  aspect, polarity, sameEventClass, sameTenseAspect, samePolarity,
+  depEvPath, mainVerb, hasModal, tempSignal2ClusText/Pos/Dep, wnSim
+  -> 269 dims
+- EE causal (EventEventCausalClassifier.java:72-110 liblinear branch):
+  the EE block with tempSignal*/causSignal* pair markers + the 14-dim
+  TLINK-type one-hot appended by the causal driver (CauseRelPro.java:200-213)
+  -> 377 dims
+
+One-hot block semantics follow addBinaryFeatureToVector
+(PairFeatureVector.java:2615-3374): `contains` matching for pos/chunk,
+`equals` for class/tense/aspect, polarity encoded 0 for 'neg' else 1,
+entDistance/sentDistance sign-clamped to {-1,0,1}, and the reference's
+tempSignal(2)Pos quirk of comparing the marker CLUSTER against the
+position vocabulary (so the block is almost always all-zero) is kept.
+
+Marker search (getTemporalSignal / getTemporalSignalPerEntity /
+getCausalSignal / getCausalVerb, PairFeatureVector.java:1139-1760) is
+re-expressed over word lists: same contexts (INSIDE / BETWEEN / BEFORE /
+BEGIN / AFTER / BEGIN-BETWEEN), same priority offsets (+100/+200/+300/+400),
+same longest-match-first ordering; distances are word distances (the
+reference counts spaces in substrings, which is the same number).
+
+wnSim (F11): ws4j Lin(NictWordNet) is not reproducible without the ws4j
+lexical DB; we use a deterministic hash-based stand-in with the same
+discretization buckets (EventEventFeatureVector.java:52-66), identical
+across the Ray pipeline and the oracle by construction (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .doc import Doc, Entity, simplify_dep_path
+from . import signals
+
+# ---------------------------------------------------------------------------
+# closed vocabularies (PairFeatureVector.java:39-60)
+# ---------------------------------------------------------------------------
+POS_VOCAB = (
+    "AJ0", "AJC", "AJS", "AT0", "AV0", "AVP", "AVQ", "CJC", "CJS", "CJT",
+    "CRD", "DPS", "DT0", "DTQ", "EX0", "ITJ", "NN0", "NN1", "NN2", "NP0",
+    "ORD", "PNI", "PNP", "PNQ", "PNX", "POS", "PRF", "PRP", "PUL", "PUN",
+    "PUQ", "PUR", "TO0", "UNC", "VBB", "VBD", "VBG", "VBI", "VBN", "VBZ",
+    "VDB", "VDD", "VDG", "VDI", "VDN", "VDZ", "VHB", "VHD", "VHG", "VHI",
+    "VHN", "VHZ", "VM0", "VVB", "VVD", "VVG", "VVI", "VVN", "VVZ", "XX0",
+    "ZZ0")
+CHUNK_VOCAB = ("B-VP", "I-VP", "B-NP", "I-NP", "B-ADJP", "I-ADJP", "B-ADVP",
+               "I-ADVP", "B-PP", "I-PP", "B-SBAR", "I-SBAR")
+EV_CLASS = ("REPORTING", "PERCEPTION", "ASPECTUAL", "I_ACTION", "I_STATE",
+            "STATE", "OCCURRENCE")
+EV_TENSE = ("PAST", "PRESENT", "FUTURE", "NONE", "INFINITIVE", "PRESPART",
+            "PASTPART")
+EV_ASPECT = ("PROGRESSIVE", "PERFECTIVE", "PERFECTIVE_PROGRESSIVE", "NONE")
+TMX_TYPE = ("DATE", "TIME", "DURATION", "SET")
+MARKER_POSITION = ("BETWEEN", "BEFORE", "AFTER", "BEGIN", "BEGIN-BETWEEN",
+                   "BEGIN-BEFORE")
+TEMP_SIGNAL_EVENT = (
+    "as soon as", "as long as", "at the same time", "followed by",
+    "prior to", "still", "during", "while", "when", "immediately", "after",
+    "until", "if", "eventually", "then", "finally", "afterwards",
+    "initially", "next", "once", "since", "simultaneously", "formerly",
+    "former", "meanwhile", "later", "into", "follow", "earlier",
+    "previously", "before", "as", "already")
+TEMP_SIGNAL_TIMEX = (
+    "at", "by", "in", "on", "for", "from", "to", "during", "between",
+    "after", "before", "up to", "within", "until", "since", "still",
+    "recently", "formerly", "former", "early", "over", "next", "later",
+    "lately", "immediately", "earlier", "ago")
+CAUS_SIGNAL = (
+    "so that", "because of", "due to", "in consequence of", "in response to",
+    "in exchange for", "in response", "in order to", "as a result of",
+    "as a result", "for reason", "is why", "therefore", "because", "since",
+    "as", "so", "by", "from")
+DEP_EVENT_PATH = (
+    "COORD-CONJ", "TMP-SUB", "OPRD", "OPRD-IM", "OBJ-SUB", "ADV", "OBJ",
+    "SBJ", "ADV-SUB", "VC", "LGS-PMOD", "ADV-PMOD", "LOC-PMOD",
+    "CONJ-COORD", "SUB-TMP", "IM-OPRD", "SUB-OBJ", "SUB-ADV", "PMOD-LGS",
+    "PMOD-ADV", "PMOD-LOC")
+DEP_SIGNAL_PATH = ("SBJ", "OBJ", "OPRD", "IM", "ADV", "PRP", "SUB", "PRD",
+                   "TMP", "PMOD", "LGS", "DEP", "LOC", "APPO")
+
+ET_DIM = 19
+EE_DIM = (2 * len(POS_VOCAB) + 1 + 2 * len(CHUNK_VOCAB) + 1 + 1
+          + 2 * len(EV_CLASS) + 2 * len(EV_TENSE) + 2 * len(EV_ASPECT) + 2
+          + 3 + len(DEP_EVENT_PATH) + 2 + 2
+          + len(TEMP_SIGNAL_EVENT) + len(MARKER_POSITION)
+          + len(DEP_SIGNAL_PATH) + 1)
+CAUSAL_DIM = (2 * len(POS_VOCAB) + 1 + 2 * len(CHUNK_VOCAB) + 1 + 1
+              + 2 * len(EV_CLASS) + 2 * len(EV_TENSE) + 2 * len(EV_ASPECT)
+              + 2 + 3 + len(DEP_EVENT_PATH) + 2 + 2
+              + len(TEMP_SIGNAL_TIMEX) + len(TEMP_SIGNAL_EVENT)
+              + len(MARKER_POSITION) + 2 * len(DEP_SIGNAL_PATH)
+              + len(CAUS_SIGNAL) + len(MARKER_POSITION)
+              + 2 * len(DEP_SIGNAL_PATH) + 1 + 14)
+
+
+class Marker:
+    __slots__ = ("text", "cluster", "position", "dep1", "dep2")
+
+    def __init__(self, text="O", cluster="O", position="O", dep1="O", dep2="O"):
+        self.text = text
+        self.cluster = cluster or "O"
+        self.position = position
+        self.dep1 = dep1
+        self.dep2 = dep2
+
+
+# ---------------------------------------------------------------------------
+# entity attributes with governing-verb fallback
+# (PairFeatureVector.java:433-456)
+# ---------------------------------------------------------------------------
+def entity_attr(doc: Doc, e: Entity, attr: str) -> str:
+    if e.is_event:
+        val = getattr(e, {"eventClass": "ev_class", "tense": "tense",
+                          "aspect": "aspect", "polarity": "pol"}[attr])
+        if val != "O":
+            return val
+        tid = e.start_tok
+        related = None
+        mp = doc.tokens[tid].mainpos
+        if mp == "n":
+            related = doc.mate_verb_from_sbj_noun(tid)
+            if related is None:
+                related = doc.mate_verb_from_obj_noun(tid)
+        elif mp == "adj":
+            related = doc.mate_verb_from_adj(tid)
+        if related is not None and attr in ("tense", "aspect", "polarity"):
+            t = doc.tokens[related]
+            return {"tense": t.tense, "aspect": t.aspect,
+                    "polarity": t.pol}[attr]
+        return "NONE"
+    # timex
+    return {"eventClass": "O", "tense": "O", "aspect": "O",
+            "polarity": "O"}.get(attr, "O")
+
+
+def mate_main_verb(doc: Doc, e: Entity) -> bool:
+    """PairFeatureVector.getMateMainVerb (lines 836-841)."""
+    if doc.entity_token_attr(e, "mainpos") == "v":
+        return doc.tokens[doc.mate_head_verb(e.start_tok)].main_verb
+    return False
+
+
+# ---------------------------------------------------------------------------
+# context windows around entities (PairFeatureVector.java:918-965)
+# ---------------------------------------------------------------------------
+def _tid_entity_before_after(doc: Doc, e: Entity) -> tuple:
+    s = doc.sentences[e.sent_id]
+    arr = s.entity_arr
+    eidx = arr.index(e.eid)
+    if eidx == 0:
+        before = s.start_tok
+    else:
+        prev = doc.entities[arr[eidx - 1]]
+        i = doc.tokens[prev.end_tok].index + 1
+        before = doc.token_arr[min(i, len(doc.token_arr) - 1)]
+    if eidx == len(arr) - 1:
+        after = s.end_tok
+    else:
+        nxt = doc.entities[arr[eidx + 1]]
+        i = doc.tokens[nxt.start_tok].index - 1
+        after = doc.token_arr[max(i, 0)]
+    return before, after
+
+
+def _tid_before_after(doc: Doc, e: Entity) -> tuple:
+    s = doc.sentences[e.sent_id]
+    if e.start_tok == s.start_tok:
+        before = s.start_tok
+    else:
+        before = doc.token_arr[doc.tokens[e.start_tok].index - 1]
+    if e.end_tok == s.end_tok:
+        after = s.end_tok
+    else:
+        after = doc.token_arr[doc.tokens[e.end_tok].index + 1]
+    return before, after
+
+
+def _word_window(doc: Doc, start_tid: str, end_tid: str, attr: str = "text"):
+    """(words lowercased, tids) for the inclusive token range; empty when
+    start is after end (mirrors the reference's empty loop)."""
+    i = doc.tokens[start_tid].index
+    j = doc.tokens[end_tid].index
+    if i > j:
+        return [], []
+    tids = doc.token_arr[i:j + 1]
+    return [getattr(doc.tokens[t], attr).lower() for t in tids], tids
+
+
+def _sentence_begin_window(doc: Doc, sid: str):
+    """First 5 tokens of the sentence (s.start .. s.start+4, clamped;
+    the reference indexes start+4 unguarded)."""
+    s = doc.sentences[sid]
+    i = doc.tokens[s.start_tok].index
+    j = min(i + 4, doc.tokens[s.end_tok].index)
+    return _word_window(doc, doc.token_arr[i], doc.token_arr[j])
+
+
+def _find_signal(words: list, key_words: list, from_end: bool):
+    """Word-offset of the key n-gram, or None. from_end=True returns the
+    match closest to the end (reference lastIndexOf for BEFORE/BETWEEN)."""
+    n = len(key_words)
+    if n == 0 or n > len(words):
+        return None
+    rng = range(len(words) - n, -1, -1) if from_end else \
+        range(0, len(words) - n + 1)
+    for i in rng:
+        if words[i:i + n] == key_words:
+            return i
+    return None
+
+
+def signal_dep_path(doc: Doc, e: Entity, signal_tids: list,
+                    strip_appo: bool = True) -> str:
+    """getSignalMateDependencyPath (PairFeatureVector.java:672-764) /
+    variant 2 (780-873 via strip_appo=False)."""
+    ent_tids = doc.token_ids_between(e.start_tok, e.end_tok)
+    sig_set = set(signal_tids)
+    e_mainpos = doc.entity_token_attr(e, "mainpos")
+
+    def _try(gov, targets):
+        p = doc.first_dependency_path(gov, targets)
+        if p is not None:
+            sp = simplify_dep_path(p, strip_appo=strip_appo)
+            if sp:
+                return sp[1:]
+        return None
+
+    for tid in ent_tids:
+        gov = tid
+        if e_mainpos == "v":
+            gov = doc.mate_head_verb(tid)
+        elif e_mainpos == "adj":
+            v = doc.mate_verb_from_adj(tid)
+            if v is not None:
+                gov = v
+        p = _try(gov, sig_set)
+        if p is not None:
+            return p
+        cv = doc.mate_coord_verb(gov)
+        if cv is not None:
+            p = _try(cv, sig_set)
+            if p is not None:
+                return p
+        if e_mainpos == "n":
+            sv = doc.mate_verb_from_sbj_noun(tid)
+            if sv is not None:
+                p = _try(sv, sig_set)
+                if p is not None:
+                    return p
+
+    # reverse direction: signal token as governor
+    for stid in signal_tids:
+        for etid in ent_tids:
+            if doc.tokens[stid].mainpos == "v":
+                gv = doc.mate_head_verb(stid)
+                sbj = doc.mate_subject_from_verb(gv)
+                if sbj is not None and sbj == etid:
+                    return "SBJ"
+                obj = doc.mate_object_from_verb(stid)
+                if obj is not None and obj == etid:
+                    return "OBJ"
+            dep = etid
+            if e_mainpos == "v":
+                dep = doc.mate_head_verb(etid)
+            elif e_mainpos == "adj":
+                v = doc.mate_verb_from_adj(etid)
+                if v is not None:
+                    dep = v
+            p = _try(stid, {dep})
+            if p is not None:
+                return p
+            cv = doc.mate_coord_verb(dep)
+            if cv is not None:
+                p = _try(stid, {cv})
+                if p is not None:
+                    return p
+            if e_mainpos == "n":
+                sv = doc.mate_verb_from_sbj_noun(dep)
+                if sv is not None:
+                    p = _try(stid, {sv})
+                    if p is not None:
+                        return p
+    return "O"
+
+
+def _pair_contexts(doc: Doc, e1: Entity, e2: Entity):
+    """The four same-sentence context windows of getTemporalSignal
+    (PairFeatureVector.java:1160-1180)."""
+    tid_before1, _ = _tid_entity_before_after(doc, e1)
+    tid_start1, _ = _tid_before_after(doc, e1)
+    tid_before2 = tid_before1              # reference quirk: uses e1's value
+    tid_start2, tid_end2 = _tid_before_after(doc, e2)
+    _, tid_after2 = _tid_entity_before_after(doc, e2)
+    ctx = {
+        "BEFORE": _word_window(doc, tid_before1, tid_start1),
+        "BETWEEN": _word_window(doc, tid_before2, tid_start2),
+        "AFTER": _word_window(doc, tid_end2, tid_after2),
+        "BEGIN": _sentence_begin_window(doc, e1.sent_id),
+        "INSIDE": _word_window(doc, e2.start_tok, e2.end_tok),
+    }
+    return ctx
+
+
+def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
+    """getTemporalSignal (PairFeatureVector.java:1139-1231): nearest marker
+    across INSIDE(+0) / BETWEEN(+100) / BEFORE(+200) / BEGIN(+400) with the
+    e2-kind-specific list for INSIDE/BETWEEN and the event list for
+    BEFORE/BEGIN; cross-sentence E-E uses BEGIN-BETWEEN only."""
+    sig_timex = signals.temporal_timex_signals()
+    sig_event = signals.temporal_event_signals()
+    sig = sig_timex if e2.is_timex else sig_event
+    keys = signals.temporal_timex_keys_sorted() if e2.is_timex \
+        else signals.temporal_event_keys_sorted()
+    ev_keys = signals.temporal_event_keys_sorted()
+    candidates: dict = {}
+
+    if doc.same_sentence(e1, e2):
+        ctx = _pair_contexts(doc, e1, e2)
+        # per reference: INSIDE/BETWEEN try pair list; BEFORE/BEGIN event list
+        words_e, tids_e = ctx["INSIDE"]
+        for key in keys:
+            kw = key.split(" ")
+            off_in = _find_signal(words_e, kw, False)
+            if off_in is not None and 0 < off_in and \
+                    off_in + len(kw) < len(words_e):
+                sig_tids = tids_e[off_in:off_in + len(kw)]
+                candidates[off_in] = Marker(
+                    key, sig[key], "INSIDE",
+                    signal_dep_path(doc, e1, sig_tids),
+                    signal_dep_path(doc, e2, sig_tids))
+                break
+            wb, tb = ctx["BETWEEN"]
+            off = _find_signal(wb, kw, True)
+            if off is not None and 0 < off and off + len(kw) < len(wb):
+                sig_tids = tb[off:off + len(kw)]
+                candidates[(len(wb) - off - len(kw)) + 100] = Marker(
+                    key, sig[key], "BETWEEN",
+                    signal_dep_path(doc, e1, sig_tids),
+                    signal_dep_path(doc, e2, sig_tids))
+                break
+        for key in ev_keys:
+            kw = key.split(" ")
+            wb, tb = ctx["BEFORE"]
+            off = _find_signal(wb, kw, True)
+            if off is not None and 0 < off and off + len(kw) < len(wb):
+                sig_tids = tb[off:off + len(kw)]
+                candidates[(len(wb) - off - len(kw)) + 200] = Marker(
+                    key, sig_event[key], "BEFORE",
+                    signal_dep_path(doc, e2, sig_tids),
+                    signal_dep_path(doc, e1, sig_tids))
+                break
+            wg, tg = ctx["BEGIN"]
+            off = _find_signal(wg, kw, False)
+            if off is not None and 0 < off and off + len(kw) < len(wg):
+                sig_tids = tg[off:off + len(kw)]
+                candidates[off + 400] = Marker(
+                    key, sig_event[key], "BEGIN",
+                    signal_dep_path(doc, e2, sig_tids),
+                    signal_dep_path(doc, e1, sig_tids))
+                break
+    elif not e2.is_timex and not doc._non_text_pair(e1, e2):
+        words, tids = _sentence_begin_window(doc, e2.sent_id)
+        for key in ev_keys:
+            kw = key.split(" ")
+            off = _find_signal(words, kw, False)
+            if off is not None and 0 < off and off + len(kw) < len(words):
+                sig_tids = tids[off:off + len(kw)]
+                candidates[off] = Marker(
+                    key, sig_event[key], "BEGIN-BETWEEN", "O",
+                    signal_dep_path(doc, e2, sig_tids))
+                break
+
+    if candidates:
+        return candidates[min(candidates)]
+    return Marker()
+
+
+def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
+    """getTemporalSignalPerEntity (PairFeatureVector.java:1233-1289):
+    INSIDE(+0) -> BEFORE(+100) -> AFTER(+200) -> BEGIN(+300), first-match
+    per key, nearest-by-(distance+offset) wins."""
+    if ent.is_timex and (ent.is_dct or ent.is_empty):
+        return Marker()
+    slist = signals.temporal_timex_signals() if ent.is_timex \
+        else signals.temporal_event_signals()
+    keys = signals.temporal_timex_keys_sorted() if ent.is_timex \
+        else signals.temporal_event_keys_sorted()
+    tid_before, _ = _tid_entity_before_after(doc, ent)
+    tid_start, tid_end = _tid_before_after(doc, ent)
+    _, tid_after = _tid_entity_before_after(doc, ent)
+    ctx = {
+        "INSIDE": (_word_window(doc, ent.start_tok, ent.end_tok), 0, False),
+        "BEFORE": (_word_window(doc, tid_before, tid_start), 100, True),
+        "AFTER": (_word_window(doc, tid_end, tid_after), 200, False),
+        "BEGIN": (_sentence_begin_window(doc, ent.sent_id), 300, False),
+    }
+    candidates: dict = {}
+    for key in keys:
+        kw = key.split(" ")
+        for pos in ("INSIDE", "BEFORE", "AFTER", "BEGIN"):
+            (words, tids), offset, from_end = ctx[pos]
+            off = _find_signal(words, kw, from_end)
+            if off is None or off == 0 or off + len(kw) >= len(words):
+                continue
+            sig_tids = tids[off:off + len(kw)]
+            dist = (len(words) - off - len(kw)) if from_end else off
+            candidates[dist + offset] = Marker(
+                key, slist[key], pos,
+                signal_dep_path(doc, ent, sig_tids), "")
+            break
+    if candidates:
+        return candidates[min(candidates)]
+    return Marker()
+
+
+def causal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
+    """getCausalSignal (PairFeatureVector.java:1374-1512): regex patterns
+    over space-padded lowercased contexts, BETWEEN/BEFORE/AFTER same
+    sentence (insertion-order tie-break), BEGIN-BETWEEN across sentences;
+    dep1/dep2 with the containment-cancel post-step."""
+    pats = signals.causal_signals()
+    candidates: dict = {}
+    order = 0
+
+    def put(dist, m):
+        nonlocal order
+        while dist in candidates:
+            dist += 1
+        candidates[dist] = m
+
+    def scan(words, tids, pos, from_end):
+        nonlocal order
+        padded = " " + " ".join(words) + " "
+        for i, (rx, _pat, cluster) in enumerate(pats):
+            mm = rx.search(padded)
+            if not mm:
+                continue
+            text = mm.group().strip()
+            kw = text.split(" ")
+            off = _find_signal(words, kw, from_end)
+            if off is None:
+                continue
+            sig_tids = tids[off:off + len(kw)]
+            d1 = signal_dep_path(doc, e1, sig_tids)
+            d2 = signal_dep_path(doc, e2, sig_tids)
+            if d2 != "O" and d2 in d1:
+                d1 = d1.replace(d2, "O") or "O"
+                if d1 == "":
+                    d1 = "O"
+                d2 = "O"
+            elif d1 != "O" and d1 in d2:
+                d2 = d2.replace(d1, "O") or "O"
+                if d2 == "":
+                    d2 = "O"
+                d1 = "O"
+            dist = (len(words) - off - len(kw)) if from_end else off
+            put(dist + i, Marker(text, cluster, pos, d1, d2))
+
+    if doc.same_sentence(e1, e2):
+        ctx = _pair_contexts(doc, e1, e2)
+        scan(*ctx["BETWEEN"], "BETWEEN", True)
+        scan(*ctx["BEFORE"], "BEFORE", True)
+        scan(*ctx["AFTER"], "AFTER", False)
+    elif not doc._non_text_pair(e1, e2):
+        words, tids = _sentence_begin_window(doc, e2.sent_id)
+        scan(words, tids, "BEGIN-BETWEEN", False)
+
+    if candidates:
+        return candidates[min(candidates)]
+    return Marker()
+
+
+_LINK_PARTICLES = {
+    "link": ("to", "with"), "lead": ("to",), "depend": ("on",),
+    "result": ("in", "from"), "rely": ("on",), "stem": ("from",),
+    "relate": ("to",), "connect": ("with",), "associate": ("with",),
+}
+
+
+def causal_verb_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
+    """getCausalVerb (PairFeatureVector.java:1636-1760)."""
+    verbs = signals.causal_verbs()
+    candidates: dict = {}
+    if doc.same_sentence(e1, e2):
+        lemma1 = doc.tokens[e1.start_tok].lemma
+        if verbs.get(lemma1) == "ENABLE" and not doc.mate_passive_verb(e1.start_tok):
+            dist = abs(doc.tokens[e1.start_tok].index
+                       - doc.tokens[e2.start_tok].index)
+            candidates[dist] = _verb_marker(doc, e1, e2, lemma1, e1.start_tok,
+                                            verbs)
+        else:
+            _, tid_end1 = _tid_before_after(doc, e1)
+            tid_start2, _ = _tid_before_after(doc, e2)
+            i = doc.tokens[tid_end1].index
+            j = doc.tokens[tid_start2].index
+            for tid in doc.token_arr[i:j + 1]:
+                tok = doc.tokens[tid]
+                if "VP" not in tok.chunk:
+                    continue
+                lemma = tok.lemma
+                if lemma in _LINK_PARTICLES:
+                    nxt_i = tok.index + 1
+                    if nxt_i < len(doc.token_arr):
+                        nxt = doc.tokens[doc.token_arr[nxt_i]].lemma
+                        if nxt in _LINK_PARTICLES[lemma]:
+                            dist = abs(tok.index
+                                       - doc.tokens[e2.start_tok].index)
+                            candidates[dist] = _verb_marker(
+                                doc, e1, e2, lemma + "-" + nxt, tid, verbs)
+                elif lemma == "have":
+                    deps = tok.deps or {}
+                    if not any(r == "VC" for r in deps.values()):
+                        dist = abs(tok.index - doc.tokens[e2.start_tok].index)
+                        candidates[dist] = _verb_marker(doc, e1, e2, lemma,
+                                                        tid, verbs)
+                elif lemma in verbs:
+                    if not doc.mate_passive_verb(tid):
+                        dist = abs(tok.index - doc.tokens[e2.start_tok].index)
+                        candidates[dist] = _verb_marker(doc, e1, e2, lemma,
+                                                        tid, verbs)
+    if candidates:
+        return candidates[min(candidates)]
+    return Marker()
+
+
+def _verb_marker(doc: Doc, e1: Entity, e2: Entity, text: str, tid: str,
+                 verbs: dict) -> Marker:
+    d1 = signal_dep_path(doc, e1, [tid], strip_appo=False)
+    d2 = signal_dep_path(doc, e2, [tid], strip_appo=False)
+    return Marker(text, verbs.get(text, "O"), "BETWEEN", d1, d2)
+
+
+# ---------------------------------------------------------------------------
+# candidate gating for CLINKs (M10; CauseRelPro.java:61-95)
+# ---------------------------------------------------------------------------
+def sentence_contains_causal_signal(doc: Doc, sid: str) -> bool:
+    s = doc.sentences[sid]
+    text = " " + " ".join(doc.tokens[t].text.lower() for t in
+                          doc.token_ids_between(s.start_tok, s.end_tok)) + " "
+    return any(rx.search(text) for rx, _p, _c in signals.causal_signals())
+
+
+def sentence_contains_causal_verb(doc: Doc, sid: str) -> bool:
+    s = doc.sentences[sid]
+    text = " " + " ".join(doc.tokens[t].lemma.lower() for t in
+                          doc.token_ids_between(s.start_tok, s.end_tok)) + " "
+    return any(" " + v + " " in text for v in signals.causal_verbs())
+
+
+# ---------------------------------------------------------------------------
+# wnSim stand-in (F11)
+# ---------------------------------------------------------------------------
+def wn_sim_bucket(lemma1: str, lemma2: str) -> float:
+    """Deterministic Lin-similarity stand-in, discretized exactly like
+    getDiscreteDoubleWordSimilarity (EventEventFeatureVector.java:60-66):
+    >1 -> 1.0, (0.5,1] -> 0.75, (0,0.5] -> 0.25, <=0 -> 0.0."""
+    if lemma1 == lemma2:
+        return 1.0      # Lin(w,w) > 1 in ws4j
+    a, b = sorted((lemma1, lemma2))
+    h = hashlib.md5((a + "|" + b).encode()).digest()
+    sim = (h[0] / 255.0) * 0.9   # in [0, 0.9]
+    if sim > 0.5:
+        return 0.75
+    if sim > 0.0:
+        return 0.25
+    return 0.0
+
+
+# ---------------------------------------------------------------------------
+# vector builders
+# ---------------------------------------------------------------------------
+def _onehot(out, base, vocab, value, contains=False):
+    if contains:
+        for i, v in enumerate(vocab):
+            if v in value:
+                out[base + i] = 1.0
+    else:
+        for i, v in enumerate(vocab):
+            if v == value:
+                out[base + i] = 1.0
+                break
+    return base + len(vocab)
+
+
+def _sign(x: int) -> float:
+    return 1.0 if x > 0 else (-1.0 if x < 0 else 0.0)
+
+
+def et_vector(doc: Doc, ev: Entity, tmx: Entity) -> np.ndarray:
+    """ET/DCT liblinear features: eventClass(7) tense(7) aspect(4)
+    polarity(1)."""
+    v = np.zeros(ET_DIM, dtype=np.float32)
+    p = 0
+    p = _onehot(v, p, EV_CLASS, entity_attr(doc, ev, "eventClass"))
+    p = _onehot(v, p, EV_TENSE, entity_attr(doc, ev, "tense"))
+    p = _onehot(v, p, EV_ASPECT, entity_attr(doc, ev, "aspect"))
+    v[p] = 0.0 if entity_attr(doc, ev, "polarity") == "neg" else 1.0
+    return v
+
+
+def _ee_common(doc: Doc, e1: Entity, e2: Entity, dep_path: str,
+               v: np.ndarray) -> int:
+    pos1 = doc.entity_token_attr(e1, "pos")
+    pos2 = doc.entity_token_attr(e2, "pos")
+    p = 0
+    p = _onehot(v, p, POS_VOCAB, pos1, contains=True)
+    p = _onehot(v, p, POS_VOCAB, pos2, contains=True)
+    v[p] = 1.0 if pos1 == pos2 else 0.0
+    p += 1
+    p = _onehot(v, p, CHUNK_VOCAB, doc.entity_token_attr(e1, "chunk"),
+                contains=True)
+    p = _onehot(v, p, CHUNK_VOCAB, doc.entity_token_attr(e2, "chunk"),
+                contains=True)
+    v[p] = _sign(doc.entity_distance(e1, e2))
+    p += 1
+    v[p] = _sign(doc.sentence_distance(e1, e2))
+    p += 1
+    c1 = entity_attr(doc, e1, "eventClass")
+    c2 = entity_attr(doc, e2, "eventClass")
+    t1 = entity_attr(doc, e1, "tense")
+    t2 = entity_attr(doc, e2, "tense")
+    a1 = entity_attr(doc, e1, "aspect")
+    a2 = entity_attr(doc, e2, "aspect")
+    pol1 = entity_attr(doc, e1, "polarity")
+    pol2 = entity_attr(doc, e2, "polarity")
+    p = _onehot(v, p, EV_CLASS, c1)
+    p = _onehot(v, p, EV_CLASS, c2)
+    p = _onehot(v, p, EV_TENSE, t1)
+    p = _onehot(v, p, EV_TENSE, t2)
+    p = _onehot(v, p, EV_ASPECT, a1)
+    p = _onehot(v, p, EV_ASPECT, a2)
+    v[p] = 0.0 if pol1 == "neg" else 1.0
+    p += 1
+    v[p] = 0.0 if pol2 == "neg" else 1.0
+    p += 1
+    v[p] = 1.0 if c1 == c2 else 0.0
+    p += 1
+    v[p] = 1.0 if (t1 == t2 and a1 == a2) else 0.0
+    p += 1
+    v[p] = 1.0 if pol1 == pol2 else 0.0
+    p += 1
+    p = _onehot(v, p, DEP_EVENT_PATH, dep_path)
+    v[p] = 1.0 if mate_main_verb(doc, e1) else 0.0
+    p += 1
+    v[p] = 1.0 if mate_main_verb(doc, e2) else 0.0
+    p += 1
+    v[p] = 1.0 if doc.mate_modal_verb(e1.start_tok) != "O" else 0.0
+    p += 1
+    v[p] = 1.0 if doc.mate_modal_verb(e2.start_tok) != "O" else 0.0
+    p += 1
+    return p
+
+
+def ee_vector(doc: Doc, e1: Entity, e2: Entity, dep_path: str) -> np.ndarray:
+    """EE temporal liblinear features (269 dims)."""
+    v = np.zeros(EE_DIM, dtype=np.float32)
+    p = _ee_common(doc, e1, e2, dep_path, v)
+    m = temporal_signal_per_entity(doc, e2)
+    p = _onehot(v, p, TEMP_SIGNAL_EVENT, m.cluster)
+    # reference quirk: position block matched against the CLUSTER
+    p = _onehot(v, p, MARKER_POSITION, m.cluster)
+    p = _onehot(v, p, DEP_SIGNAL_PATH, m.dep1, contains=True)
+    v[p] = wn_sim_bucket(doc.tokens[e1.start_tok].lemma,
+                         doc.tokens[e2.start_tok].lemma)
+    return v
+
+
+def causal_vector(doc: Doc, e1: Entity, e2: Entity, dep_path: str,
+                  tlink_type: str) -> np.ndarray:
+    """EE causal liblinear features (377 dims) incl. the TLINK one-hot."""
+    from .labels import TLINK_LABELS
+    v = np.zeros(CAUSAL_DIM, dtype=np.float32)
+    p = _ee_common(doc, e1, e2, dep_path, v)
+    mt = temporal_signal_pair(doc, e1, e2)
+    p = _onehot(v, p, TEMP_SIGNAL_TIMEX, mt.cluster)
+    p = _onehot(v, p, TEMP_SIGNAL_EVENT, mt.cluster)
+    p = _onehot(v, p, MARKER_POSITION, mt.cluster)   # quirk: cluster
+    if mt.cluster != "O":
+        p = _onehot(v, p, DEP_SIGNAL_PATH, mt.dep1, contains=True)
+        p = _onehot(v, p, DEP_SIGNAL_PATH, mt.dep2, contains=True)
+    else:
+        p += 2 * len(DEP_SIGNAL_PATH)
+    mc = causal_signal_pair(doc, e1, e2)
+    if mc.cluster != "O":
+        p = _onehot(v, p, CAUS_SIGNAL, mc.cluster)
+    else:
+        p += len(CAUS_SIGNAL)
+    if mc.position != "O":
+        p = _onehot(v, p, MARKER_POSITION, mc.position)
+    else:
+        p += len(MARKER_POSITION)
+    if mc.cluster != "O":
+        p = _onehot(v, p, DEP_SIGNAL_PATH, mc.dep1, contains=True)
+        p = _onehot(v, p, DEP_SIGNAL_PATH, mc.dep2, contains=True)
+    else:
+        p += 2 * len(DEP_SIGNAL_PATH)
+    v[p] = wn_sim_bucket(doc.tokens[e1.start_tok].lemma,
+                         doc.tokens[e2.start_tok].lemma)
+    p += 1
+    p = _onehot(v, p, TLINK_LABELS, tlink_type)
+    return v

@@ -1,0 +1,76 @@
+"""Signal dictionaries (stateful stages ST1/ST2 of SURVEY.md §2.4).
+
+The reference re-loads its signal lists per file (TemporalSignalList
+ctor called inside the per-file loop, TempRelPro.java:135-136); here they
+are process-wide module-level caches: loaded once per Ray worker process
+and shared by every batch the worker handles — the Ray-idiomatic
+equivalent of per-actor state for small read-only dictionaries.
+
+File format: ``surface-or-pattern<TAB>cluster`` (resources/*.tsv, our own
+curation). Lookup semantics mirror the reference:
+- temporal lists are searched longest-match-first via reverse-alphabetical
+  key ordering (PairFeatureVector.java:1150-1155 "so that 'because of' <
+  'because'");
+- causal signal entries are regex patterns matched against space-padded
+  lowercased context (CauseRelPro.java:61-95, getCausalSignal
+  PairFeatureVector.java:1374+), tried in file order.
+"""
+
+from __future__ import annotations
+
+import importlib.resources as _res
+import re
+from functools import lru_cache
+
+
+def _load_tsv(name: str) -> list:
+    txt = (_res.files("erex") / "resources" / name).read_text()
+    out = []
+    for line in txt.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) == 2:
+            out.append((parts[0], parts[1]))
+    return out
+
+
+@lru_cache(maxsize=None)
+def temporal_event_signals() -> dict:
+    """surface -> cluster, insertion order = file order."""
+    return dict(_load_tsv("temporal_signal_event.tsv"))
+
+
+@lru_cache(maxsize=None)
+def temporal_timex_signals() -> dict:
+    return dict(_load_tsv("temporal_signal_timex.tsv"))
+
+
+@lru_cache(maxsize=None)
+def temporal_event_keys_sorted() -> tuple:
+    """Reverse-alphabetical (longest-match-first) key order."""
+    return tuple(sorted(temporal_event_signals(), reverse=True))
+
+
+@lru_cache(maxsize=None)
+def temporal_timex_keys_sorted() -> tuple:
+    return tuple(sorted(temporal_timex_signals(), reverse=True))
+
+
+@lru_cache(maxsize=None)
+def causal_signals() -> list:
+    """[(compiled space-padded pattern, raw pattern, cluster)] in file order."""
+    out = []
+    for pat, cluster in _load_tsv("causal_signal.tsv"):
+        out.append((re.compile(" " + pat + " "), pat, cluster))
+    return out
+
+
+@lru_cache(maxsize=None)
+def causal_verbs() -> dict:
+    return dict(_load_tsv("causal_verb.tsv"))
+
+
+@lru_cache(maxsize=None)
+def causal_verb_keys_sorted() -> tuple:
+    return tuple(sorted(causal_verbs(), reverse=True))
