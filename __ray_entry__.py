@@ -1,44 +1,338 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship CATENA extraction over the sf0.001-derived
+               synthetic TXP corpus; returns the edge/node Dataset.
+queries()    — one entry per implemented operator family (SURVEY.md §2 +
+               the training-data operators); each callable takes sf_dir.
+oracle_sql() — DuckDB-equivalent SQL for the SQL-expressible queries;
+               CATENA extraction / minhash / simhash / LSH / fingerprint
+               are non-SQL-expressible and get rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus_for(sf_dir: str) -> str:
+    """Deterministic synthetic TXP corpus sized to the sf's documents
+    table (seeded; cached under /tmp)."""
+    import pyarrow.parquet as pq
+    from erex.corpus import corpus_parquet
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return corpus_parquet(n_docs=n, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# CATENA pipeline queries (rows-only checks: extraction is not SQL)
+# ---------------------------------------------------------------------------
+_MERGED_CACHE: dict = {}
+
+
+def _merged_df(sf_dir: str):
+    """Run the extraction once per sf_dir and reuse across the catena_*
+    queries (the driver calls each query separately)."""
+    path = _corpus_for(sf_dir)
+    if path not in _MERGED_CACHE:
+        from erex.pipeline import run_extraction
+        _MERGED_CACHE[path] = run_extraction(path).to_pandas()
+    return _MERGED_CACHE[path].copy()
+
+
+def _catena_edges(sf_dir: str):
+    df = _merged_df(sf_dir)
+    df = df[df["kind"] == "edge"][
+        ["doc_sha", "subj", "pred", "obj", "pair_class", "stage",
+         "consistent", "gold", "subj_key", "obj_key"]]
+    return df.sort_values(["doc_sha", "subj", "obj", "pred"])\
+        .reset_index(drop=True)
+
+
+def _merged_ds(sf_dir: str):
+    import ray.data as rd
+    return rd.from_pandas(_merged_df(sf_dir))
+
+
+def _catena_nodes(sf_dir: str):
+    from erex.canonical import canonical_nodes
+    out = canonical_nodes(_merged_ds(sf_dir)).to_pandas()
+    return out.sort_values("node_key").reset_index(drop=True)
+
+
+def _catena_graph_edges(sf_dir: str):
+    from erex.canonical import canonical_edges
+    out = canonical_edges(_merged_ds(sf_dir)).to_pandas()
+    return out.sort_values(["subj_key", "pred", "obj_key"])\
+        .reset_index(drop=True)
+
+
+def _catena_tt_rules(sf_dir: str):
+    df = _catena_edges(sf_dir)
+    return df[df["pair_class"] == "tt"].reset_index(drop=True)
+
+
+def _catena_confusion(sf_dir: str):
+    from erex.evalx import confusion_counts
+    return confusion_counts(_merged_ds(sf_dir))
+
+
+def _catena_stage_counts(sf_dir: str):
+    import pandas as pd
+    df = _catena_edges(sf_dir)
+    out = df.groupby(["pair_class", "stage"], as_index=False)\
+        .agg(n=("pred", "size"),
+             n_consistent=("consistent", "sum"))
+    out["n_consistent"] = out["n_consistent"].astype("int64")
+    return out.sort_values(["pair_class", "stage"]).reset_index(drop=True)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-derived corpus."""
+    from erex.pipeline import run_extraction
+    sf_dir = "/root/testdata/sf0.001"
+    return run_extraction(_corpus_for(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from erex.ops import dedup, multimodal, relational, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CATENA flagship (SURVEY.md §2/§3; rows-only)
+        "catena_edges": _catena_edges,
+        "catena_nodes": _catena_nodes,
+        "catena_graph_edges": _catena_graph_edges,
+        "catena_tt_rules": _catena_tt_rules,
+        "catena_confusion": _catena_confusion,
+        "catena_stage_counts": _catena_stage_counts,
+        # relational operators (A1/A2, J4, O3, windows)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q_events_daily": relational.q_events_daily,
+        "q_sessionize": relational.q_sessionize,
+        "q_top_parts_per_brand": relational.q_top_parts_per_brand,
+        "q_supplier_by_region": relational.q_supplier_by_region,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
+        "dedup_embedding": lambda sf: similarity.embedding_dup_pairs(
+            sf, threshold_micro=400_000),
+        # similarity search
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "embedding_centroids": similarity.embedding_centroids,
+        # text analysis
+        "token_count": text.token_count,
+        "quality_score": text.quality_score,
+        "lang_id": text.lang_id,
+        "doc_fingerprint": text.doc_fingerprint,
+        # multimodal plumbing
+        "mm_image_meta": multimodal.image_meta,
+        "mm_frame_sample": multimodal.frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from erex.ops.text import LANG_STOPWORDS
+    lang_counts = ", ".join(
+        "len(regexp_extract_all(lower(text), '\\b(%s)\\b')) AS c_%s"
+        % ("|".join(words), lang) for lang, words in LANG_STOPWORDS)
+    lang_case = ("CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr "
+                 "AND c_en >= c_zh THEN 'en' "
+                 "WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh "
+                 "THEN 'de' "
+                 "WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' "
+                 "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END")
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity*1000+0.5) AS BIGINT))
+                       AS BIGINT) AS sum_qty_milli,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*1000+0.5) AS BIGINT))
+                       AS BIGINT) AS sum_base_milli,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*1000+0.5)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_milli,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o.o_orderkey,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*1000
+                       +0.5) AS BIGINT)) AS BIGINT) AS revenue_milli,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_milli DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q_events_daily": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(value*1000+0.5) AS BIGINT))
+                       AS BIGINT) AS sum_value_milli
+            FROM events
+            GROUP BY event_type, date_trunc('day', ts)
+            ORDER BY event_type, day
+        """,
+        "q_sessionize": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS pts
+                FROM events)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN pts IS NULL
+                            OR epoch(ts - pts) > 1800
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM e GROUP BY user_id ORDER BY user_id
+        """,
+        "q_top_parts_per_brand": """
+            SELECT p_brand, p_partkey, price_milli, rn AS rank
+            FROM (SELECT p_brand, p_partkey,
+                         CAST(FLOOR(p_retailprice*1000+0.5) AS BIGINT)
+                             AS price_milli,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY p_brand
+                             ORDER BY CAST(FLOOR(p_retailprice*1000+0.5)
+                                           AS BIGINT) DESC, p_partkey)
+                             AS rn
+                  FROM part)
+            WHERE rn <= 3
+            ORDER BY p_brand, rn
+        """,
+        "q_supplier_by_region": """
+            SELECT r.r_name,
+                   COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(FLOOR(s.s_acctbal*1000+0.5) AS BIGINT))
+                       AS BIGINT) AS sum_acctbal_milli
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY md5(text) ORDER BY text_hash
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 3
+                UNION
+                SELECT DISTINCT doc_id, array_to_string(ws, ' ')
+                FROM toks WHERE len(ws) < 3 AND len(ws) > 0),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+                       AS jaccard_milli
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+                  >= 200
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[]))*1000000+0.5) AS BIGINT)
+                       AS cos_micro
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[]))*1000000+0.5) AS BIGINT)
+                  >= 400000
+            ORDER BY vec_a, vec_b
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT qid, e.vec_id AS vid,
+                         CAST(FLOOR(list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                              *1000000+0.5) AS BIGINT) AS cm
+                  FROM q, embeddings e WHERE e.vec_id != qid),
+            r AS (SELECT qid, vid, cm,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY cm DESC, vid) AS rn
+                  FROM c)
+            SELECT qid AS query_id, rn AS rank, vid AS vec_id,
+                   cm AS cos_micro
+            FROM r WHERE rn <= 5 ORDER BY query_id, rank
+        """,
+        "embedding_centroids": """
+            SELECT label, i - 1 AS dim,
+                   CAST(FLOOR(1000000 * SUM(CAST(v AS DOUBLE)) / COUNT(*)
+                        + 0.5) AS BIGINT) AS centroid_micro
+            FROM (SELECT label,
+                         unnest(embedding) AS v,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM embeddings)
+            GROUP BY label, i ORDER BY label, dim
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars,
+                   len(regexp_extract_all(text, '[0-9]')) AS digit_chars,
+                   len(regexp_extract_all(text, ' ')) AS space_chars,
+                   CAST((1000 * len(regexp_extract_all(text, '[A-Za-z]')))
+                        // GREATEST(1, length(text))
+                        + CASE WHEN ((1000 * len(regexp_extract_all(
+                              text, '[A-Za-z]')))
+                              % GREATEST(1, length(text))) * 2
+                              >= GREATEST(1, length(text))
+                          THEN 1 ELSE 0 END AS BIGINT) AS quality_milli
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            WITH counts AS (SELECT doc_id, {lang_counts} FROM documents)
+            SELECT doc_id, {lang_case} AS lang_pred
+            FROM counts ORDER BY doc_id
+        """,
+        "mm_image_meta": """
+            SELECT doc_id,
+                   64 + doc_id % 512 AS width,
+                   48 + (doc_id * 7) % 384 AS height,
+                   1 + doc_id % 3 AS channels,
+                   16 + LEAST(4096, (64 + doc_id % 512) * (1 + doc_id % 3))
+                       AS n_bytes
+            FROM documents ORDER BY doc_id
+        """,
+        "mm_frame_sample": """
+            SELECT doc_id, f AS frame_idx
+            FROM documents, UNNEST(range(0, 8 + doc_id % 32, 4)) AS t(f)
+            ORDER BY doc_id, frame_idx
+        """,
+    }

@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Plain run: one fresh Ray session at $RAY_GRAFT_CPUS (default 32) over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1); prints ONE JSON line:
+  {"metric": "catena_flagship", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs": N, "docs_per_sec": r}
+
+--scaling: runs the headline pipeline in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and prints throughputs +
+scaling efficiency (the sandbox stand-in for the N vs 4N node
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> None:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.parquet as pq
+    from erex.corpus import corpus_parquet
+    from erex.pipeline import run_extraction
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    corpus = corpus_parquet(n_docs=n_docs, seed=42)
+    # warm the OS page cache (measure compute, not first disk read)
+    pq.read_table(corpus)
+
+    queries: dict = {}
+
+    # headline: flagship CATENA extraction, counted via a streaming
+    # aggregate (no driver materialization)
+    t0 = time.time()
+    n_edges = run_extraction(corpus).count()
+    headline = time.time() - t0
+    queries["catena_flagship"] = round(headline, 3)
+
+    from erex.ops import dedup, relational, similarity, text
+
+    def timed(name, fn):
+        t = time.time()
+        fn(sf_dir)
+        queries[name] = round(time.time() - t, 3)
+
+    timed("q1_pricing_summary", relational.q1_pricing_summary)
+    timed("q3_top_orders", relational.q3_top_orders)
+    timed("q_events_daily", relational.q_events_daily)
+    timed("dedup_exact", dedup.dedup_exact)
+    timed("dedup_minhash", dedup.minhash_lsh_pairs)
+    timed("ann_cosine_topk", similarity.ann_cosine_topk)
+    timed("lang_id", text.lang_id)
+
+    print(json.dumps({
+        "metric": "catena_flagship", "value": round(headline, 3),
+        "unit": "sec", "queries": queries, "sf": sf,
+        "num_cpus": num_cpus, "docs": n_docs,
+        "rows_out": int(n_edges),
+        "docs_per_sec": round(n_docs / headline, 2),
+    }))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=sf_dir, ERX_HEADLINE_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }))
+
+
+def run_headline_only() -> None:
+    """Used by --scaling children: only the flagship, one JSON line."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.parquet as pq
+    from erex.corpus import corpus_parquet
+    from erex.pipeline import run_extraction
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    corpus = corpus_parquet(n_docs=n_docs, seed=42)
+    pq.read_table(corpus)
+    t0 = time.time()
+    n = run_extraction(corpus).count()
+    dt = time.time() - t0
+    print(json.dumps({"metric": "catena_flagship", "value": round(dt, 3),
+                      "unit": "sec", "num_cpus": num_cpus,
+                      "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                      "docs": n_docs, "rows_out": int(n),
+                      "docs_per_sec": round(n_docs / dt, 2)}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif os.environ.get("ERX_HEADLINE_ONLY"):
+        run_headline_only()
+    else:
+        run_bench()

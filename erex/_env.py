@@ -1,0 +1,28 @@
+"""Worker-side import bootstrap.
+
+The driver contract imports this repo by file path after ray.init(),
+so Ray worker processes do NOT automatically have the repo on their
+sys.path — UDFs that reference erex.* would fail to deserialize (and
+the streaming executor retries forever, which presents as a hang).
+Every map_batches/map_groups call site passes ``remote_args()`` so the
+stage's workers start with PYTHONPATH pointing at the repo. No-op cost
+when the path is already importable site-wide.
+"""
+
+from __future__ import annotations
+
+import os
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def remote_args() -> dict:
+    # Workers inherit the driver's cwd and PYTHONPATH in local mode; only
+    # ship a dedicated runtime_env (which costs a per-stage worker pool
+    # spin-up) when the repo would NOT be importable there already.
+    if os.getcwd() == REPO_DIR or REPO_DIR in \
+            os.environ.get("PYTHONPATH", "").split(":"):
+        return {}
+    existing = os.environ.get("PYTHONPATH", "")
+    path = REPO_DIR + (":" + existing if existing else "")
+    return {"runtime_env": {"env_vars": {"PYTHONPATH": path}}}

@@ -1,0 +1,197 @@
+"""Relational operator demonstrations over the TPC-H-ish testdata
+(grouped aggregates A1/A2, broadcast joins J4, top-k per group O3,
+time-bucketed aggregation §2.11 analog).
+
+Design notes for scale:
+- monetary sums are computed as integer milli-units per row BEFORE
+  aggregation so results are exact and independent of both addition
+  order and partial-aggregation plans — float sums would hash-differ
+  from the DuckDB oracle;
+- joins broadcast the small side (ray.put once, read per batch) instead
+  of shuffling the fact table;
+- every aggregate pre-aggregates inside map_batches and finishes with a
+  small groupby over partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .._env import remote_args
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _milli(arr) -> pa.Array:
+    """floor(x*1000 + 0.5) as int64 — half-up rounding, the exact formula
+    the DuckDB oracles use (CAST(FLOOR(x*1000+0.5) AS BIGINT)), so sums
+    are order-independent AND bit-identical to the oracle."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(
+        pc.cast(arr, pa.float64()), 1000.0), 0.5)), pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Pricing summary: groupby(returnflag, linestatus) with exact
+    integer-milli sums. Oracle: see __ray_entry__.oracle_sql."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0),
+                                       t.column("l_discount")))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty_milli": _milli(t.column("l_quantity")),
+            "base_milli": _milli(t.column("l_extendedprice")),
+            "disc_milli": _milli(disc),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("qty_milli", alias_name="sum_qty_milli"),
+                        Sum("base_milli", alias_name="sum_base_milli"),
+                        Sum("disc_milli", alias_name="sum_disc_milli"),
+                        Count(alias_name="count_order")))
+    df = out.to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return df
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
+                  k: int = 10) -> pd.DataFrame:
+    """Top-k orders by revenue for one customer segment: broadcast
+    semi-join (customer keys -> orders -> lineitem), partial aggregation,
+    small top-k sort."""
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    ckeys = set(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"])
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    orders = orders[orders["o_custkey"].isin(ckeys)]
+    omap_ref = ray.put(dict(zip(orders["o_orderkey"],
+                                orders["o_orderdate"])))
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        omap = ray.get(omap_ref)
+        keys = t.column("l_orderkey").to_numpy()
+        mask = np.fromiter((k in omap for k in keys), bool, len(keys))
+        if not mask.any():
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "revenue_milli": pa.array([], pa.int64())})
+        rev = (t.column("l_extendedprice").to_numpy()[mask]
+               * (1.0 - t.column("l_discount").to_numpy()[mask]))
+        rev_milli = np.floor(rev * 1000.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": keys[mask],
+                           "revenue_milli": rev_milli})
+        g = df.groupby("o_orderkey", as_index=False)["revenue_milli"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+             .groupby("o_orderkey")
+             .aggregate(Sum("revenue_milli", alias_name="revenue_milli")))
+    df = agg.to_pandas()
+    omap = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
+    df["o_orderdate"] = df["o_orderkey"].map(omap)
+    df = df.sort_values(["revenue_milli", "o_orderkey"],
+                        ascending=[False, True]).head(k)
+    return df[["o_orderkey", "revenue_milli", "o_orderdate"]]\
+        .reset_index(drop=True)
+
+
+def q_events_daily(sf_dir: str) -> pd.DataFrame:
+    """Tumbling daily window per event_type (streaming-shaped workload
+    expressed as groupby over (type, day))."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": day,
+                         "value_milli": _milli(t.column("value"))})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("value_milli", alias_name="sum_value_milli")))
+    return out.to_pandas().sort_values(["event_type", "day"])\
+        .reset_index(drop=True)
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user: groupby(user).map_groups over ts-sorted
+    events, new session when the gap exceeds `gap_minutes` (the
+    streaming-window pattern of the ray guide). Returns per-user session
+    counts + total events (order-insensitive columns)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
+        n_sessions = int((gaps > gap_minutes * 60).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas", **remote_args())
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def q_top_parts_per_brand(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k per group (O3): price desc, partkey asc tie-break."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["price_milli"] = np.floor(
+            g["p_retailprice"].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+        g = g.sort_values(["price_milli", "p_partkey"],
+                          ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["p_brand", "p_partkey", "price_milli", "rank"]]
+
+    out = ds.groupby("p_brand").map_groups(topk, batch_format="pandas", **remote_args())
+    return out.to_pandas().sort_values(["p_brand", "rank"])\
+        .reset_index(drop=True)
+
+
+def q_supplier_by_region(sf_dir: str) -> pd.DataFrame:
+    """supplier ⋈ nation ⋈ region via broadcast dimension maps."""
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    bmap = ray.put({nk: r2name[rk] for nk, rk in n2r.items()})
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_nationkey", "s_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = ray.get(bmap)
+        nk = t.column("s_nationkey").to_pylist()
+        return pa.table({
+            "r_name": pa.array([m[k] for k in nk], pa.string()),
+            "acctbal_milli": _milli(t.column("s_acctbal")),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby("r_name")
+             .aggregate(Count(alias_name="n_suppliers"),
+                        Sum("acctbal_milli", alias_name="sum_acctbal_milli")))
+    return out.to_pandas().sort_values("r_name").reset_index(drop=True)

@@ -1,0 +1,186 @@
+"""Similarity search over the `embeddings` table (list<float> column).
+
+- brute-force cosine top-k: the query matrix is broadcast once
+  (ray.put), each batch does one numpy matmul against it — the baseline;
+- LSH-bucketed variant: random-hyperplane signatures bucket the
+  corpus, queries probe only their bucket (the scale path; recall < 1);
+- embedding near-dup: all pairs with cosine >= threshold, blocked by
+  LSH bands at scale, exact here for the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .._env import remote_args
+
+
+def _load_matrix(sf_dir: str):
+    t = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    M = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    return ids, M
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def ann_cosine_topk(sf_dir: str, n_queries: int = 8,
+                    k: int = 5) -> pd.DataFrame:
+    """Exact top-k neighbours by cosine for the first `n_queries` vec_ids
+    against all OTHER vectors: broadcast query matrix, batched matmul,
+    per-batch partial top-k, driver-side final top-k (k*Q rows).
+    Ties broken by (cos_micro desc, vec_id asc)."""
+    ids_all, M_all = _load_matrix(sf_dir)
+    q_mask = ids_all < n_queries
+    Q = _normalize(M_all[q_mask])
+    q_ids = ids_all[q_mask]
+    q_ref = ray.put((q_ids, Q))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q_ids_, Q_ = ray.get(q_ref)
+        vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        X = _normalize(X)
+        sims = X @ Q_.T                      # (batch, nq)
+        rows = {"query_id": [], "vec_id": [], "cos_micro": []}
+        for qi, qid in enumerate(q_ids_):
+            col = sims[:, qi]
+            mask = vid != qid
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            order = idx[np.lexsort((vid[idx], -col[idx]))][:64]
+            for i in order:
+                rows["query_id"].append(int(qid))
+                rows["vec_id"].append(int(vid[i]))
+                rows["cos_micro"].append(
+                    int(np.floor(col[i] * 1_000_000 + 0.5)))
+        return pa.table({k_: pa.array(v) for k_, v in rows.items()})
+
+    df = ds.map_batches(partial, batch_format="pyarrow", **remote_args()).to_pandas()
+    out = []
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["cos_micro", "vec_id"],
+                          ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", "vec_id", "cos_micro"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
+# random hyperplanes for the LSH variant (fixed seed); few planes =>
+# coarse buckets with enough candidates per bucket at test scale
+_HP_RNG = np.random.RandomState(24680)
+_N_PLANES = 4
+
+
+def _lsh_bucket(X: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (X @ planes.T) > 0
+    return (bits * (1 << np.arange(_N_PLANES))).sum(axis=1)
+
+
+def ann_lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane buckets; each query only
+    scans its own bucket. Returns the same schema as ann_cosine_topk;
+    recall is validated against the exact result in tests."""
+    ids_all, M_all = _load_matrix(sf_dir)
+    dim = M_all.shape[1]
+    planes = _HP_RNG.normal(size=(_N_PLANES, dim))
+    Mn = _normalize(M_all)
+    buckets = _lsh_bucket(Mn, planes)
+    q_mask = ids_all < n_queries
+    rows = []
+    for qid, qv, qb in zip(ids_all[q_mask], Mn[q_mask], buckets[q_mask]):
+        # multi-probe: the query's bucket plus all Hamming-1 neighbours
+        probe = {int(qb)} | {int(qb) ^ (1 << p) for p in range(_N_PLANES)}
+        mask = np.isin(buckets, list(probe)) & (ids_all != qid)
+        cand_ids = ids_all[mask]
+        if cand_ids.size == 0:
+            continue
+        sims = Mn[mask] @ qv
+        order = np.lexsort((cand_ids, -sims))[:k]
+        for r, i in enumerate(order, 1):
+            rows.append((int(qid), r, int(cand_ids[i]),
+                         int(np.floor(sims[i] * 1_000_000 + 0.5))))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id",
+                                       "cos_micro"])
+
+
+def embedding_dup_pairs(sf_dir: str,
+                        threshold_micro: int = 950_000) -> pd.DataFrame:
+    """All (vec_a < vec_b) pairs with cosine >= threshold. Exact
+    all-pairs via blocked matmul inside map_batches against the
+    broadcast normalized matrix."""
+    ids_all, M_all = _load_matrix(sf_dir)
+    Mn = _normalize(M_all)
+    ref = ray.put((ids_all, Mn))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids_, Mn_ = ray.get(ref)
+        vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        X = _normalize(np.stack(
+            t.column("embedding").to_pylist()).astype(np.float64))
+        sims = X @ Mn_.T
+        a, b, s = [], [], []
+        for i, va in enumerate(vid):
+            mask = (ids_ > va) & (np.floor(sims[i] * 1_000_000 + 0.5)
+                                  >= threshold_micro)
+            for j in np.nonzero(mask)[0]:
+                a.append(int(va))
+                b.append(int(ids_[j]))
+                s.append(int(np.floor(sims[i, j] * 1_000_000 + 0.5)))
+        return pa.table({"vec_a": pa.array(a, pa.int64()),
+                         "vec_b": pa.array(b, pa.int64()),
+                         "cos_micro": pa.array(s, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid as (label, dim, centroid_micro): partial sums
+    inside map_batches, merged with a small groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t.column("label").to_pylist())
+        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        rows = {"label": [], "dim": [], "s": [], "n": []}
+        for l in np.unique(lab):
+            sub = X[lab == l]
+            sums = sub.sum(axis=0)
+            for d in range(X.shape[1]):
+                rows["label"].append(int(l))
+                rows["dim"].append(d)
+                rows["s"].append(float(sums[d]))
+                rows["n"].append(len(sub))
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+             .groupby(["label", "dim"])
+             .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    df = agg.to_pandas()
+    df["centroid_micro"] = np.floor(
+        1_000_000 * df["s"] / df["n"] + 0.5).astype(np.int64)
+    return df[["label", "dim", "centroid_micro"]].sort_values(
+        ["label", "dim"]).reset_index(drop=True)

@@ -1,0 +1,145 @@
+"""Text analysis operators over the `documents` table: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+All scoring is defined over the token regex ``[A-Za-z0-9]+`` and integer
+(milli) arithmetic so the DuckDB oracles hash-match exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from .._env import remote_args
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+_ALPHA = re.compile(r"[A-Za-z]")
+_DIGIT = re.compile(r"[0-9]")
+_SPACE = re.compile(r" ")
+
+# tiny per-language stopword inventories (n-gram-free heuristic langid);
+# priority order breaks ties deterministically
+LANG_STOPWORDS = (
+    ("en", ("the", "and", "of", "a", "to", "in", "is")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein")),
+    ("es", ("el", "la", "los", "que", "y", "es", "un")),
+    ("fr", ("le", "la", "les", "et", "est", "un", "une")),
+    ("zh", ("de", "shi", "zai", "le", "wo", "ni", "ta")),
+)
+
+
+def token_count(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens) with tokens = [A-Za-z0-9]+ runs."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = [len(TOKEN_RE.findall(x)) for x in texts]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_score(sf_dir: str) -> pd.DataFrame:
+    """Char-class ratios as integer milli-scores:
+    quality_milli = round(1000 * alpha_chars / max(1, n_chars))."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        alpha = [len(_ALPHA.findall(x)) for x in texts]
+        digit = [len(_DIGIT.findall(x)) for x in texts]
+        space = [len(_SPACE.findall(x)) for x in texts]
+        nchars = [max(1, len(x)) for x in texts]
+        q = [int(1000 * a // c + (1 if (1000 * a % c) * 2 >= c else 0))
+             for a, c in zip(alpha, nchars)]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "alpha_chars": pa.array(alpha, pa.int64()),
+                         "digit_chars": pa.array(digit, pa.int64()),
+                         "space_chars": pa.array(space, pa.int64()),
+                         "quality_milli": pa.array(q, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+class LangId:
+    """Stateful stage pattern: stopword regexes compiled once per actor
+    (__init__), batches scored vectorized-ish in __call__."""
+
+    def __init__(self):
+        self.pats = [(lang, re.compile(
+            r"\b(" + "|".join(words) + r")\b"))
+            for lang, words in LANG_STOPWORDS]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        preds = []
+        for x in texts:
+            low = x.lower()
+            counts = [(lang, len(p.findall(low))) for lang, p in self.pats]
+            best = max(counts, key=lambda lc: lc[1])
+            # ties resolve to the earliest language in priority order
+            preds.append(next(l for l, c in counts if c == best[1]))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang_pred": pa.array(preds, pa.string())})
+
+
+def lang_id(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", batch_size=1024,
+                         concurrency=2, **remote_args())
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+MOD = (1 << 61) - 1
+BASE = 1_000_003
+
+
+def rolling_fingerprint(tokens, window: int = 5) -> int:
+    """Rabin-Karp rolling hash over token hashes; fingerprint = min
+    window-hash (winnowing-style document fingerprint). Deterministic,
+    order-sensitive, whitespace-insensitive."""
+    hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+          for w in tokens]
+    if not hs:
+        return 0
+    if len(hs) < window:
+        window = len(hs)
+    poww = pow(BASE, window - 1, MOD)
+    cur = 0
+    for h in hs[:window]:
+        cur = (cur * BASE + h) % MOD
+    best = cur
+    for i in range(window, len(hs)):
+        cur = ((cur - hs[i - window] * poww) * BASE + hs[i]) % MOD
+        if cur < best:
+            best = cur
+    return best
+
+
+def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, fingerprint) via min rolling hash — non-SQL-expressible;
+    validated by the pytest oracle instead."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = [rolling_fingerprint(TOKEN_RE.findall(x))
+               for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(fps, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)

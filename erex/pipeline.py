@@ -1,0 +1,289 @@
+"""Ray Data pipeline wiring (SURVEY.md §3 canonical flagship shape).
+
+    read_parquet(corpus)                                   # prune to `content`+keys
+      -> map_batches(extract_pairs_batch)                  # stage 1, stateless tasks:
+           parse TXP + mention model + rule sieves + pair features;
+           emits PAIR and NODE rows keyed by doc_sha = sha256(content)
+      -> map_batches(LinearScorer, concurrency=N)          # stage 2, actor pool:
+           liblinear weight matrices loaded once per actor, one matmul
+           per (class x batch) — vectorizes the reference's per-instance
+           predict loop (EventEventRelationClassifier.java:296-310)
+      -> groupby("doc_sha").map_groups(merge_group)        # stage 3, doc-local:
+           anchor reasoning R4 + CLINK post-edit R6 + timegraph closure R7
+      -> edges / nodes (canonicalization shuffle in erex.canonical)
+
+Scale notes (100 TB design):
+- stage 1 reads only the columns it needs; feature rows (not documents)
+  are the unit that flows between stages, so a long document's quadratic
+  pair fan-out rebalances across blocks instead of pinning one worker
+  (the skew-salting strategy of SURVEY.md §4 — the pair explosion IS the
+  salt);
+- the only all-to-all exchanges are groupby(doc_sha) for the doc-local
+  merge and groupby(canon_key) for node canonicalization;
+- no driver-side materialization: every stage is batch-in/batch-out and
+  the sinks are write_parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ._env import remote_args
+from .extract import (FEAT_DIM, PAIR_CAUSAL, PAIR_DCT, PAIR_EE, PAIR_ET,
+                      DEFAULT_CONFIG, PipelineConfig, get_models,
+                      merge_document, stage1_document)
+from .labels import TLINK_LABELS
+
+# unified row schema flowing between the stages (nullable everywhere)
+STAGE_SCHEMA = pa.schema([
+    ("doc_sha", pa.string()),
+    ("doc_path", pa.string()),
+    ("kind", pa.string()),            # 'pair' | 'node'
+    ("src", pa.string()),
+    ("tgt", pa.string()),
+    ("pair_class", pa.string()),
+    ("rule_label", pa.string()),
+    ("cls_label", pa.string()),
+    ("gold", pa.string()),
+    ("feats", pa.list_(pa.float32())),
+    ("src_kind", pa.string()),
+    ("tgt_kind", pa.string()),
+    ("src_form", pa.string()),        # canonical form of the src mention
+    ("tgt_form", pa.string()),
+    ("surface", pa.string()),         # node rows
+    ("attr", pa.string()),
+])
+
+EDGE_SCHEMA = pa.schema([
+    ("doc_sha", pa.string()),
+    ("doc_path", pa.string()),
+    ("kind", pa.string()),            # 'edge' | 'node'
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("pair_class", pa.string()),
+    ("stage", pa.string()),
+    ("consistent", pa.bool_()),
+    ("gold", pa.string()),
+    ("subj_key", pa.string()),
+    ("obj_key", pa.string()),
+    ("surface", pa.string()),
+    ("attr", pa.string()),
+    ("node_kind", pa.string()),
+])
+
+
+def _canon_form(kind: str, surface: str) -> str:
+    """Canonical form for the node-canonicalization shuffle: events
+    canonicalize by lemma surface, timexes by normalized value (A4)."""
+    return f"{kind}|{surface}"
+
+
+def _canon_key(form: str) -> str:
+    return hashlib.sha1(form.encode()).hexdigest()[:16]
+
+
+def read_corpus(path: str) -> "rd.Dataset":
+    """Prune at the read: only the key columns + content leave storage."""
+    return rd.read_parquet(path, columns=["repo", "path", "commit", "lang",
+                                          "content"])
+
+
+def extract_pairs_batch(batch: pa.Table,
+                        config: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Stage 1: per-document parse + rules + features. Pure function of
+    the batch; all state is module-level dictionaries."""
+    cols = {name: [] for name in STAGE_SCHEMA.names}
+    contents = batch.column("content").to_pylist()
+    paths = batch.column("path").to_pylist()
+
+    def emit(**kw):
+        for name in STAGE_SCHEMA.names:
+            cols[name].append(kw.get(name))
+
+    for content, dpath in zip(contents, paths):
+        doc_sha = hashlib.sha256(content.encode()).hexdigest()
+        s1 = stage1_document(content, name=dpath, config=config)
+        forms = {n["mention_id"]: (n["kind"], n["surface"])
+                 for n in s1["nodes"]}
+        for p in s1["pairs"]:
+            sk, sf = forms.get(p["src"], ("?", "?"))
+            tk, tf = forms.get(p["tgt"], ("?", "?"))
+            feats = p["feats"]
+            emit(doc_sha=doc_sha, doc_path=dpath, kind="pair",
+                 src=p["src"], tgt=p["tgt"], pair_class=p["pair_class"],
+                 rule_label=p["rule_label"], gold=p["gold"],
+                 feats=None if feats is None else
+                 np.asarray(feats, dtype=np.float32).tolist(),
+                 src_kind=sk, tgt_kind=tk,
+                 src_form=_canon_form(sk, sf), tgt_form=_canon_form(tk, tf))
+        for (src, tgt), rel in s1["ttlinks"].items():
+            sk, sf = forms.get(src, ("TIMEX", "?"))
+            tk, tf = forms.get(tgt, ("TIMEX", "?"))
+            emit(doc_sha=doc_sha, doc_path=dpath, kind="pair",
+                 src=src, tgt=tgt, pair_class="tt", rule_label=rel,
+                 gold="NONE", src_kind=sk, tgt_kind=tk,
+                 src_form=_canon_form(sk, sf), tgt_form=_canon_form(tk, tf))
+        for n in s1["nodes"]:
+            emit(doc_sha=doc_sha, doc_path=dpath, kind="node",
+                 src=n["mention_id"], src_kind=n["kind"],
+                 surface=n["surface"], attr=n["attr"],
+                 src_form=_canon_form(n["kind"], n["surface"]))
+    return pa.Table.from_pydict(cols, schema=STAGE_SCHEMA)
+
+
+class LinearScorer:
+    """Stage 2 actor: the four weight matrices are loaded ONCE per actor
+    (__init__), each batch costs one matmul per pair class."""
+
+    def __init__(self, model_dir: str = None):
+        self.models = get_models(model_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        kind = batch.column("kind").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pclass = batch.column("pair_class").fill_null("").combine_chunks()\
+            .to_numpy(zero_copy_only=False)
+        rule = batch.column("rule_label").fill_null("").combine_chunks()\
+            .to_numpy(zero_copy_only=False)
+        cls_label = np.full(n, None, dtype=object)
+        feats = batch.column("feats").combine_chunks()
+        for pc in (PAIR_DCT, PAIR_ET, PAIR_EE):
+            idx = np.where((kind == "pair") & (pclass == pc)
+                           & (rule == "O"))[0]
+            if idx.size == 0:
+                continue
+            sub = feats.take(pa.array(idx))
+            X = np.asarray(sub.flatten(), dtype=np.float32).reshape(
+                idx.size, FEAT_DIM[pc])
+            labels = self.models.for_class(pc).predict_labels(X, TLINK_LABELS)
+            cls_label[idx] = labels
+        i = batch.schema.get_field_index("cls_label")
+        return batch.set_column(i, "cls_label", pa.array(cls_label,
+                                                         pa.string()))
+
+
+def merge_group(group: pa.Table,
+                config: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Stage 3: one document's rows -> final edge + node rows. Models for
+    the causal head come from the module-level cache (tiny, loaded once
+    per worker process)."""
+    models = get_models()
+    rows = group.to_pylist()
+    doc_sha = rows[0]["doc_sha"]
+    doc_path = rows[0]["doc_path"]
+    forms: dict = {}
+    pairs, ttlinks, nodes = [], {}, []
+    for r in rows:
+        if r["kind"] == "node":
+            nodes.append(r)
+            forms[r["src"]] = r["src_form"]
+            continue
+        forms[r["src"]] = r["src_form"]
+        forms[r["tgt"]] = r["tgt_form"]
+        if r["pair_class"] == "tt":
+            ttlinks[(r["src"], r["tgt"])] = r["rule_label"]
+        else:
+            pairs.append({"src": r["src"], "tgt": r["tgt"],
+                          "pair_class": r["pair_class"],
+                          "rule_label": r["rule_label"],
+                          "cls_label": r["cls_label"],
+                          "gold": r["gold"], "feats": r["feats"]})
+    triples = merge_document(pairs, ttlinks, models, config)
+    out = {name: [] for name in EDGE_SCHEMA.names}
+
+    def emit(**kw):
+        for name in EDGE_SCHEMA.names:
+            out[name].append(kw.get(name))
+
+    for t in triples:
+        emit(doc_sha=doc_sha, doc_path=doc_path, kind="edge",
+             subj=t["src"], pred=t["label"], obj=t["tgt"],
+             pair_class=t["pair_class"], stage=t["stage"],
+             consistent=t["consistent"], gold=t["gold"],
+             subj_key=_canon_key(forms.get(t["src"], t["src"])),
+             obj_key=_canon_key(forms.get(t["tgt"], t["tgt"])))
+    for nd in nodes:
+        emit(doc_sha=doc_sha, doc_path=doc_path, kind="node",
+             subj=nd["src"], subj_key=_canon_key(nd["src_form"]),
+             surface=nd["surface"], attr=nd["attr"],
+             node_kind=nd["src_kind"])
+    return pa.Table.from_pydict(out, schema=EDGE_SCHEMA)
+
+
+def run_extraction(corpus_path: str,
+                   config: PipelineConfig = DEFAULT_CONFIG,
+                   scorer_concurrency=None,
+                   parse_batch_size: int = 16) -> "rd.Dataset":
+    """The flagship dataset: corpus parquet -> final edge/node rows.
+    Lazy — callers consume via write/aggregate/iter."""
+    ds = read_corpus(corpus_path)
+    ds = ds.map_batches(lambda b: extract_pairs_batch(b, config),
+                        batch_format="pyarrow",
+                        batch_size=parse_batch_size, **remote_args())
+    ds = ds.map_batches(LinearScorer, batch_format="pyarrow",
+                        batch_size=8192,
+                        concurrency=scorer_concurrency or (1, 8),
+                        **remote_args())
+    ds = ds.groupby("doc_sha").map_groups(
+        lambda g: merge_group(g, config), batch_format="pyarrow",
+        **remote_args())
+    return ds
+
+
+def edges_only(ds: "rd.Dataset") -> "rd.Dataset":
+    return ds.filter(expr="kind == 'edge'")
+
+
+# ---------------------------------------------------------------------------
+# resumable partitioned output (SURVEY.md §4 checkpoint/resume)
+# ---------------------------------------------------------------------------
+def write_edges(ds: "rd.Dataset", out_dir: str, n_buckets: int = 64) -> None:
+    """Partitioned parquet layout `bucket=XX/` (hash(doc_sha) % B) so a
+    rerun can skip or re-do individual buckets; never one giant file."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        shas = batch.column("doc_sha").to_pylist()
+        buckets = [int(s[:8], 16) % n_buckets for s in shas]
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+    ds.map_batches(add_bucket, batch_format="pyarrow",
+                   **remote_args()).write_parquet(
+        out_dir, partition_cols=["bucket"])
+
+
+def run_flagship_resumable(corpus_path: str, out_dir: str,
+                           config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Fragment-level checkpointing: each input parquet fragment is an
+    atomic unit of work with a manifest entry `_manifest/<sha>.json`;
+    a rerun anti-joins the manifest and processes only missing
+    fragments. Returns run metrics."""
+    import pyarrow.dataset as pads
+    man_dir = os.path.join(out_dir, "_manifest")
+    os.makedirs(man_dir, exist_ok=True)
+    frags = (sorted(f.path for f in pads.dataset(corpus_path).get_fragments())
+             if os.path.isdir(corpus_path) else [corpus_path])
+    done = {f[:-5] for f in os.listdir(man_dir) if f.endswith(".json")}
+    metrics = {"fragments_total": len(frags), "fragments_skipped": 0,
+               "rows_written": 0}
+    for frag in frags:
+        frag_id = hashlib.sha1(frag.encode()).hexdigest()[:16]
+        if frag_id in done:
+            metrics["fragments_skipped"] += 1
+            continue
+        ds = run_extraction(frag, config)
+        part_dir = os.path.join(out_dir, f"frag={frag_id}")
+        ds.write_parquet(part_dir)
+        # manifest written only after a successful write (atomic rename)
+        meta = {"fragment": frag, "frag_id": frag_id}
+        tmp = os.path.join(man_dir, frag_id + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(man_dir, frag_id + ".json"))
+    return metrics

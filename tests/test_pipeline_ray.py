@@ -1,0 +1,84 @@
+"""Ray pipeline vs single-process oracle (the correctness gate)."""
+
+import pandas as pd
+import pytest
+
+from erex.corpus import corpus_parquet
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    return corpus_parquet(30, seed=77)
+
+
+def test_pipeline_matches_oracle_exactly(corpus):
+    from erex.oracle import oracle_edges, triple_prf
+    from erex.pipeline import run_extraction
+
+    df = run_extraction(corpus).to_pandas()
+    sys_edges = df[df["kind"] == "edge"]
+    ref = oracle_edges(corpus)
+    prf = triple_prf(sys_edges, ref)
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0, prf
+    # stages and consistency flags match too, not just triples
+    key = ["doc_sha", "subj", "pred", "obj"]
+    a = sys_edges.sort_values(key)[key + ["pair_class", "stage",
+                                          "consistent"]]
+    b = ref.sort_values(key)[key + ["pair_class", "stage", "consistent"]]
+    a = a.astype({"consistent": bool}).reset_index(drop=True)
+    b = b.astype({"consistent": bool}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sha256_invariant(corpus):
+    """Per-row content sha256 carried through the pipeline (input_hint)."""
+    import hashlib
+    import pyarrow.parquet as pq
+    from erex.pipeline import run_extraction
+
+    t = pq.read_table(corpus, columns=["content"])
+    want = {hashlib.sha256(c.encode()).hexdigest()
+            for c in t.column("content").to_pylist()}
+    df = run_extraction(corpus).to_pandas()
+    assert set(df["doc_sha"]) == want
+
+
+def test_canonical_nodes_match_oracle(corpus):
+    from erex.canonical import canonical_nodes
+    from erex.oracle import oracle_nodes
+    from erex.pipeline import run_extraction
+
+    nodes = canonical_nodes(run_extraction(corpus)).to_pandas()
+    ref = oracle_nodes(corpus)
+    a = nodes.sort_values("node_key").reset_index(drop=True)
+    b = ref.sort_values("node_key").reset_index(drop=True)
+    assert len(a) == len(b)
+    assert list(a["node_key"]) == list(b["node_key"])
+    assert list(a["mentions"].astype(int)) == list(b["mentions"])
+    assert int(a["mentions"].sum()) == int(b["mentions"].sum())
+
+
+def test_resumable_run_skips_done_fragments(corpus, tmp_path):
+    from erex.pipeline import run_flagship_resumable
+
+    out = tmp_path / "edges"
+    m1 = run_flagship_resumable(corpus, str(out))
+    assert m1["fragments_total"] == 1
+    assert m1["fragments_skipped"] == 0
+    m2 = run_flagship_resumable(corpus, str(out))
+    assert m2["fragments_skipped"] == 1  # second run is a no-op
+
+
+def test_closure_consistency_of_output(corpus):
+    """Property: the consistent edges of each document re-close with no
+    violations (closure(closure(x)) == closure(x))."""
+    from erex.pipeline import run_extraction
+    from erex.timegraph import closure_filter
+
+    df = run_extraction(corpus).to_pandas()
+    edges = df[(df["kind"] == "edge") & df["consistent"]
+               & (df["pair_class"] != "causal")]
+    for sha, g in edges.groupby("doc_sha"):
+        links = list(zip(g["subj"], g["obj"], g["pred"]))
+        final, violated = closure_filter(links)
+        assert not violated, (sha, violated[:3])
