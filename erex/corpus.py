@@ -558,17 +558,32 @@ def build_corpus_table(n_docs: int, seed: int = 42) -> pa.Table:
     })
 
 
-def corpus_parquet(n_docs: int, seed: int = 42, out_dir: str = None) -> str:
-    """Write (or reuse) the deterministic corpus parquet under /tmp keyed
-    by (n_docs, seed); returns the file path. Used by __ray_entry__ and
-    bench so repeated runs don't regenerate."""
+def corpus_parquet(n_docs: int, seed: int = 42, out_dir: str = None,
+                   rows_per_file: int = 512) -> str:
+    """Write (or reuse) the deterministic corpus under /tmp keyed by
+    (n_docs, seed); returns a DIRECTORY of parquet fragments (~512 docs
+    each) so reads parallelize per file and the resumable runner has
+    real fragments to checkpoint. Used by __ray_entry__ and bench so
+    repeated runs don't regenerate."""
     import os
     import pyarrow.parquet as pq
     out_dir = out_dir or "/tmp/erex_corpus"
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "corpus_n%d_s%d.parquet" % (n_docs, seed))
-    if not os.path.exists(path):
+    path = os.path.join(out_dir, "corpus_n%d_s%d" % (n_docs, seed))
+    done = path + "/_DONE"
+    if not os.path.exists(done):
         tmp = path + ".tmp"
-        pq.write_table(build_corpus_table(n_docs, seed), tmp)
+        os.makedirs(tmp, exist_ok=True)
+        table = build_corpus_table(n_docs, seed)
+        n_files = max(1, (n_docs + rows_per_file - 1) // rows_per_file)
+        for i in range(n_files):
+            lo = i * rows_per_file
+            hi = min(n_docs, lo + rows_per_file)
+            pq.write_table(table.slice(lo, hi - lo),
+                           os.path.join(tmp, "part-%04d.parquet" % i))
+        open(os.path.join(tmp, "_DONE"), "w").write("ok")
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
         os.replace(tmp, path)
     return path

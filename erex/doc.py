@@ -95,6 +95,7 @@ class Doc:
     tlinks: list = field(default_factory=list)        # [(src, tgt, rel)] candidate pairs
     tlink_types: dict = field(default_factory=dict)   # (src, tgt) -> rel
     clinks: list = field(default_factory=list)        # [(src, tgt)] gold CLINKs
+    sig_cache: dict = field(default_factory=dict)     # doc-local memo (markers etc.)
 
     # ------------------------------------------------------------------
     # token-span attribute accessors (PairFeatureVector.java:261-282)

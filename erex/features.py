@@ -388,9 +388,15 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
 def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
     """getTemporalSignalPerEntity (PairFeatureVector.java:1233-1289):
     INSIDE(+0) -> BEFORE(+100) -> AFTER(+200) -> BEGIN(+300), first-match
-    per key, nearest-by-(distance+offset) wins."""
+    per key, nearest-by-(distance+offset) wins. Memoized per document:
+    the same entity is e2 of many pairs (the reference recomputes per
+    pair — pure-function, so caching is behavior-neutral)."""
     if ent.is_timex and (ent.is_dct or ent.is_empty):
         return Marker()
+    ck = ("tsig_ent", ent.eid)
+    hit = doc.sig_cache.get(ck)
+    if hit is not None:
+        return hit
     slist = signals.temporal_timex_signals() if ent.is_timex \
         else signals.temporal_event_signals()
     keys = signals.temporal_timex_keys_sorted() if ent.is_timex \
@@ -418,9 +424,9 @@ def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
                 key, slist[key], pos,
                 signal_dep_path(doc, ent, sig_tids), "")
             break
-    if candidates:
-        return candidates[min(candidates)]
-    return Marker()
+    m = candidates[min(candidates)] if candidates else Marker()
+    doc.sig_cache[ck] = m
+    return m
 
 
 def causal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:

@@ -18,17 +18,30 @@ evaluation tool of UzZaman et al. 2013):
 - `infer(x, y)` answers the closure query used by the closure-aware
   evaluation metric (A3).
 
-The point relation lattice is {LT, EQ, GT} + unknown, closed under
-composition with an incremental Floyd-Warshall step per accepted
-constraint: O(P^2) per link with P = 2 x intervals in the document —
-document-local by construction, run inside groupby(doc).map_groups.
-"""
+Representation: a dense int8 point-relation matrix over {unknown, <, =,
+>} kept transitively closed with a vectorized incremental worklist —
+O(P) numpy work per derived constraint, P = 2 x intervals per document.
+Document-local by construction; runs inside the per-document merge."""
 
 from __future__ import annotations
 
-LT, EQ, GT = "<", "=", ">"
+import numpy as np
 
-# label -> list of (p1_end, relation, p2_end); 0 = start, 1 = end
+UNK, LT, EQ, GT = 0, 1, 2, 3
+_SYM = {LT: "<", EQ: "=", GT: ">"}
+
+# composition table: COMP[a, b] = relation(a->c) given a->b and b->c
+COMP = np.zeros((4, 4), dtype=np.int8)
+COMP[EQ, :] = (UNK, LT, EQ, GT)
+COMP[:, EQ] = (UNK, LT, EQ, GT)
+COMP[LT, LT] = LT
+COMP[GT, GT] = GT
+# LT∘GT and GT∘LT stay unknown
+
+_INV = np.array((UNK, GT, EQ, LT), dtype=np.int8)
+
+# label -> [( (side, end), rel, (side, end) )]; side 0 = src, 1 = tgt;
+# end 0 = start point, 1 = end point
 _CONSTRAINTS = {
     "BEFORE": [((0, 1), LT, (1, 0))],
     "AFTER": [((1, 1), LT, (0, 0))],
@@ -46,82 +59,72 @@ _CONSTRAINTS = {
     "ENDED_BY": [((0, 1), EQ, (1, 1)), ((0, 0), LT, (1, 0))],
 }
 
-_INV = {LT: GT, EQ: EQ, GT: LT}
-
-
-def _compose(a: str, b: str):
-    if a == EQ:
-        return b
-    if b == EQ:
-        return a
-    if a == b:
-        return a
-    return None  # unknown
-
 
 class TimeGraph:
     """Incremental point-algebra closure over interval ids."""
 
     def __init__(self):
-        self.rel: dict = {}          # point -> {point: rel}
+        self._idx: dict = {}         # interval id -> start point index
+        self._cap = 32
+        self._n = 0
+        self.M = np.zeros((self._cap, self._cap), dtype=np.int8)
         self.final: list = []        # accepted (src, tgt, label)
         self.violated: list = []     # rejected (src, tgt, label)
         self.redundant: list = []    # accepted but already entailed
 
     # -- point bookkeeping --------------------------------------------
-    def _ensure(self, x: str):
-        s, e = (x, 0), (x, 1)
-        if s not in self.rel:
-            self.rel[s] = {}
-            self.rel[e] = {}
-            self._commit(s, LT, e)
-
-    def _get(self, p, q):
-        return self.rel.get(p, {}).get(q)
-
-    def _commit(self, p, r, q):
-        """Set rel(p,q)=r (pre-checked consistent) and propagate."""
-        assert self._commit_checked([(p, r, q)])
+    def _ensure(self, x: str) -> int:
+        s = self._idx.get(x)
+        if s is not None:
+            return s
+        if self._n + 2 > self._cap:
+            self._cap *= 2
+            M = np.zeros((self._cap, self._cap), dtype=np.int8)
+            M[:self._n, :self._n] = self.M[:self._n, :self._n]
+            self.M = M
+        s = self._n
+        self._n += 2
+        self._idx[x] = s
+        self.M[s, s + 1] = LT
+        self.M[s + 1, s] = GT
+        return s
 
     def _commit_checked(self, triples) -> bool:
-        """Transactionally add constraints with propagation; returns False
-        and rolls back when any derived relation contradicts the closure
-        (a contradiction can surface transitively, not only on the
-        directly-asserted pair)."""
-        touched = []          # (a, b, prev) for rollback
+        """Transactionally add (p, rel, q) point constraints with
+        vectorized propagation; rolls back and returns False on any
+        contradiction (which can surface transitively)."""
+        n = self._n
+        M = self.M
+        snapshot = M[:n, :n].copy()
         updates = list(triples)
-        ok = True
         while updates:
-            a, rr, b = updates.pop()
-            cur = self._get(a, b)
-            if cur == rr:
+            a, r, b = updates.pop()
+            cur = M[a, b]
+            if cur == r:
                 continue
-            if cur is not None:
-                ok = False
-                break
-            touched.append((a, b, None))
-            touched.append((b, a, None))
-            self.rel.setdefault(a, {})[b] = rr
-            self.rel.setdefault(b, {})[a] = _INV[rr]
-            for c, rc in list(self.rel[b].items()):
-                if c == a:
-                    continue
-                comp = _compose(rr, rc)
-                if comp is not None and self._get(a, c) != comp:
-                    updates.append((a, comp, c))
-            for c, rc in list(self.rel[a].items()):
-                if c == b:
-                    continue
-                comp = _compose(_INV[rc], rr)
-                if comp is not None and self._get(c, b) != comp:
-                    updates.append((c, comp, b))
-        if not ok:
-            for a, b, prev in reversed(touched):
-                if prev is None:
-                    self.rel[a].pop(b, None)
-                else:
-                    self.rel[a][b] = prev
-            return False
+            if cur != UNK:
+                M[:n, :n] = snapshot
+                return False
+            M[a, b] = r
+            M[b, a] = _INV[r]
+            # derive (a, comp(r, M[b,c]), c) for all known M[b,c]
+            row_b = M[b, :n]
+            cand = np.nonzero(row_b)[0]
+            if cand.size:
+                comp = COMP[r, row_b[cand]]
+                mask = comp != UNK
+                for c, rr in zip(cand[mask], comp[mask]):
+                    if c != a and M[a, c] != rr:
+                        updates.append((a, rr, int(c)))
+            # derive (c, comp(M[c,a], r), b) for all known M[c,a]
+            col_a = M[:n, a]
+            cand = np.nonzero(col_a)[0]
+            if cand.size:
+                comp = COMP[col_a[cand], r]
+                mask = comp != UNK
+                for c, rr in zip(cand[mask], comp[mask]):
+                    if c != b and M[c, b] != rr:
+                        updates.append((int(c), rr, b))
         return True
 
     # -- public API ----------------------------------------------------
@@ -133,11 +136,14 @@ class TimeGraph:
         if cons is None:
             self.final.append((src, tgt, label))
             return True
-        self._ensure(src)
-        self._ensure(tgt)
-        pts = lambda side, end: ((src, end) if side == 0 else (tgt, end))
-        triples = [(pts(a[0], a[1]), r, pts(b[0], b[1])) for a, r, b in cons]
-        if all(self._get(p, q) == r for p, r, q in triples):
+        si = self._ensure(src)
+        ti = self._ensure(tgt)
+
+        def pt(side, end):
+            return (si if side == 0 else ti) + end
+
+        triples = [(pt(*a), r, pt(*b)) for a, r, b in cons]
+        if all(self.M[p, q] == r for p, r, q in triples):
             self.redundant.append((src, tgt, label))
             self.final.append((src, tgt, label))
             return True
@@ -151,17 +157,17 @@ class TimeGraph:
         """Entailed TLINK label for (x, y), or None. Checked in a fixed
         specific-to-general order so e.g. BEGINS wins over its INCLUDES
         superset relations."""
-        if (x, 0) not in self.rel or (y, 0) not in self.rel:
+        if x not in self._idx or y not in self._idx:
             return None
+        si, ti = self._idx[x], self._idx[y]
         for label in ("IDENTITY", "SIMULTANEOUS", "IBEFORE", "IAFTER",
                       "BEGINS", "BEGUN_BY", "ENDS", "ENDED_BY", "BEFORE",
                       "AFTER", "INCLUDES", "IS_INCLUDED"):
-            cons = _CONSTRAINTS[label]
             ok = True
-            for (s1, e1), r, (s2, e2) in cons:
-                p = (x, e1) if s1 == 0 else (y, e1)
-                q = (x, e2) if s2 == 0 else (y, e2)
-                if self._get(p, q) != r:
+            for (s1, e1), r, (s2, e2) in _CONSTRAINTS[label]:
+                p = (si if s1 == 0 else ti) + e1
+                q = (si if s2 == 0 else ti) + e2
+                if self.M[p, q] != r:
                     ok = False
                     break
             if ok:
