@@ -94,6 +94,51 @@ def _catena_stage_counts(sf_dir: str):
     return out.sort_values(["pair_class", "stage"]).reset_index(drop=True)
 
 
+def _catena_timeml(sf_dir: str):
+    """TimeML rendering sink (S5) over the merged edges."""
+    from erex._env import remote_args
+    from erex.timeml import timeml_batch
+    out = _merged_ds(sf_dir).map_batches(
+        timeml_batch, batch_format="pyarrow", **remote_args()).to_pandas()
+    return out.sort_values("doc_sha").reset_index(drop=True)
+
+
+def _catena_triples_tsv(sf_dir: str):
+    """Triple TSV-line sink (S6)."""
+    from erex._env import remote_args
+    from erex.sinks import triples_tsv_batch
+    out = _merged_ds(sf_dir).map_batches(
+        triples_tsv_batch, batch_format="pyarrow", **remote_args())\
+        .to_pandas()
+    return out.sort_values(["doc_sha", "line"]).reset_index(drop=True)
+
+
+def _catena_closure_prf(sf_dir: str):
+    """Closure-aware graph P/R (A3) micro-averaged over documents."""
+    import pandas as pd
+    from erex.evalx import closure_aware_prf
+    res = closure_aware_prf(_merged_ds(sf_dir))
+    return pd.DataFrame([{
+        "p_milli": int(1000 * res["precision"]),
+        "r_milli": int(1000 * res["recall"]),
+        "f1_milli": int(1000 * res["f1"]),
+        "n_sys": int(res["n_sys"]), "n_gold": int(res["n_gold"])}])
+
+
+def _train_matrix_libsvm(sf_dir: str):
+    """libsvm training-matrix export (S7) from the pair/feature stage."""
+    from erex._env import remote_args
+    from erex.pipeline import read_corpus, extract_pairs_batch
+    from erex.sinks import feature_matrix_batch
+    ds = (read_corpus(_corpus_for(sf_dir))
+          .map_batches(extract_pairs_batch, batch_format="pyarrow",
+                       **remote_args())
+          .map_batches(feature_matrix_batch, batch_format="pyarrow",
+                       **remote_args()))
+    return ds.to_pandas().sort_values(["pair_class", "line"])\
+        .reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on the sf0.001-derived corpus."""
     from erex.pipeline import run_extraction
@@ -112,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catena_tt_rules": _catena_tt_rules,
         "catena_confusion": _catena_confusion,
         "catena_stage_counts": _catena_stage_counts,
+        "catena_timeml": _catena_timeml,
+        "catena_triples_tsv": _catena_triples_tsv,
+        "catena_closure_prf": _catena_closure_prf,
+        "train_matrix_libsvm": _train_matrix_libsvm,
         # relational operators (A1/A2, J4, O3, windows)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,

@@ -1,0 +1,124 @@
+"""CLI entry points (the repo's `ray job submit`-able driver).
+
+    python -m erex run      --corpus DIR --out DIR [--resumable] [--regroup]
+    python -m erex triples  --corpus DIR --out DIR
+    python -m erex timeml   --corpus DIR --out DIR
+    python -m erex nodes    --corpus DIR --out DIR
+    python -m erex gen      --n-docs N --seed S
+    python -m erex eval     --corpus DIR
+
+Owns its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _init_ray(num_cpus=None):
+    import ray
+    if not ray.is_initialized():
+        kw = dict(address="local", include_dashboard=False,
+                  ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+    try:
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="erex")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_common(p):
+        p.add_argument("--corpus", required=True)
+        p.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser("run", help="flagship extraction -> edge parquet")
+    add_common(p)
+    p.add_argument("--out", required=True)
+    p.add_argument("--resumable", action="store_true")
+    p.add_argument("--regroup", action="store_true")
+
+    p = sub.add_parser("triples", help="(subj, pred, obj) TSV-style sink")
+    add_common(p)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("timeml", help="TimeML rendering sink")
+    add_common(p)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("nodes", help="canonical node table")
+    add_common(p)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("eval", help="per-label P/R/F1 vs candidate gold")
+    add_common(p)
+
+    p = sub.add_parser("gen", help="generate a synthetic TXP corpus")
+    p.add_argument("--n-docs", type=int, required=True)
+    p.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .corpus import corpus_parquet
+        path = corpus_parquet(args.n_docs, args.seed)
+        print(json.dumps({"corpus": path, "n_docs": args.n_docs}))
+        return 0
+
+    _init_ray(getattr(args, "num_cpus", None))
+    import ray
+    from .pipeline import run_extraction, run_flagship_resumable, \
+        write_edges
+    t0 = time.time()
+    try:
+        if args.cmd == "run":
+            if args.resumable:
+                m = run_flagship_resumable(args.corpus, args.out)
+                m["sec"] = round(time.time() - t0, 2)
+                print(json.dumps(m))
+            else:
+                ds = run_extraction(args.corpus, regroup=args.regroup)
+                write_edges(ds, args.out)
+                print(json.dumps({"out": args.out,
+                                  "sec": round(time.time() - t0, 2)}))
+        elif args.cmd == "triples":
+            from .sinks import write_triples_tsv
+            write_triples_tsv(run_extraction(args.corpus), args.out)
+            print(json.dumps({"out": args.out,
+                              "sec": round(time.time() - t0, 2)}))
+        elif args.cmd == "timeml":
+            from ._env import remote_args
+            from .timeml import timeml_batch
+            ds = run_extraction(args.corpus).map_batches(
+                timeml_batch, batch_format="pyarrow", **remote_args())
+            ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out,
+                              "sec": round(time.time() - t0, 2)}))
+        elif args.cmd == "nodes":
+            from .canonical import canonical_nodes
+            canonical_nodes(run_extraction(args.corpus)) \
+                .write_parquet(args.out)
+            print(json.dumps({"out": args.out,
+                              "sec": round(time.time() - t0, 2)}))
+        elif args.cmd == "eval":
+            from .evalx import confusion_counts, prf_from_confusion
+            conf = confusion_counts(run_extraction(args.corpus))
+            prf = prf_from_confusion(conf)
+            print(prf.to_string(index=False))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,137 @@
+"""TimeML XML reader (S4) and writer (S5).
+
+Reader re-derives /root/reference/src/parser/TimeMLParser.java:76-255:
+- MAKEINSTANCE gives eiid -> eid (and tense+aspect+polarity per event);
+- TLINK/CLINK attributes resolve eventInstanceID through the instance
+  map and rename timeID `t<j>` -> `tmx<j>` (TimeMLParser.java:158-165);
+- TLINKs/CLINKs are collected in REVERSE document order
+  (`for (index = length-1; index >= 0; index--)`, TimeMLParser.java:157)
+  — kept, since insertion order feeds downstream priority logic;
+- the `deduced="true"` attribute is carried.
+
+Writer re-derives writeTimeMLFile's link emission
+(/root/reference/src/task/TempEval3TaskABC.java:252-416): one TimeML
+document per input doc with MAKEINSTANCE per event and TLINK nodes with
+an incrementing `lid`; timex ids are written back as `t<j>`. Intended as
+a map_batches formatting stage over the pipeline's edge rows (the
+primary sink stays Parquet).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import quoteattr
+
+
+def parse_timeml(content: str) -> dict:
+    """-> {instances: {eiid: eid}, tap: {eid: 'TENSE+ASPECT+pol'},
+    tlinks: [(src, tgt, rel, deduced)], clinks: [(src, tgt)],
+    events: [eid], timexes: [(tmx_id, type, value)], dct_value}."""
+    root = ET.fromstring(content)
+    out = {"instances": {}, "tap": {}, "tlinks": [], "clinks": [],
+           "events": [], "timexes": [], "dct_value": None}
+    for ev in root.iter("EVENT"):
+        eid = ev.get("eid")
+        if eid:
+            out["events"].append(eid)
+    for tx in root.iter("TIMEX3"):
+        tid = tx.get("tid", "")
+        out["timexes"].append((tid.replace("t", "tmx"),
+                               tx.get("type", ""), tx.get("value", "")))
+        if tx.get("functionInDocument", "") == "CREATION_TIME":
+            out["dct_value"] = tx.get("value", "")
+    for mi in root.iter("MAKEINSTANCE"):
+        eiid, eid = mi.get("eiid"), mi.get("eventID")
+        if eiid and eid:
+            out["instances"][eiid] = eid
+        if eid:
+            out["tap"][eid] = "%s+%s+%s" % (mi.get("tense", ""),
+                                            mi.get("aspect", ""),
+                                            mi.get("polarity", ""))
+
+    def _resolve(node, attr_ev, attr_tmx):
+        v = node.get(attr_ev)
+        if v is not None:
+            return out["instances"].get(v, v)
+        v = node.get(attr_tmx)
+        if v is not None:
+            return v.replace("t", "tmx")
+        return None
+
+    # reverse document order (TimeMLParser.java:157)
+    for tl in reversed(list(root.iter("TLINK"))):
+        src = _resolve(tl, "eventInstanceID", "timeID")
+        tgt = _resolve(tl, "relatedToEventInstance", "relatedToTime")
+        if src and tgt:
+            out["tlinks"].append((src, tgt, tl.get("relType", ""),
+                                  tl.get("deduced", "") == "true"))
+    for cl in reversed(list(root.iter("CLINK"))):
+        src = _resolve(cl, "eventInstanceID", "timeID")
+        tgt = _resolve(cl, "relatedToEventInstance", "relatedToTime")
+        if src and tgt:
+            out["clinks"].append((src, tgt))
+    return out
+
+
+def _tml_id(mention_id: str) -> tuple:
+    """-> (attr-space, TimeML id): events keep eids; tmx<j> -> t<j>."""
+    if mention_id.startswith("tmx"):
+        return "Timex", mention_id.replace("tmx", "t", 1)
+    return "Event", mention_id
+
+
+def render_timeml(doc_path: str, triples, events=None) -> str:
+    """Render one document's final triples as a TimeML fragment.
+    `triples` = iterable of (src, tgt, label, pair_class); CLINK rows
+    become <CLINK>, the rest <TLINK>. MAKEINSTANCE rows are emitted for
+    every event id seen (eiid == eid, matching the regenerated instances
+    of writeTimeMLFile)."""
+    lines = ['<?xml version="1.0" ?>',
+             '<TimeML>',
+             f'<DOCID>{doc_path}</DOCID>']
+    seen_events = list(events) if events else []
+    if not events:
+        seen = set()
+        for src, tgt, _l, _pc in triples:
+            for m in (src, tgt):
+                if not m.startswith("tmx") and m not in seen:
+                    seen.add(m)
+                    seen_events.append(m)
+    for eid in seen_events:
+        lines.append(f'<MAKEINSTANCE eiid={quoteattr(eid)} '
+                     f'eventID={quoteattr(eid)}/>')
+    lid = 1
+    for src, tgt, label, pair_class in triples:
+        skind, sid = _tml_id(src)
+        tkind, tid = _tml_id(tgt)
+        sattr = "eventInstanceID" if skind == "Event" else "timeID"
+        tattr = ("relatedToEventInstance" if tkind == "Event"
+                 else "relatedToTime")
+        tag = "CLINK" if pair_class == "causal" else "TLINK"
+        lines.append(
+            f'<{tag} lid={quoteattr("l%d" % lid)} {sattr}={quoteattr(sid)} '
+            f'{tattr}={quoteattr(tid)} relType={quoteattr(label)}/>')
+        lid += 1
+    lines.append('</TimeML>')
+    return "\n".join(lines)
+
+
+def timeml_batch(batch, group_cols=("doc_sha", "doc_path")):
+    """map_batches formatting stage: edge rows -> one TimeML string per
+    document: (doc_sha, doc_path, timeml)."""
+    import pyarrow as pa
+    by_doc: dict = {}
+    for r in batch.to_pylist():
+        if r["kind"] != "edge" or not r.get("consistent", True):
+            continue
+        key = (r["doc_sha"], r["doc_path"])
+        by_doc.setdefault(key, []).append(
+            (r["subj"], r["obj"], r["pred"], r["pair_class"]))
+    shas, paths, xmls = [], [], []
+    for (sha, path), triples in by_doc.items():
+        shas.append(sha)
+        paths.append(path)
+        xmls.append(render_timeml(path, triples))
+    return pa.table({"doc_sha": pa.array(shas, pa.string()),
+                     "doc_path": pa.array(paths, pa.string()),
+                     "timeml": pa.array(xmls, pa.string())})

@@ -1,0 +1,69 @@
+import os
+
+from erex.timeml import parse_timeml, render_timeml
+from erex.sinks import csv_line, libsvm_line
+
+REF_TML = "/root/reference/data/example_TML/wsj_1014.tml"
+
+
+def test_parse_reference_timeml():
+    """Reader parity on the reference's shipped gold TimeML."""
+    if not os.path.exists(REF_TML):
+        return
+    with open(REF_TML) as f:
+        out = parse_timeml(f.read())
+    assert out["dct_value"] == "1989-10-26"
+    assert len(out["events"]) > 20
+    assert out["instances"]  # eiid -> eid resolution happened
+    # every tlink endpoint is an eid or tmx id (eiids resolved)
+    for src, tgt, rel, _d in out["tlinks"]:
+        assert not src.startswith("ei") and not tgt.startswith("ei")
+        assert rel
+    # timeID renamed t<j> -> tmx<j> (TimeMLParser.java:158-165)
+    assert any(s.startswith("tmx") or t.startswith("tmx")
+               for s, t, _r, _d in out["tlinks"])
+
+
+def test_render_roundtrip():
+    triples = [("e1", "tmx2", "IS_INCLUDED", "et"),
+               ("e1", "e2", "BEFORE", "ee"),
+               ("e2", "e1", "CLINK", "causal")]
+    xml = render_timeml("doc.txp", triples)
+    out = parse_timeml(xml)
+    assert ("e1", "tmx2", "IS_INCLUDED", False) in out["tlinks"]
+    assert ("e1", "e2", "BEFORE", False) in out["tlinks"]
+    assert ("e2", "e1") in out["clinks"]
+    assert set(out["instances"].values()) == {"e1", "e2"}
+
+
+def test_libsvm_and_csv_lines():
+    # 1-based indices, zeros skipped (PairFeatureVector.java:214-225)
+    assert libsvm_line(3, [0.0, 1.0, 0.0, 0.5]) == "3 2:1 4:0.5"
+    assert csv_line("BEFORE", ['a,b', 'c"d', 1.0]) == \
+        "aCOMMAb,cQUOTd,1.0,BEFORE"
+
+
+def test_cli_gen_and_run(ray_session, tmp_path):
+    from erex.__main__ import main
+    from erex.corpus import corpus_parquet
+    corpus = corpus_parquet(20, seed=3)
+    out = tmp_path / "edges"
+    rc = main(["run", "--corpus", corpus, "--out", str(out)])
+    assert rc == 0
+    import pyarrow.dataset as pds
+    t = pds.dataset(str(out), partitioning="hive").to_table()
+    assert t.num_rows > 0
+    assert "bucket" in t.schema.names  # partitioned layout
+
+
+def test_triples_sink(ray_session, tmp_path):
+    from erex.corpus import corpus_parquet
+    from erex.pipeline import run_extraction
+    from erex.sinks import write_triples_tsv
+    corpus = corpus_parquet(15, seed=4)
+    out = tmp_path / "triples"
+    write_triples_tsv(run_extraction(corpus), str(out))
+    import pyarrow.dataset as pds
+    t = pds.dataset(str(out)).to_table()
+    lines = t.column("line").to_pylist()
+    assert lines and all(len(l.split("\t")) == 3 for l in lines)
