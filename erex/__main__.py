@@ -67,12 +67,23 @@ def main(argv=None):
     p.add_argument("--n-docs", type=int, required=True)
     p.add_argument("--seed", type=int, default=42)
 
+    p = sub.add_parser("train", help="train the four liblinear models")
+    p.add_argument("--n-docs", type=int, default=120)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--out-dir", required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
         from .corpus import corpus_parquet
         path = corpus_parquet(args.n_docs, args.seed)
         print(json.dumps({"corpus": path, "n_docs": args.n_docs}))
+        return 0
+
+    if args.cmd == "train":
+        from .training import train_from_seeds
+        stats = train_from_seeds(args.n_docs, args.seed, args.out_dir)
+        print(json.dumps(stats))
         return 0
 
     _init_ray(getattr(args, "num_cpus", None))

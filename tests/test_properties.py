@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the algebraic cores."""
+
+from hypothesis import given, settings, strategies as st
+
+from erex.labels import TLINK_LABELS, inverse_tlink
+from erex.rules.timex_algebra import timex_timex_rule
+from erex.timegraph import TimeGraph, closure_filter
+
+# -- timex algebra ----------------------------------------------------------
+
+_dates = st.one_of(
+    st.builds(lambda y, m, d: "%04d-%02d-%02d" % (y, m, d),
+              st.integers(1900, 2100), st.integers(1, 12),
+              st.integers(1, 28)),
+    st.builds(lambda y, m: "%04d-%02d" % (y, m),
+              st.integers(1900, 2100), st.integers(1, 12)),
+    st.builds(lambda y: "%04d" % y, st.integers(1900, 2100)),
+    st.builds(lambda y, w: "%04d-W%02d" % (y, w),
+              st.integers(1900, 2100), st.integers(1, 52)),
+    st.builds(lambda y, q: "%04d-Q%d" % (y, q),
+              st.integers(1900, 2100), st.integers(1, 4)),
+    st.sampled_from(["198X", "19XX", "PAST_REF", "PRESENT_REF",
+                     "FUTURE_REF"]),
+)
+
+
+_ERAS = ("PAST_REF", "PRESENT_REF", "FUTURE_REF")
+
+
+@settings(max_examples=300, deadline=None)
+@given(_dates, _dates)
+def test_tt_rule_antisymmetric(v1, v2):
+    """rule(a,b) and rule(b,a) are inverses (both 'O' counts) — EXCEPT
+    era-vs-date pairs, where the reference returns the date<->DCT
+    relation UN-inverted in one direction
+    (TimexTimexRelationRule.java:208-213 `return getDateRelation(d2,
+    dct)` without flipping); replicated deliberately."""
+    if (v1 in _ERAS) != (v2 in _ERAS):
+        return
+    r1 = timex_timex_rule("a", "DATE", v1, False, "b", "DATE", v2, False,
+                          "1989-10-26")
+    r2 = timex_timex_rule("b", "DATE", v2, False, "a", "DATE", v1, False,
+                          "1989-10-26")
+    if r1 == "O" or r2 == "O":
+        assert r1 == r2 == "O" or {r1, r2} >= {"O"}
+    else:
+        assert r2 == inverse_tlink(r1), (v1, v2, r1, r2)
+
+
+def test_tt_rule_era_asymmetry_quirk():
+    """Pin the reference's era asymmetry: PRESENT_REF vs a pre-DCT month
+    yields BEFORE in BOTH directions (the Java returns getDateRelation(
+    other, dct) without inverting when the era is on the left)."""
+    r1 = timex_timex_rule("a", "DATE", "PRESENT_REF", False,
+                          "b", "DATE", "1900-01", False, "1989-10-26")
+    r2 = timex_timex_rule("a", "DATE", "1900-01", False,
+                          "b", "DATE", "PRESENT_REF", False, "1989-10-26")
+    assert r1 == r2 == "BEFORE"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_dates)
+def test_tt_rule_reflexive_simultaneous(v):
+    """Same value, different ids -> SIMULTANEOUS (IDENTITY downgraded)
+    whenever the rule fires at all."""
+    r = timex_timex_rule("a", "DATE", v, False, "b", "DATE", v, False,
+                         "1989-10-26")
+    assert r in ("SIMULTANEOUS", "O")
+
+
+# -- timegraph --------------------------------------------------------------
+
+_label = st.sampled_from([l for l in TLINK_LABELS])
+_iv = st.sampled_from(["A", "B", "C", "D", "E"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_iv, _iv, _label), min_size=1, max_size=25))
+def test_closure_idempotent_and_consistent(links):
+    links = [(a, b, l) for a, b, l in links if a != b]
+    final, violated = closure_filter(links)
+    # re-inserting the accepted set never violates
+    final2, violated2 = closure_filter(final)
+    assert final2 == final
+    assert not violated2
+    # every link is either final or violated, none lost
+    assert len(final) + len(violated) == len(links)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_iv, _iv, _label), min_size=1, max_size=20))
+def test_closure_infer_respects_inverse(links):
+    links = [(a, b, l) for a, b, l in links if a != b]
+    tg = TimeGraph()
+    for a, b, l in links:
+        tg.add(a, b, l)
+    for x in "ABCDE":
+        for y in "ABCDE":
+            if x == y:
+                continue
+            r1 = tg.infer(x, y)
+            r2 = tg.infer(y, x)
+            if r1 is not None:
+                assert r2 == inverse_tlink(r1), (x, y, r1, r2)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_iv, _iv), min_size=1, max_size=15))
+def test_before_chain_acyclic(pairs):
+    """Feeding only BEFORE links: accepted subgraph must stay acyclic —
+    infer() can never say both BEFORE and AFTER for a pair."""
+    tg = TimeGraph()
+    for a, b in pairs:
+        if a != b:
+            tg.add(a, b, "BEFORE")
+    for x in "ABCDE":
+        for y in "ABCDE":
+            if x != y and tg.infer(x, y) == "BEFORE":
+                assert tg.infer(y, x) == "AFTER"

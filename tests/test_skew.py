@@ -1,0 +1,51 @@
+"""Long-document skew: a giant document mixed with small ones."""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from erex.corpus import generate_txp
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(ray_session, tmp_path_factory):
+    docs = [generate_txp(800 + i) for i in range(10)]
+    giant = generate_txp(12999, n_sentences=120)   # ~10x normal size
+    docs.append(giant)
+    d = tmp_path_factory.mktemp("skew")
+    t = pa.table({
+        "repo": ["r"] * len(docs),
+        "path": ["docs/d%02d.txp" % i for i in range(len(docs))],
+        "commit": ["c"] * len(docs),
+        "lang": ["en"] * len(docs),
+        "content": docs,
+    })
+    path = str(d / "corpus.parquet")
+    pq.write_table(t, path)
+    return path, hashlib.sha256(giant.encode()).hexdigest()
+
+
+def test_giant_doc_processes_and_matches_regroup(skewed_corpus):
+    from erex.pipeline import run_extraction
+    path, giant_sha = skewed_corpus
+    key = ["doc_sha", "subj", "pred", "obj", "pair_class", "stage"]
+    a = run_extraction(path).to_pandas()
+    b = run_extraction(path, regroup=True).to_pandas()
+    a = a[a["kind"] == "edge"].sort_values(key).reset_index(drop=True)
+    b = b[b["kind"] == "edge"].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert a[key].equals(b[key])
+    # the giant document dominates the edge count but completed fine
+    giant_edges = (a["doc_sha"] == giant_sha).sum()
+    assert giant_edges > 0.5 * len(a)
+
+
+def test_giant_doc_matches_oracle(skewed_corpus):
+    from erex.oracle import oracle_edges, triple_prf
+    from erex.pipeline import run_extraction
+    path, _ = skewed_corpus
+    df = run_extraction(path).to_pandas()
+    prf = triple_prf(df[df["kind"] == "edge"], oracle_edges(path))
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0
