@@ -94,6 +94,18 @@ def _catena_stage_counts(sf_dir: str):
     return out.sort_values(["pair_class", "stage"]).reset_index(drop=True)
 
 
+def _catena_edges_dense(sf_dir: str):
+    """TimeBank-Dense 6-label classifier heads (predictDense parity)."""
+    from erex.extract import PipelineConfig
+    from erex.pipeline import run_extraction
+    cfg = PipelineConfig(dense=True)
+    df = run_extraction(_corpus_for(sf_dir), config=cfg).to_pandas()
+    df = df[df["kind"] == "edge"][
+        ["doc_sha", "subj", "pred", "obj", "pair_class", "stage"]]
+    return df.sort_values(["doc_sha", "subj", "obj", "pred"])\
+        .reset_index(drop=True)
+
+
 def _catena_timeml(sf_dir: str):
     """TimeML rendering sink (S5) over the merged edges."""
     from erex._env import remote_args
@@ -157,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catena_tt_rules": _catena_tt_rules,
         "catena_confusion": _catena_confusion,
         "catena_stage_counts": _catena_stage_counts,
+        "catena_edges_dense": _catena_edges_dense,
         "catena_timeml": _catena_timeml,
         "catena_triples_tsv": _catena_triples_tsv,
         "catena_closure_prf": _catena_closure_prf,

@@ -499,7 +499,7 @@ def generate_txp(doc_seed: int, n_sentences: int = None) -> str:
 
     # sprinkle gold labels deterministically (feeds evaluation aggregates)
     gold_pool = ["BEFORE", "AFTER", "IS_INCLUDED", "INCLUDES",
-                 "SIMULTANEOUS", "NONE", "NONE", "NONE"]
+                 "SIMULTANEOUS", "VAGUE", "NONE", "NONE", "NONE"]
     cand = {k: (rng.choice(gold_pool) if rng.random() < 0.4 else "NONE")
             for k in cand}
 

@@ -47,13 +47,15 @@ from .rules.timex_algebra import timex_timex_rule
 from .txp import parse_txp
 
 
-@dataclass
+@dataclass(frozen=False)
 class PipelineConfig:
     anchor_reasoning: bool = True     # R4
     clink_postedit: bool = True       # R6
     closure: bool = True              # R7
     causal: bool = True               # CLINK pipeline
     identity_rel: bool = False        # R1 IDENTITY vs SIMULTANEOUS
+    dense: bool = False               # TimeBank-Dense 6-label classifier
+                                      # heads (predictDense parity)
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -69,21 +71,24 @@ FEAT_DIM = {PAIR_DCT: ET_DIM, PAIR_ET: ET_DIM, PAIR_EE: EE_DIM,
 
 
 class CatenaModels:
-    """The four liblinear-format weight matrices (ST3-ST5), ~100 KB of
-    read-only state — load once per actor / worker process."""
+    """The liblinear-format weight matrices (ST3-ST5), ~100 KB of
+    read-only state — load once per actor / worker process. dense=True
+    loads the TimeBank-Dense temporal heads (*_dense.model)."""
 
-    def __init__(self, model_dir=None):
+    def __init__(self, model_dir=None, dense: bool = False):
+        suffix = "_dense.model" if dense else ".model"
         if model_dir is None:
             base = _res.files("erex") / "resources" / "models"
-            self.dct = LinearModel.load(str(base / "dct.model"))
-            self.et = LinearModel.load(str(base / "et.model"))
-            self.ee = LinearModel.load(str(base / "ee.model"))
-            self.causal = LinearModel.load(str(base / "causal.model"))
+            path = lambda stem, s=suffix: str(base / (stem + s))
         else:
-            self.dct = LinearModel.load(f"{model_dir}/dct.model")
-            self.et = LinearModel.load(f"{model_dir}/et.model")
-            self.ee = LinearModel.load(f"{model_dir}/ee.model")
-            self.causal = LinearModel.load(f"{model_dir}/causal.model")
+            path = lambda stem, s=suffix: f"{model_dir}/{stem}{s}"
+        self.dense = dense
+        self.dct = LinearModel.load(path("dct"))
+        self.et = LinearModel.load(path("et"))
+        self.ee = LinearModel.load(path("ee"))
+        self.causal = LinearModel.load(path("causal", ".model"))
+        from .labels import TLINK_DENSE_LABELS, TLINK_LABELS as _T
+        self.temporal_vocab = TLINK_DENSE_LABELS if dense else _T
 
     def for_class(self, pair_class: str) -> LinearModel:
         return {PAIR_DCT: self.dct, PAIR_ET: self.et, PAIR_EE: self.ee,
@@ -91,8 +96,8 @@ class CatenaModels:
 
 
 @lru_cache(maxsize=4)
-def get_models(model_dir=None) -> CatenaModels:
-    return CatenaModels(model_dir)
+def get_models(model_dir=None, dense: bool = False) -> CatenaModels:
+    return CatenaModels(model_dir, dense)
 
 
 # ---------------------------------------------------------------------------
@@ -383,8 +388,8 @@ def merge_document(pairs: list, ttlinks: dict, models: CatenaModels,
 def score_stage(pairs: list, models: CatenaModels) -> None:
     """Fill cls_label in-place for dct/et/ee rows with rule 'O' —
     the oracle equivalent of the actor-pool scorer stage."""
-    for pc, vocab in ((PAIR_DCT, TLINK_LABELS), (PAIR_ET, TLINK_LABELS),
-                      (PAIR_EE, TLINK_LABELS)):
+    vocab = models.temporal_vocab
+    for pc in (PAIR_DCT, PAIR_ET, PAIR_EE):
         todo = [p for p in pairs
                 if p["pair_class"] == pc and p["rule_label"] == "O"]
         if not todo:
@@ -401,7 +406,7 @@ def extract_document(content: str, models: CatenaModels = None,
     """Whole per-document pipeline in-process; returns
     {triples, nodes}."""
     if models is None:
-        models = get_models()
+        models = get_models(dense=config.dense)
     s1 = stage1_document(content, name=name, config=config)
     score_stage(s1["pairs"], models)
     triples = merge_document(s1["pairs"], s1["ttlinks"], models, config)

@@ -57,6 +57,15 @@ def tlink_label_num(label: str) -> int:
         return 0
 
 
+def dense_label_num(label: str) -> int:
+    """1-based index into the TimeBank-Dense 6-label set (labelDense,
+    PairFeatureVector.java:3235-3238)."""
+    try:
+        return TLINK_DENSE_LABELS.index(label) + 1
+    except ValueError:
+        return 0
+
+
 def clink_label_num(label: str) -> int:
     try:
         return CLINK_LABELS.index(label) + 1

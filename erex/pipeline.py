@@ -217,8 +217,8 @@ class LinearScorer:
       state is heavy (real model weights, embedding tables); kept
       first-class and tested."""
 
-    def __init__(self, model_dir: str = None):
-        self.models = get_models(model_dir)
+    def __init__(self, model_dir: str = None, dense: bool = False):
+        self.models = get_models(model_dir, dense)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -238,7 +238,8 @@ class LinearScorer:
             sub = feats.take(pa.array(idx))
             X = np.asarray(sub.flatten(), dtype=np.float32).reshape(
                 idx.size, FEAT_DIM[pc])
-            labels = self.models.for_class(pc).predict_labels(X, TLINK_LABELS)
+            labels = self.models.for_class(pc).predict_labels(
+                X, self.models.temporal_vocab)
             cls_label[idx] = labels
         i = batch.schema.get_field_index("cls_label")
         batch = batch.set_column(i, "cls_label", pa.array(cls_label,
@@ -337,6 +338,10 @@ def _score_batch_task(batch: pa.Table) -> pa.Table:
     return LinearScorer()(batch)
 
 
+def _score_batch_task_dense(batch: pa.Table) -> pa.Table:
+    return LinearScorer(dense=True)(batch)
+
+
 def run_extraction(corpus_path: str,
                    config: PipelineConfig = DEFAULT_CONFIG,
                    scorer_concurrency=None,
@@ -374,7 +379,9 @@ def run_extraction(corpus_path: str,
                             concurrency=scorer_concurrency,
                             **remote_args())
     else:
-        ds = ds.map_batches(_score_batch_task, batch_format="pyarrow",
+        score_fn = _score_batch_task_dense if config.dense \
+            else _score_batch_task
+        ds = ds.map_batches(score_fn, batch_format="pyarrow",
                             **remote_args())
     if regroup:
         ds = ds.groupby("doc_shard").map_groups(

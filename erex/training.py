@@ -16,15 +16,18 @@ import numpy as np
 from .corpus import generate_txp
 from .extract import (PAIR_CAUSAL, PAIR_DCT, PAIR_EE, PAIR_ET,
                       PipelineConfig, stage1_document)
-from .labels import clink_label_num, tlink_label_num
+from .labels import clink_label_num, dense_label_num, \
+    tlink_label_num
 from .liblinear import train_ovr_ridge
 
 MODEL_FILES = {PAIR_DCT: "dct.model", PAIR_ET: "et.model",
                PAIR_EE: "ee.model", PAIR_CAUSAL: "causal.model"}
 
 
-def collect_training_data(contents, config=None) -> dict:
-    """-> {pair_class: (X, y_ids)} from TXP document strings."""
+def collect_training_data(contents, config=None, dense=False) -> dict:
+    """-> {pair_class: (X, y_ids)} from TXP document strings. With
+    dense=True temporal labels index the TimeBank-Dense 6-label set
+    (the labelDense training mode)."""
     config = config or PipelineConfig()
     data = {pc: ([], []) for pc in MODEL_FILES}
     for content in contents:
@@ -36,6 +39,8 @@ def collect_training_data(contents, config=None) -> dict:
             gold = p["gold"]
             if pc == PAIR_CAUSAL:
                 lid = clink_label_num(gold)
+            elif dense:
+                lid = dense_label_num(gold)
             else:
                 lid = tlink_label_num(gold)
                 if gold == "NONE":
@@ -47,12 +52,20 @@ def collect_training_data(contents, config=None) -> dict:
     return data
 
 
-def train_models(contents, out_dir: str, l2: float = 1.0) -> dict:
-    """Train and write the four model files; returns per-class stats."""
+def train_models(contents, out_dir: str, l2: float = 1.0,
+                 dense: bool = False) -> dict:
+    """Train and write the four model files; returns per-class stats.
+    dense=True writes *_dense.model temporal heads (predictDense
+    parity, EventTimexRelationClassifier.java:467+)."""
     os.makedirs(out_dir, exist_ok=True)
-    data = collect_training_data(contents)
+    contents = list(contents)
+    data = collect_training_data(contents, dense=dense)
     stats = {}
     for pc, fname in MODEL_FILES.items():
+        if dense:
+            if pc == "causal":
+                continue
+            fname = fname.replace(".model", "_dense.model")
         X, y = data[pc]
         if not X:
             raise ValueError(f"no training data for {pc}")
@@ -65,6 +78,7 @@ def train_models(contents, out_dir: str, l2: float = 1.0) -> dict:
     return stats
 
 
-def train_from_seeds(n_docs: int, seed: int, out_dir: str) -> dict:
+def train_from_seeds(n_docs: int, seed: int, out_dir: str,
+                     dense: bool = False) -> dict:
     contents = (generate_txp(seed * 999_983 + i) for i in range(n_docs))
-    return train_models(contents, out_dir)
+    return train_models(contents, out_dir, dense=dense)
