@@ -43,7 +43,13 @@ def _merged_df(sf_dir: str):
     path = _corpus_for(sf_dir)
     if path not in _MERGED_CACHE:
         from erex.pipeline import run_extraction
-        _MERGED_CACHE[path] = run_extraction(path).to_pandas()
+        df = run_extraction(path).to_pandas()
+        # normalize dictionary-encoded (categorical) columns to plain
+        # strings for the driver's value comparison
+        for c in df.columns:
+            if str(df[c].dtype) == "category":
+                df[c] = df[c].astype(str)
+        _MERGED_CACHE[path] = df
     return _MERGED_CACHE[path].copy()
 
 

@@ -219,6 +219,21 @@ def _find_signal(words: list, key_words: list, from_end: bool):
     return None
 
 
+def _index_window(words: list) -> tuple:
+    """(first, last) n-gram offset indexes (n <= 6) for a context window
+    — turns the per-dictionary-key scans into dict lookups."""
+    first: dict = {}
+    last: dict = {}
+    L = len(words)
+    for n in range(1, min(6, L) + 1):
+        for i in range(L - n + 1):
+            k = tuple(words[i:i + n])
+            if k not in first:
+                first[k] = i
+            last[k] = i
+    return first, last
+
+
 def signal_dep_path(doc: Doc, e: Entity, signal_tids: list,
                     strip_appo: bool = True) -> str:
     """getSignalMateDependencyPath (PairFeatureVector.java:672-764) /
@@ -328,9 +343,12 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
         ctx = _pair_contexts(doc, e1, e2)
         # per reference: INSIDE/BETWEEN try pair list; BEFORE/BEGIN event list
         words_e, tids_e = ctx["INSIDE"]
+        idx_in = _index_window(words_e)
+        wb, tb = ctx["BETWEEN"]
+        idx_bt = _index_window(wb)
         for key in keys:
             kw = key.split(" ")
-            off_in = _find_signal(words_e, kw, False)
+            off_in = idx_in[0].get(tuple(kw))
             if off_in is not None and 0 < off_in and \
                     off_in + len(kw) < len(words_e):
                 sig_tids = tids_e[off_in:off_in + len(kw)]
@@ -339,8 +357,7 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     signal_dep_path(doc, e1, sig_tids),
                     signal_dep_path(doc, e2, sig_tids))
                 break
-            wb, tb = ctx["BETWEEN"]
-            off = _find_signal(wb, kw, True)
+            off = idx_bt[1].get(tuple(kw))
             if off is not None and 0 < off and off + len(kw) < len(wb):
                 sig_tids = tb[off:off + len(kw)]
                 candidates[(len(wb) - off - len(kw)) + 100] = Marker(
@@ -348,19 +365,21 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     signal_dep_path(doc, e1, sig_tids),
                     signal_dep_path(doc, e2, sig_tids))
                 break
+        wbf, tbf = ctx["BEFORE"]
+        idx_bf = _index_window(wbf)
+        wg, tg = ctx["BEGIN"]
+        idx_bg = _index_window(wg)
         for key in ev_keys:
             kw = key.split(" ")
-            wb, tb = ctx["BEFORE"]
-            off = _find_signal(wb, kw, True)
-            if off is not None and 0 < off and off + len(kw) < len(wb):
-                sig_tids = tb[off:off + len(kw)]
-                candidates[(len(wb) - off - len(kw)) + 200] = Marker(
+            off = idx_bf[1].get(tuple(kw))
+            if off is not None and 0 < off and off + len(kw) < len(wbf):
+                sig_tids = tbf[off:off + len(kw)]
+                candidates[(len(wbf) - off - len(kw)) + 200] = Marker(
                     key, sig_event[key], "BEFORE",
                     signal_dep_path(doc, e2, sig_tids),
                     signal_dep_path(doc, e1, sig_tids))
                 break
-            wg, tg = ctx["BEGIN"]
-            off = _find_signal(wg, kw, False)
+            off = idx_bg[0].get(tuple(kw))
             if off is not None and 0 < off and off + len(kw) < len(wg):
                 sig_tids = tg[off:off + len(kw)]
                 candidates[off + 400] = Marker(
@@ -370,9 +389,10 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                 break
     elif not e2.is_timex and not doc._non_text_pair(e1, e2):
         words, tids = _sentence_begin_window(doc, e2.sent_id)
+        idx = _index_window(words)
         for key in ev_keys:
             kw = key.split(" ")
-            off = _find_signal(words, kw, False)
+            off = idx[0].get(tuple(kw))
             if off is not None and 0 < off and off + len(kw) < len(words):
                 sig_tids = tids[off:off + len(kw)]
                 candidates[off] = Marker(
@@ -410,12 +430,14 @@ def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
         "AFTER": (_word_window(doc, tid_end, tid_after), 200, False),
         "BEGIN": (_sentence_begin_window(doc, ent.sent_id), 300, False),
     }
+    idxs = {pos: _index_window(ctx[pos][0][0]) for pos in ctx}
     candidates: dict = {}
     for key in keys:
         kw = key.split(" ")
+        kt = tuple(kw)
         for pos in ("INSIDE", "BEFORE", "AFTER", "BEGIN"):
             (words, tids), offset, from_end = ctx[pos]
-            off = _find_signal(words, kw, from_end)
+            off = idxs[pos][1 if from_end else 0].get(kt)
             if off is None or off == 0 or off + len(kw) >= len(words):
                 continue
             sig_tids = tids[off:off + len(kw)]

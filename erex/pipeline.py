@@ -113,7 +113,7 @@ def pick_docs_per_block(rows: int) -> int:
     import ray as _ray
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
         if _ray.is_initialized() else 8
-    return int(min(128, max(16, rows // (4 * ncpu) or 16)))
+    return int(min(256, max(16, rows // (4 * ncpu) or 16)))
 
 
 def read_corpus(path: str, docs_per_block: int = None) -> "rd.Dataset":
@@ -332,6 +332,23 @@ def merge_group_rows(rows: list,
     return pa.Table.from_pydict(out, schema=EDGE_SCHEMA)
 
 
+# low-cardinality columns dictionary-encoded in the final output blocks:
+# halves the bytes written to the object store / parquet (the dominant
+# distributed overhead once compute is optimized)
+_DICT_COLS = ("doc_sha", "doc_path", "kind", "pred", "pair_class", "stage",
+              "gold", "node_kind")
+
+
+def _dict_encode(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    for name in _DICT_COLS:
+        i = t.schema.get_field_index(name)
+        if i >= 0 and not pa.types.is_dictionary(t.schema.field(i).type):
+            t = t.set_column(i, name,
+                             pc.dictionary_encode(t.column(i).combine_chunks()))
+    return t
+
+
 def _score_batch_task(batch: pa.Table) -> pa.Table:
     """Task-mode scorer: model matrices come from the per-process
     lru_cache (loaded once per Ray worker)."""
@@ -385,10 +402,10 @@ def run_extraction(corpus_path: str,
                             **remote_args())
     if regroup:
         ds = ds.groupby("doc_shard").map_groups(
-            lambda g: merge_shard(g, config), batch_format="pyarrow",
-            **remote_args())
+            lambda g: _dict_encode(merge_shard(g, config)),
+            batch_format="pyarrow", **remote_args())
     else:
-        ds = ds.map_batches(lambda b: merge_batch(b, config),
+        ds = ds.map_batches(lambda b: _dict_encode(merge_batch(b, config)),
                             batch_format="pyarrow", **remote_args())
     return ds
 

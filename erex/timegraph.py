@@ -18,27 +18,27 @@ evaluation tool of UzZaman et al. 2013):
 - `infer(x, y)` answers the closure query used by the closure-aware
   evaluation metric (A3).
 
-Representation: a dense int8 point-relation matrix over {unknown, <, =,
->} kept transitively closed with a vectorized incremental worklist —
-O(P) numpy work per derived constraint, P = 2 x intervals per document.
-Document-local by construction; runs inside the per-document merge."""
+Representation: a dense point-relation matrix (list of bytearrays) over
+{unknown, <, =, >} kept transitively closed with an incremental
+worklist. Matrices are tiny (P = 2 x intervals per document, typically
+< 40 points), so plain byte operations beat numpy's per-call overhead
+by a wide margin here. Document-local by construction; runs inside the
+per-document merge."""
 
 from __future__ import annotations
 
-import numpy as np
-
 UNK, LT, EQ, GT = 0, 1, 2, 3
-_SYM = {LT: "<", EQ: "=", GT: ">"}
 
-# composition table: COMP[a, b] = relation(a->c) given a->b and b->c
-COMP = np.zeros((4, 4), dtype=np.int8)
-COMP[EQ, :] = (UNK, LT, EQ, GT)
-COMP[:, EQ] = (UNK, LT, EQ, GT)
-COMP[LT, LT] = LT
-COMP[GT, GT] = GT
+# flat composition table: COMP4[a*4+b] = relation(a->c) given a->b, b->c
+COMP4 = bytearray(16)
+for _b in range(4):
+    COMP4[EQ * 4 + _b] = _b
+    COMP4[_b * 4 + EQ] = _b
+COMP4[LT * 4 + LT] = LT
+COMP4[GT * 4 + GT] = GT
 # LT∘GT and GT∘LT stay unknown
 
-_INV = np.array((UNK, GT, EQ, LT), dtype=np.int8)
+_INV = (UNK, GT, EQ, LT)
 
 # label -> [( (side, end), rel, (side, end) )]; side 0 = src, 1 = tgt;
 # end 0 = start point, 1 = end point
@@ -65,9 +65,8 @@ class TimeGraph:
 
     def __init__(self):
         self._idx: dict = {}         # interval id -> start point index
-        self._cap = 32
         self._n = 0
-        self.M = np.zeros((self._cap, self._cap), dtype=np.int8)
+        self.M: list = []            # list of bytearrays, row-major
         self.final: list = []        # accepted (src, tgt, label)
         self.violated: list = []     # rejected (src, tgt, label)
         self.redundant: list = []    # accepted but already entailed
@@ -77,54 +76,59 @@ class TimeGraph:
         s = self._idx.get(x)
         if s is not None:
             return s
-        if self._n + 2 > self._cap:
-            self._cap *= 2
-            M = np.zeros((self._cap, self._cap), dtype=np.int8)
-            M[:self._n, :self._n] = self.M[:self._n, :self._n]
-            self.M = M
         s = self._n
         self._n += 2
+        for row in self.M:
+            row.extend(b"\x00\x00")
+        self.M.append(bytearray(self._n))
+        self.M.append(bytearray(self._n))
         self._idx[x] = s
-        self.M[s, s + 1] = LT
-        self.M[s + 1, s] = GT
+        self.M[s][s + 1] = LT
+        self.M[s + 1][s] = GT
         return s
 
     def _commit_checked(self, triples) -> bool:
         """Transactionally add (p, rel, q) point constraints with
-        vectorized propagation; rolls back and returns False on any
+        worklist propagation; rolls back and returns False on any
         contradiction (which can surface transitively)."""
-        n = self._n
         M = self.M
-        snapshot = M[:n, :n].copy()
+        n = self._n
+        touched = []                       # (a, b) cells set, for rollback
         updates = list(triples)
+        ok = True
         while updates:
             a, r, b = updates.pop()
-            cur = M[a, b]
+            row_a = M[a]
+            cur = row_a[b]
             if cur == r:
                 continue
             if cur != UNK:
-                M[:n, :n] = snapshot
-                return False
-            M[a, b] = r
-            M[b, a] = _INV[r]
+                ok = False
+                break
+            row_a[b] = r
+            M[b][a] = _INV[r]
+            touched.append((a, b))
             # derive (a, comp(r, M[b,c]), c) for all known M[b,c]
-            row_b = M[b, :n]
-            cand = np.nonzero(row_b)[0]
-            if cand.size:
-                comp = COMP[r, row_b[cand]]
-                mask = comp != UNK
-                for c, rr in zip(cand[mask], comp[mask]):
-                    if c != a and M[a, c] != rr:
-                        updates.append((a, rr, int(c)))
+            row_b = M[b]
+            r4 = r * 4
+            for c in range(n):
+                rc = row_b[c]
+                if rc and c != a:
+                    rr = COMP4[r4 + rc]
+                    if rr and row_a[c] != rr:
+                        updates.append((a, rr, c))
             # derive (c, comp(M[c,a], r), b) for all known M[c,a]
-            col_a = M[:n, a]
-            cand = np.nonzero(col_a)[0]
-            if cand.size:
-                comp = COMP[col_a[cand], r]
-                mask = comp != UNK
-                for c, rr in zip(cand[mask], comp[mask]):
-                    if c != b and M[c, b] != rr:
-                        updates.append((int(c), rr, b))
+            for c in range(n):
+                rc = M[c][a]
+                if rc and c != b:
+                    rr = COMP4[rc * 4 + r]
+                    if rr and M[c][b] != rr:
+                        updates.append((c, rr, b))
+        if not ok:
+            for a, b in reversed(touched):
+                M[a][b] = UNK
+                M[b][a] = UNK
+            return False
         return True
 
     # -- public API ----------------------------------------------------
@@ -143,7 +147,7 @@ class TimeGraph:
             return (si if side == 0 else ti) + end
 
         triples = [(pt(*a), r, pt(*b)) for a, r, b in cons]
-        if all(self.M[p, q] == r for p, r, q in triples):
+        if all(self.M[p][q] == r for p, r, q in triples):
             self.redundant.append((src, tgt, label))
             self.final.append((src, tgt, label))
             return True
@@ -167,7 +171,7 @@ class TimeGraph:
             for (s1, e1), r, (s2, e2) in _CONSTRAINTS[label]:
                 p = (si if s1 == 0 else ti) + e1
                 q = (si if s2 == 0 else ti) + e2
-                if self.M[p, q] != r:
+                if self.M[p][q] != r:
                     ok = False
                     break
             if ok:

@@ -20,7 +20,13 @@ def test_pipeline_matches_oracle_exactly(corpus):
     ref = oracle_edges(corpus)
     prf = triple_prf(sys_edges, ref)
     assert prf["precision"] == 1.0 and prf["recall"] == 1.0, prf
-    # stages and consistency flags match too, not just triples
+    # stages and consistency flags match too, not just triples.
+    # dictionary-encoded Arrow columns arrive as pandas categoricals —
+    # cast BEFORE sorting (categorical sort order is code order)
+    sys_edges = sys_edges.copy()
+    for c in sys_edges.columns:
+        if str(sys_edges[c].dtype) == "category":
+            sys_edges[c] = sys_edges[c].astype(str)
     key = ["doc_sha", "subj", "pred", "obj"]
     a = sys_edges.sort_values(key)[key + ["pair_class", "stage",
                                           "consistent"]]

@@ -31,10 +31,16 @@ def test_giant_doc_processes_and_matches_regroup(skewed_corpus):
     from erex.pipeline import run_extraction
     path, giant_sha = skewed_corpus
     key = ["doc_sha", "subj", "pred", "obj", "pair_class", "stage"]
-    a = run_extraction(path).to_pandas()
-    b = run_extraction(path, regroup=True).to_pandas()
-    a = a[a["kind"] == "edge"].sort_values(key).reset_index(drop=True)
-    b = b[b["kind"] == "edge"].sort_values(key).reset_index(drop=True)
+
+    def norm(df):
+        df = df[df["kind"] == "edge"].copy()
+        for c in df.columns:
+            if str(df[c].dtype) == "category":
+                df[c] = df[c].astype(str)
+        return df.sort_values(key).reset_index(drop=True)
+
+    a = norm(run_extraction(path).to_pandas())
+    b = norm(run_extraction(path, regroup=True).to_pandas())
     assert len(a) == len(b) and len(a) > 0
     assert a[key].equals(b[key])
     # the giant document dominates the edge count but completed fine
