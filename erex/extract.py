@@ -175,16 +175,23 @@ def causal_candidates(doc: Doc) -> dict:
 
 
 def stage1_document(content: str, name: str = "TEXT",
-                    config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+                    config: PipelineConfig = DEFAULT_CONFIG,
+                    gold_candidates=None) -> dict:
     """Parse one TXP document and produce everything downstream stages
     need, with no cross-document state. Returns
     {pairs, tt, nodes, ttlinks} where `pairs` rows are
-    (src, tgt, pair_class, rule_label, gold, feats|None)."""
+    (src, tgt, pair_class, rule_label, gold, feats|None).
+
+    gold_candidates: optional [(src, tgt, rel)] replacing the TXP
+    candidate cells — the reference's goldCandidate=true mode where
+    candidates come from a paired gold TimeML
+    (TempRelPro.java:139-143 `candidateTlinks = docTml.getTlinks()`)."""
     doc = parse_txp(content, name=name)
     ttlinks = tt_rule_grid(doc, config.identity_rel)
 
+    candidates = doc.tlinks if gold_candidates is None else gold_candidates
     pairs = []
-    for src, tgt, gold in doc.tlinks:
+    for src, tgt, gold in candidates:
         if src == tgt or src not in doc.entities or tgt not in doc.entities:
             continue  # M5 candidate filter (TempRelPro.java:104-107)
         e1 = doc.entities[src]
@@ -402,12 +409,20 @@ def score_stage(pairs: list, models: CatenaModels) -> None:
 
 def extract_document(content: str, models: CatenaModels = None,
                      config: PipelineConfig = DEFAULT_CONFIG,
-                     name: str = "TEXT") -> dict:
+                     name: str = "TEXT", gold_timeml: str = None) -> dict:
     """Whole per-document pipeline in-process; returns
-    {triples, nodes}."""
+    {triples, nodes}. `gold_timeml`: optional paired gold TimeML whose
+    TLINKs become the candidate pairs (goldCandidate mode)."""
     if models is None:
         models = get_models(dense=config.dense)
-    s1 = stage1_document(content, name=name, config=config)
+    gold_candidates = None
+    if gold_timeml is not None:
+        from .timeml import parse_timeml
+        parsed = parse_timeml(gold_timeml)
+        gold_candidates = [(src, tgt, rel)
+                           for src, tgt, rel, _d in parsed["tlinks"]]
+    s1 = stage1_document(content, name=name, config=config,
+                         gold_candidates=gold_candidates)
     score_stage(s1["pairs"], models)
     triples = merge_document(s1["pairs"], s1["ttlinks"], models, config)
     return {"triples": triples, "nodes": s1["nodes"]}

@@ -125,3 +125,13 @@ def test_catena_eval_aggregates(ray_session):
         row = prf[prf["label"] == lbl]
         if len(row):
             assert int(row["tp"].iloc[0] + row["fn"].iloc[0]) == n_gold
+
+
+def test_closure_aware_prf(ray_session):
+    from erex.corpus import corpus_parquet
+    from erex.evalx import closure_aware_prf
+    from erex.pipeline import run_extraction
+    res = closure_aware_prf(run_extraction(corpus_parquet(20, seed=5)))
+    assert 0.0 <= res["precision"] <= 1.0
+    assert 0.0 <= res["recall"] <= 1.0
+    assert res["n_sys"] > 0 and res["n_gold"] > 0

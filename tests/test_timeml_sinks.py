@@ -67,3 +67,28 @@ def test_triples_sink(ray_session, tmp_path):
     t = pds.dataset(str(out)).to_table()
     lines = t.column("line").to_pylist()
     assert lines and all(len(l.split("\t")) == 3 for l in lines)
+
+
+def test_gold_candidate_mode():
+    """goldCandidate=true parity: candidates come from a paired gold
+    TimeML instead of the TXP candidate cells."""
+    from erex.corpus import generate_txp
+    from erex.extract import extract_document
+    from erex.timeml import render_timeml
+
+    content = generate_txp(777)
+    base = extract_document(content)
+    # gold TimeML proposing only a single E-E candidate pair
+    events = sorted({t["src"] for t in base["triples"]
+                     if t["src"].startswith("e")})[:2]
+    assert len(events) == 2
+    gold = render_timeml("g.tml", [(events[0], events[1], "BEFORE", "ee")])
+    out = extract_document(content, gold_timeml=gold)
+    non_tt = [t for t in out["triples"]
+              if t["pair_class"] in ("ee", "et", "dct")]
+    assert len(non_tt) == 1
+    assert (non_tt[0]["src"], non_tt[0]["tgt"]) == (events[0], events[1])
+    assert non_tt[0]["gold"] == "BEFORE"
+    # T-T grid is unaffected (it never comes from candidates)
+    assert sum(t["pair_class"] == "tt" for t in out["triples"]) == \
+        sum(t["pair_class"] == "tt" for t in base["triples"])
