@@ -90,9 +90,20 @@ def closure_aware_prf(edges: "rd.Dataset") -> dict:
                          "r_hit": pa.array([r_hit], pa.int64()),
                          "n_gold": pa.array([len(gold_links)], pa.int64())})
 
-    agg = (edges.groupby("doc_sha").map_groups(per_doc,
-                                               batch_format="pyarrow",
-                                               **remote_args())
+    def decode(t: pa.Table) -> pa.Table:
+        # groupby keys must not be dictionary-encoded (Ray sort limitation)
+        i = t.schema.get_field_index("doc_sha")
+        col = t.column("doc_sha")
+        if pa.types.is_dictionary(col.type):
+            t = t.set_column(i, "doc_sha",
+                             col.cast(pa.string()))
+        return t
+
+    agg = (edges.map_batches(decode, batch_format="pyarrow",
+                             **remote_args())
+           .groupby("doc_sha").map_groups(per_doc,
+                                          batch_format="pyarrow",
+                                          **remote_args())
            .sum(["p_hit", "n_sys", "r_hit", "n_gold"]))
     p = agg["sum(p_hit)"] / max(1, agg["sum(n_sys)"])
     r = agg["sum(r_hit)"] / max(1, agg["sum(n_gold)"])
