@@ -451,6 +451,99 @@ def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
     return m
 
 
+def _connective_run(doc: Doc, start_tid: str, end_tid: str, conn_type: str,
+                    reverse: bool) -> list:
+    """getConnectiveTidArr (PairFeatureVector.java:966-988): the run of
+    consecutive tokens tagged with the discourse-connective type nearest
+    the relevant end of the window."""
+    i = doc.tokens[start_tid].index
+    j = doc.tokens[end_tid].index
+    if i > j:
+        return []
+    tids = doc.token_arr[i:j + 1]
+    if reverse:
+        tids = list(reversed(tids))
+    run, started = [], False
+    for t in tids:
+        if doc.tokens[t].conn == conn_type:
+            run.append(t)
+            started = True
+        elif started:
+            break
+    if reverse:
+        run.reverse()
+    return run
+
+
+def connective_marker_pair(doc: Doc, e1: Entity, e2: Entity,
+                           conn_type: str = "Temporal") -> Marker:
+    """F8: getTemporalConnective / getCausalConnective
+    (PairFeatureVector.java:1291-1371) over the discourse-connective
+    token column: BETWEEN(+0) > BEFORE(+100) > AFTER(+200) >
+    INSIDE(+300, temporal only) > BEGIN(+400); cross-sentence
+    BEGIN-BETWEEN/BEGIN-BEFORE."""
+    candidates: dict = {}
+    if doc.same_sentence(e1, e2):
+        tid_before1, _ = _tid_entity_before_after(doc, e1)
+        tid_start1, _ = _tid_before_after(doc, e1)
+        tid_start2, tid_end2 = _tid_before_after(doc, e2)
+        _, tid_after2 = _tid_entity_before_after(doc, e2)
+        s = doc.sentences[e1.sent_id]
+        i0 = doc.tokens[s.start_tok].index
+        tid_begin = doc.token_arr[min(i0 + 4, doc.tokens[s.end_tok].index)]
+
+        def put(run, pos, base_ent, offset):
+            if not run:
+                return False
+            text = doc.span_lower_text(run[0], run[-1])
+            if pos in ("BEFORE", "BETWEEN"):
+                dist = abs(doc.tokens[base_ent.start_tok].index
+                           - doc.tokens[run[-1]].index)
+            else:
+                dist = abs(doc.tokens[base_ent.end_tok].index
+                           - doc.tokens[run[0]].index)
+            if pos in ("BETWEEN", "INSIDE"):
+                d1 = signal_dep_path(doc, e1, run)
+                d2 = signal_dep_path(doc, e2, run)
+            else:
+                d1 = signal_dep_path(doc, e2, run)
+                d2 = signal_dep_path(doc, e1, run)
+            candidates[dist + offset] = Marker(text, text, pos, d1, d2)
+            return True
+
+        # strict priority chain (else-if in the reference)
+        (put(_connective_run(doc, tid_before1, tid_start2, conn_type, True),
+             "BETWEEN", e2, 0)
+         or put(_connective_run(doc, tid_before1, tid_start1, conn_type,
+                                True), "BEFORE", e1, 100)
+         or put(_connective_run(doc, tid_end2, tid_after2, conn_type,
+                                False), "AFTER", e2, 200)
+         or (conn_type == "Temporal"
+             and put(_connective_run(doc, e2.start_tok, e2.end_tok,
+                                     conn_type, False), "INSIDE", e2, 300))
+         or put(_connective_run(doc, s.start_tok, tid_begin, conn_type,
+                                False), "BEGIN", e2, 400))
+    elif not doc._non_text_pair(e1, e2):
+        s2 = doc.sentences[e2.sent_id]
+        i0 = doc.tokens[s2.start_tok].index
+        tid_begin2 = doc.token_arr[min(i0 + 4, doc.tokens[s2.end_tok].index)]
+        run = _connective_run(doc, s2.start_tok, tid_begin2, conn_type,
+                              False)
+        if run:
+            text = doc.span_lower_text(run[0], run[-1])
+            candidates[0] = Marker(text, text, "BEGIN-BETWEEN", "O",
+                                   signal_dep_path(doc, e2, run))
+    if candidates:
+        return candidates[min(candidates)]
+    return Marker()
+
+
+def timex_value_template(value: str) -> str:
+    """M11: digit-masking template, \d -> N (Timex.java:53-57)."""
+    import re as _re
+    return _re.sub(r"\d", "N", value)
+
+
 def causal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
     """getCausalSignal (PairFeatureVector.java:1374-1512): regex patterns
     over space-padded lowercased contexts, BETWEEN/BEFORE/AFTER same

@@ -73,6 +73,17 @@ def parse_timeml(content: str) -> dict:
     return out
 
 
+# X7: TXP -> TimeML token unescaping (TempEval3TaskABC.java:283-292)
+_UNESCAPE = (("``", '"'), ("''", '"'), ("-LRB-", "("), ("-RRB-", ")"),
+             ("-LSB-", "["), ("-RSB-", "]"), ("-LCB-", "{"), ("-RCB-", "}"))
+
+
+def unescape_token(tok: str) -> str:
+    for a, b in _UNESCAPE:
+        tok = tok.replace(a, b)
+    return tok
+
+
 def _tml_id(mention_id: str) -> tuple:
     """-> (attr-space, TimeML id): events keep eids; tmx<j> -> t<j>."""
     if mention_id.startswith("tmx"):

@@ -282,3 +282,41 @@ def test_causal_end_to_end_active_passive():
     assert m.dep1 == "APPO" and m.dep2 == "LGS-PMOD"
     assert causality_link(event_causality_rule(
         True, m.text, m.cluster, m.dep1, m.dep2)) == "CLINK-R"
+
+
+def test_connective_marker():
+    """F8: discourse-connective marker search (the 'as' token in the
+    wsj example carries connective=Temporal)."""
+    from erex.features import connective_marker_pair
+    doc = make_doc([
+        tok("The", "t1", 1, "AT0"),
+        tok("market", "t2", 1, "NN1"),
+        tok("fell", "t3", 1, "VVD", "fall", deps="t2:SBJ||t4:ADV",
+            ev_class="OCCURRENCE", ev_id="e1", chunk="B-VP",
+            tense_aspect_pol="PAST+NONE+pos"),
+        tok("as", "t4", 1, "PRP", deps="t7:SUB", chunk="B-SBAR",
+            connective="Temporal"),
+        tok("investors", "t5", 1, "NN2", "investor"),
+        tok("panicked", "t6", 1, "VVD", "panic", deps="t5:SBJ",
+            ev_class="OCCURRENCE", ev_id="e2", chunk="B-VP",
+            tense_aspect_pol="PAST+NONE+pos"),
+        tok(".", "t7", 1, "PUN"),
+    ])
+    m = connective_marker_pair(doc, doc.entities["e1"], doc.entities["e2"])
+    assert m.text == "as"
+    assert m.position == "BETWEEN"
+    # no connective column -> no marker
+    doc2 = pp_doc()
+    m2 = connective_marker_pair(doc2, doc2.entities["e1"],
+                                doc2.entities["tmx1"])
+    assert m2.text == "O"
+
+
+def test_timex_value_template_and_unescape():
+    from erex.features import timex_value_template
+    from erex.timeml import unescape_token
+    assert timex_value_template("1989-10-26") == "NNNN-NN-NN"
+    assert timex_value_template("P3D") == "PND"
+    assert timex_value_template("PAST_REF") == "PAST_REF"
+    assert unescape_token("-LRB-") == "("
+    assert unescape_token("``quote''") == '"quote"'
