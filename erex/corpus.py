@@ -445,10 +445,71 @@ def _tmpl_causal_signal(s: _SentBuilder, rng):
     return [e1, e2]
 
 
+def _tmpl_passive_ee(s: _SentBuilder, rng):
+    """'The deal(e1) was announced(e2-less)…' — adjacent noun-event +
+    agent noun-event with an LGS-PMOD path (R3 -> AFTER)."""
+    n1 = rng.choice(NOUNS)
+    n2 = rng.choice(NOUNS)
+    v = rng.choice(VERBS)
+    t_n1 = s.peek_tid(1)
+    t_was = s.peek_tid(2)
+    t_v = s.peek_tid(3)
+    t_by = s.peek_tid(4)
+    t_n2 = s.peek_tid(6)
+    t_dot = s.peek_tid(7)
+    s.tok("The", "AT0", "the", chunk="B-NP")
+    e1 = s.new_event()
+    s.tok(n1, "NN1", ev_class="OCCURRENCE", ev_id=e1, chunk="I-NP")
+    s.tok("was", "VBD", "be",
+          deps="%s:SBJ||%s:VC||%s:P" % (t_n1, t_v, t_dot),
+          chunk="B-VP", mv=True, tap=_tap("PAST", "NONE"))
+    s.tok(v + "ed", "VVN", v, deps="%s:LGS" % t_by, chunk="I-VP",
+          tap=_tap("PAST", "NONE"))
+    s.tok("by", "PRP", "by", deps="%s:PMOD" % t_n2, chunk="B-PP")
+    s.tok("the", "AT0", "the", chunk="B-NP")
+    e2 = s.new_event()
+    s.tok(n2, "NN1", ev_class="OCCURRENCE", ev_id=e2, chunk="I-NP")
+    s.tok(".", "PUN", ".")
+    return [e1, e2]
+
+
+def _tmpl_between_timespan(s: _SentBuilder, rng):
+    """'… happened between T1 and T2' — TMX-BEGIN/TMX-END timespan
+    constructions (R2; the END half exercises the reference's
+    underscore quirk)."""
+    tv1 = "%d-%02d-%02d" % (1989, rng.randrange(1, 7), rng.randrange(1, 28))
+    tv2 = "%d-%02d-%02d" % (1989, rng.randrange(7, 13), rng.randrange(1, 29))
+    n = rng.choice(NOUNS)
+    t_n = s.peek_tid(1)
+    t_bw = s.peek_tid(3)
+    t_tmx1 = s.peek_tid(4)
+    t_and = s.peek_tid(5)
+    t_tmx2 = s.peek_tid(6)
+    t_dot = s.peek_tid(7)
+    s.tok("The", "AT0", "the", chunk="B-NP")
+    s.tok(n, "NN1", chunk="I-NP")
+    e1 = s.new_event()
+    s.tok("happened", "VVD", "happen",
+          deps="%s:SBJ||%s:TMP||%s:P" % (t_n, t_bw, t_dot),
+          ev_class="OCCURRENCE", ev_id=e1, chunk="B-VP", mv=True,
+          tap=_tap("PAST", "NONE"))
+    s.tok("between", "PRP", "between", deps="%s:PMOD||%s:ADV"
+          % (t_tmx1, t_and), chunk="B-PP")
+    tmx1 = s.new_timex()
+    s.tok("May", "NP0", "may", tmx=tmx1, tmx_type="B-DATE", tmx_value=tv1,
+          chunk="B-NP")
+    s.tok("and", "CJC", "and", deps="%s:CONJ" % t_tmx2, chunk="O")
+    tmx2 = s.new_timex()
+    s.tok("October", "NP0", "october", tmx=tmx2, tmx_type="B-DATE",
+          tmx_value=tv2, chunk="B-NP")
+    s.tok(".", "PUN", ".")
+    return [e1, tmx1, tmx2]
+
+
 _TEMPLATES = [_tmpl_reporting, _tmpl_event_timex, _tmpl_aspectual,
               _tmpl_causal_active, _tmpl_causal_passive, _tmpl_causal_peri,
               _tmpl_two_timex, _tmpl_timespan, _tmpl_tense_pair,
-              _tmpl_causal_signal]
+              _tmpl_causal_signal, _tmpl_passive_ee, _tmpl_between_timespan]
 
 
 def generate_txp(doc_seed: int, n_sentences: int = None) -> str:
@@ -535,6 +596,10 @@ def generate_txp(doc_seed: int, n_sentences: int = None) -> str:
 
 LANGS = ("en", "de", "es", "fr", "zh")
 
+# bump when generate_txp's output changes: the /tmp corpus cache is
+# keyed by (version, n_docs, seed)
+GEN_VERSION = 2
+
 
 def build_corpus_table(n_docs: int, seed: int = 42) -> pa.Table:
     """Corpus table in the driver-mandated shape; content sha256 is the
@@ -569,7 +634,8 @@ def corpus_parquet(n_docs: int, seed: int = 42, out_dir: str = None,
     import pyarrow.parquet as pq
     out_dir = out_dir or "/tmp/erex_corpus"
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "corpus_n%d_s%d" % (n_docs, seed))
+    path = os.path.join(out_dir, "corpus_v%d_n%d_s%d"
+                        % (GEN_VERSION, n_docs, seed))
     done = path + "/_DONE"
     if not os.path.exists(done):
         tmp = path + ".tmp"

@@ -538,6 +538,12 @@ def connective_marker_pair(doc: Doc, e1: Entity, e2: Entity,
     return Marker()
 
 
+def is_coreference(doc: Doc, e1: Entity, e2: Entity) -> bool:
+    """F12 (EventEventFeatureVector.java:98-100): e2 listed in e1's
+    coreference chain."""
+    return e2.eid in e1.coref
+
+
 def timex_value_template(value: str) -> str:
     """M11: digit-masking template, \d -> N (Timex.java:53-57)."""
     import re as _re

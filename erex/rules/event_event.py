@@ -96,6 +96,9 @@ def _event_rule_core(doc: Doc, e1: Entity, e2: Entity, dep_path: str) -> str:
         if r != "O":
             return r
         return "O"
+    # NOTE: 'OBJ_REV' is dispatched on here for parity but is never
+    # produced by the dependency-path search (reference dead branch:
+    # getMateDependencyPath reverses 'OBJ' to 'OBJ', not 'OBJ_REV')
     if dep_path == "OBJ_REV" and e2.ev_class == "REPORTING":
         r = reporting_event_rules(e2, e1)
         if r != "O":

@@ -320,3 +320,44 @@ def test_timex_value_template_and_unescape():
     assert timex_value_template("PAST_REF") == "PAST_REF"
     assert unescape_token("-LRB-") == "("
     assert unescape_token("``quote''") == '"quote"'
+
+
+def test_coref_flag_and_wnsim_determinism():
+    from erex.features import is_coreference, wn_sim_bucket
+    doc = make_doc([
+        tok("The", "t1", 1, "AT0"),
+        tok("sale", "t2", 1, "NN1", ev_class="OCCURRENCE", ev_id="e1",
+            coref_event="e2:e9"),
+        tok("and", "t3", 1, "CJC"),
+        tok("deal", "t4", 1, "NN1", ev_class="OCCURRENCE", ev_id="e2"),
+        tok("closed", "t5", 1, "VVD", "close", deps="t2:SBJ",
+            ev_class="OCCURRENCE", ev_id="e3", chunk="B-VP",
+            tense_aspect_pol="PAST+NONE+pos"),
+        tok(".", "t6", 1, "PUN"),
+    ])
+    assert is_coreference(doc, doc.entities["e1"], doc.entities["e2"])
+    assert not is_coreference(doc, doc.entities["e2"], doc.entities["e1"])
+    # wnSim stand-in: deterministic, symmetric, bucketed
+    assert wn_sim_bucket("sale", "sale") == 1.0
+    assert wn_sim_bucket("sale", "deal") == wn_sim_bucket("deal", "sale")
+    assert wn_sim_bucket("sale", "deal") in (0.0, 0.25, 0.75)
+
+
+def test_resumable_reprocesses_missing_fragment(tmp_path):
+    import os
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from erex.corpus import corpus_parquet
+    from erex.pipeline import run_flagship_resumable
+    corpus = corpus_parquet(40, seed=13)   # sharded dir, 1 fragment
+    out = tmp_path / "edges"
+    m1 = run_flagship_resumable(corpus, str(out))
+    assert m1["fragments_skipped"] == 0
+    man = os.path.join(str(out), "_manifest")
+    victim = sorted(os.listdir(man))[0]
+    os.remove(os.path.join(man, victim))
+    m2 = run_flagship_resumable(corpus, str(out))
+    # only the fragment whose manifest went missing is redone
+    assert m2["fragments_skipped"] == m2["fragments_total"] - 1
