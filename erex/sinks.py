@@ -56,6 +56,55 @@ def csv_line(label: str, vec) -> str:
     return ",".join(cells)
 
 
+# S9: MLN evidence ground atoms (RelTT/RelET/RelEE(e1, e2, REL) per doc,
+# /root/reference/src/task/TimeBankDenseExperiments.java:1106-1199)
+_MLN_PRED = {"tt": "RelTT", "dct": "RelET", "et": "RelET", "ee": "RelEE",
+             "causal": "RelEE"}
+
+
+def mln_evidence_batch(batch: pa.Table) -> pa.Table:
+    """Edge rows -> MLN evidence atoms (doc_sha, atom)."""
+    shas, atoms = [], []
+    for r in batch.to_pylist():
+        if r["kind"] != "edge":
+            continue
+        pred = _MLN_PRED.get(r["pair_class"], "RelEE")
+        atoms.append("%s(%s, %s, %s)" % (pred, r["subj"], r["obj"],
+                                         r["pred"]))
+        shas.append(r["doc_sha"])
+    return pa.table({"doc_sha": pa.array(shas, pa.string()),
+                     "atom": pa.array(atoms, pa.string())})
+
+
+# S8: Weka ARFF export (writeArffFile,
+# /root/reference/src/model/classifier/PairClassifier.java:1901-1926)
+def arff_document(name: str, feature_names, rows) -> str:
+    """rows = [(vector, label)] -> one ARFF document string. Binary
+    features are {0,1}, wnSim {0.0,0.25,0.75,1.0}, label the 14-TLINK
+    vocabulary."""
+    from .labels import TLINK_LABELS
+    out = ["@relation " + name, ""]
+    for s in feature_names:
+        if s == "label":
+            out.append("@attribute label {" + ", ".join(TLINK_LABELS) + "}")
+        elif s == "wnSim":
+            out.append("@attribute wnSim {0.0,0.25,0.75,1.0}")
+        else:
+            out.append("@attribute %s {0,1}" % s)
+    out.append("")
+    out.append("@data")
+    for vec, label in rows:
+        cells = []
+        for s, v in zip(feature_names, vec):
+            if s == "wnSim":
+                cells.append(str(float(v)))
+            else:
+                cells.append(str(int(v)))
+        cells.append(label)
+        out.append(",".join(cells))
+    return "\n".join(out)
+
+
 def feature_matrix_batch(batch: pa.Table, fmt: str = "libsvm") -> pa.Table:
     """Pair rows (with feats) -> training-matrix lines; classifier-bound
     rows only. `fmt` = 'libsvm' | 'csv'."""

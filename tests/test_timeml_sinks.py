@@ -92,3 +92,23 @@ def test_gold_candidate_mode():
     # T-T grid is unaffected (it never comes from candidates)
     assert sum(t["pair_class"] == "tt" for t in out["triples"]) == \
         sum(t["pair_class"] == "tt" for t in base["triples"])
+
+
+def test_mln_and_arff_sinks(ray_session):
+    import pyarrow as pa
+    from erex.corpus import corpus_parquet
+    from erex.pipeline import run_extraction
+    from erex.sinks import arff_document, mln_evidence_batch
+
+    ds = run_extraction(corpus_parquet(10, seed=6))
+    atoms = ds.map_batches(mln_evidence_batch,
+                           batch_format="pyarrow").to_pandas()
+    assert len(atoms) > 0
+    assert atoms["atom"].str.match(
+        r"Rel(TT|ET|EE)\([a-z0-9]+, [a-z0-9]+, [A-Z_-]+\)").all()
+
+    arff = arff_document("ee", ["f1", "f2", "wnSim", "label"],
+                         [([1, 0, 0.25], "BEFORE"), ([0, 1, 1.0], "AFTER")])
+    assert "@relation ee" in arff
+    assert "@attribute wnSim {0.0,0.25,0.75,1.0}" in arff
+    assert arff.splitlines()[-1] == "0,1,1.0,AFTER"
