@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": relational.q_sessionize,
         "q_top_parts_per_brand": relational.q_top_parts_per_brand,
         "q_supplier_by_region": relational.q_supplier_by_region,
+        "q_customers_without_orders": relational.q_customers_without_orders,
+        "q_asof_latest_order": relational.q_asof_latest_order,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -292,6 +294,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "q_customers_without_orders": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment
+            FROM customer c
+            WHERE c.c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')
+            ORDER BY c.c_custkey
+        """,
+        "q_asof_latest_order": """
+            SELECT e.event_id, o.o_orderkey
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE user_id < 50) e,
+                 LATERAL (SELECT o_orderkey FROM orders
+                          WHERE o_custkey = e.user_id
+                            AND o_orderdate <= e.ts
+                          ORDER BY o_orderdate DESC, o_orderkey DESC
+                          LIMIT 1) o
+            ORDER BY e.event_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -195,3 +195,66 @@ def q_supplier_by_region(sf_dir: str) -> pd.DataFrame:
              .aggregate(Count(alias_name="n_suppliers"),
                         Sum("acctbal_milli", alias_name="sum_acctbal_milli")))
     return out.to_pandas().sort_values("r_name").reset_index(drop=True)
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast ANTI-join (ray guide: semi/anti = broadcast the key set
+    and filter inside map_batches): customers with no URGENT order."""
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderpriority"])
+    okeys = od.loc[od["o_orderpriority"] == "1-URGENT",
+                   "o_custkey"].unique()
+    kref = ray.put(set(int(k) for k in okeys))
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(kref)
+        ck = t.column("c_custkey").to_numpy()
+        mask = np.fromiter((int(k) not in keys for k in ck), bool, len(ck))
+        return t.filter(pa.array(mask))
+
+    out = ds.map_batches(anti, batch_format="pyarrow",
+                         **remote_args()).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["c_custkey", "c_name", "c_mktsegment"])
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_asof_latest_order(sf_dir: str, n_users: int = 50) -> pd.DataFrame:
+    """As-of join (ray guide: sort within key buckets + pd.merge_asof
+    inside map_groups): for each event of the first `n_users` users, the
+    latest order of customer=user_id with o_orderdate <= ts. Ties on
+    equal o_orderdate resolve to the larger o_orderkey."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_orderdate"])
+    orders = orders[orders["o_custkey"] < n_users]
+    oref = ray.put(orders)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.less(t.column("user_id"), pa.scalar(n_users))
+        return t.filter(mask)
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(oref)
+        uid = int(g["user_id"].iloc[0])
+        mine = od[od["o_custkey"] == uid].sort_values(
+            ["o_orderdate", "o_orderkey"])
+        g = g.sort_values("ts")
+        if mine.empty:
+            return pd.DataFrame(columns=["event_id", "o_orderkey"])
+        m = pd.merge_asof(g, mine, left_on="ts", right_on="o_orderdate",
+                          direction="backward")
+        m = m[m["o_orderkey"].notna()]
+        return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
+                             "o_orderkey": m["o_orderkey"].astype("int64")})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby("user_id")
+             .map_groups(asof, batch_format="pandas", **remote_args()))
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
