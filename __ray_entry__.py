@@ -112,6 +112,20 @@ def _catena_edges_dense(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _catena_confusion_collapsed(sf_dir: str):
+    """Confusion counts in the collapsed label space (M13)."""
+    import pandas as pd
+    from erex.labels import collapse_label
+    df = _merged_df(sf_dir)
+    df = df[(df["kind"] == "edge") & df["gold"].notna()
+            & (df["gold"] != "NONE")].copy()
+    df["gold_c"] = df["gold"].map(collapse_label)
+    df["pred_c"] = df["pred"].map(collapse_label)
+    out = df.groupby(["gold_c", "pred_c"], as_index=False).size()
+    out = out.rename(columns={"size": "n"})
+    return out.sort_values(["gold_c", "pred_c"]).reset_index(drop=True)
+
+
 def _catena_timeml(sf_dir: str):
     """TimeML rendering sink (S5) over the merged edges."""
     from erex._env import remote_args
@@ -174,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catena_graph_edges": _catena_graph_edges,
         "catena_tt_rules": _catena_tt_rules,
         "catena_confusion": _catena_confusion,
+        "catena_confusion_collapsed": _catena_confusion_collapsed,
         "catena_stage_counts": _catena_stage_counts,
         "catena_edges_dense": _catena_edges_dense,
         "catena_timeml": _catena_timeml,
@@ -189,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_customers_without_orders": relational.q_customers_without_orders,
         "q_asof_latest_order": relational.q_asof_latest_order,
+        "q_distinct_event_types": relational.q_distinct_event_types,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -294,6 +310,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "q_distinct_event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
         """,
         "q_customers_without_orders": """
             SELECT c.c_custkey, c.c_name, c.c_mktsegment

@@ -258,3 +258,11 @@ def q_asof_latest_order(sf_dir: str, n_users: int = 50) -> pd.DataFrame:
              .groupby("user_id")
              .map_groups(asof, batch_format="pandas", **remote_args()))
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """Distinct values of one column (ds.unique — a shuffle)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
