@@ -88,3 +88,34 @@ def test_closure_consistency_of_output(corpus):
         links = list(zip(g["subj"], g["obj"], g["pred"]))
         final, violated = closure_filter(links)
         assert not violated, (sha, violated[:3])
+
+
+def test_reference_example_docs_through_ray(ray_session, tmp_path):
+    """The reference's own shipped example documents run through the
+    full Ray pipeline and match the oracle exactly."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from erex.oracle import oracle_edges, triple_prf
+    from erex.pipeline import run_extraction
+
+    paths = ["/root/reference/data/example_TXP/wsj_1014.tml.txp",
+             "/root/reference/data/example_TXP/bbc_20130322_721.tml.txp"]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return
+    contents = [open(p).read() for p in paths]
+    t = pa.table({"repo": ["ref"] * len(paths),
+                  "path": [os.path.basename(p) for p in paths],
+                  "commit": ["c"] * len(paths),
+                  "lang": ["en"] * len(paths),
+                  "content": contents})
+    corpus = str(tmp_path / "ref.parquet")
+    pq.write_table(t, corpus)
+    df = run_extraction(corpus).to_pandas()
+    edges = df[df["kind"] == "edge"]
+    assert len(edges) > 300
+    prf = triple_prf(edges, oracle_edges(corpus))
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0
+    # the closure kept a consistent majority
+    assert edges["consistent"].astype(bool).mean() > 0.5
