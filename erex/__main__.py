@@ -47,6 +47,8 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--resumable", action="store_true")
     p.add_argument("--regroup", action="store_true")
+    p.add_argument("--salt-threshold", type=int, default=None,
+                   help="pair-block salting for giant documents")
 
     p = sub.add_parser("triples", help="(subj, pred, obj) TSV-style sink")
     add_common(p)
@@ -97,6 +99,11 @@ def main(argv=None):
                 m = run_flagship_resumable(args.corpus, args.out)
                 m["sec"] = round(time.time() - t0, 2)
                 print(json.dumps(m))
+            elif args.salt_threshold:
+                from .pipeline import run_extraction_salted
+                ds = run_extraction_salted(
+                    args.corpus, salt_threshold=args.salt_threshold)
+                write_edges(ds, args.out)
             else:
                 ds = run_extraction(args.corpus, regroup=args.regroup)
                 write_edges(ds, args.out)

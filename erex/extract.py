@@ -174,6 +174,70 @@ def causal_candidates(doc: Doc) -> dict:
     return cands
 
 
+def enumerate_pairs(doc, config: PipelineConfig = DEFAULT_CONFIG,
+                    gold_candidates=None) -> list:
+    """Deterministic candidate pair list [(src, tgt, gold, pair_class)]
+    in processing order (temporal candidates then causal candidates) —
+    the unit the salted path slices over."""
+    out = []
+    candidates = doc.tlinks if gold_candidates is None else gold_candidates
+    for src, tgt, gold in candidates:
+        if src == tgt or src not in doc.entities or tgt not in doc.entities:
+            continue
+        e1 = doc.entities[src]
+        e2 = doc.entities[tgt]
+        if e1.is_event and e2.is_event:
+            out.append((src, tgt, gold, PAIR_EE))
+        elif (e1.is_event and e2.is_timex) or (e1.is_timex and e2.is_event):
+            ev, tmx = (e1, e2) if e1.is_event else (e2, e1)
+            out.append((src, tgt, gold,
+                        PAIR_DCT if tmx.is_dct else PAIR_ET))
+    if config.causal:
+        for (src, tgt), gold in causal_candidates(doc).items():
+            out.append((src, tgt, gold, PAIR_CAUSAL))
+    return out
+
+
+def process_pair(doc, src, tgt, gold, pair_class,
+                 config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Rule + features for one candidate pair (the per-pair unit of
+    stage 1)."""
+    e1 = doc.entities[src]
+    e2 = doc.entities[tgt]
+    if pair_class == PAIR_EE:
+        if doc.entity_order(e1, e2) == "AFTER":
+            e1, e2 = e2, e1
+            gold = inverse_tlink(gold)
+        dep = ee_dependency_path(doc, e1, e2)
+        rule = event_event_rule(doc, e1, e2, dep)
+        feats = ee_vector(doc, e1, e2, dep) if rule == "O" else None
+        return {"src": e1.eid, "tgt": e2.eid, "pair_class": PAIR_EE,
+                "rule_label": rule, "gold": gold, "dep_path": dep,
+                "feats": feats}
+    if pair_class in (PAIR_DCT, PAIR_ET):
+        if e1.is_timex:
+            e1, e2 = e2, e1
+            gold = inverse_tlink(gold)
+        dep = et_dependency_path(doc, e1, e2)
+        rule = event_timex_rule(doc, e1, e2, dep)
+        feats = et_vector(doc, e1, e2) if rule == "O" else None
+        return {"src": e1.eid, "tgt": e2.eid, "pair_class": pair_class,
+                "rule_label": rule, "gold": gold, "dep_path": dep,
+                "feats": feats}
+    # causal
+    same = e1.sent_id == e2.sent_id
+    m = causal_verb_pair(doc, e1, e2)
+    cverb = event_causality_rule(same, m.text, m.cluster, m.dep1, m.dep2)
+    rule = causality_link(cverb)
+    feats = None
+    if rule == "O":
+        dep = ee_dependency_path(doc, e1, e2)
+        feats = causal_vector(doc, e1, e2, dep, "O")
+    return {"src": src, "tgt": tgt, "pair_class": PAIR_CAUSAL,
+            "rule_label": rule, "gold": gold, "dep_path": "",
+            "feats": feats}
+
+
 def stage1_document(content: str, name: str = "TEXT",
                     config: PipelineConfig = DEFAULT_CONFIG,
                     gold_candidates=None) -> dict:
@@ -188,59 +252,11 @@ def stage1_document(content: str, name: str = "TEXT",
     (TempRelPro.java:139-143 `candidateTlinks = docTml.getTlinks()`)."""
     doc = parse_txp(content, name=name)
     ttlinks = tt_rule_grid(doc, config.identity_rel)
-
-    candidates = doc.tlinks if gold_candidates is None else gold_candidates
-    pairs = []
-    for src, tgt, gold in candidates:
-        if src == tgt or src not in doc.entities or tgt not in doc.entities:
-            continue  # M5 candidate filter (TempRelPro.java:104-107)
-        e1 = doc.entities[src]
-        e2 = doc.entities[tgt]
-        if e1.is_event and e2.is_event:
-            # orderPair: document order, invert label on swap
-            if doc.entity_order(e1, e2) == "AFTER":
-                e1, e2 = e2, e1
-                gold = inverse_tlink(gold)
-            dep = ee_dependency_path(doc, e1, e2)
-            rule = event_event_rule(doc, e1, e2, dep)
-            feats = None
-            if rule == "O":
-                feats = ee_vector(doc, e1, e2, dep)
-            pairs.append({"src": e1.eid, "tgt": e2.eid,
-                          "pair_class": PAIR_EE, "rule_label": rule,
-                          "gold": gold, "dep_path": dep, "feats": feats})
-        elif (e1.is_event and e2.is_timex) or (e1.is_timex and e2.is_event):
-            if e1.is_timex:  # orderPair: event first
-                e1, e2 = e2, e1
-                gold = inverse_tlink(gold)
-            dep = et_dependency_path(doc, e1, e2)
-            rule = event_timex_rule(doc, e1, e2, dep)
-            pc = PAIR_DCT if e2.is_dct else PAIR_ET
-            feats = None
-            if rule == "O":
-                feats = et_vector(doc, e1, e2)
-            pairs.append({"src": e1.eid, "tgt": e2.eid,
-                          "pair_class": pc, "rule_label": rule,
-                          "gold": gold, "dep_path": dep, "feats": feats})
-        # timex-timex candidates are covered by the rule grid
-
-    if config.causal:
-        for (src, tgt), gold in causal_candidates(doc).items():
-            e1, e2 = doc.entities[src], doc.entities[tgt]
-            same = e1.sent_id == e2.sent_id
-            m = causal_verb_pair(doc, e1, e2)
-            cverb = event_causality_rule(same, m.text, m.cluster,
-                                         m.dep1, m.dep2)
-            rule = causality_link(cverb)
-            feats = None
-            if rule == "O":
-                dep = ee_dependency_path(doc, e1, e2)
-                # TLINK-type one-hot is appended at merge time (the final
-                # temporal label is not known yet); base vector has zeros.
-                feats = causal_vector(doc, e1, e2, dep, "O")
-            pairs.append({"src": src, "tgt": tgt, "pair_class": PAIR_CAUSAL,
-                          "rule_label": rule, "gold": gold,
-                          "dep_path": "", "feats": feats})
+    # M5 candidate filter + causal candidate gen, then per-pair rule +
+    # features; enumerate_pairs/process_pair are also the units of the
+    # salted skew path (pipeline.run_extraction_salted)
+    pairs = [process_pair(doc, *cand, config=config)
+             for cand in enumerate_pairs(doc, config, gold_candidates)]
 
     nodes = []
     for e in doc.entities.values():

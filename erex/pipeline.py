@@ -37,8 +37,9 @@ import ray.data as rd
 
 from ._env import remote_args
 from .extract import (FEAT_DIM, PAIR_CAUSAL, PAIR_DCT, PAIR_EE, PAIR_ET,
-                      DEFAULT_CONFIG, PipelineConfig, get_models,
-                      merge_document, stage1_document)
+                      DEFAULT_CONFIG, PipelineConfig, enumerate_pairs,
+                      get_models, merge_document, process_pair,
+                      stage1_document)
 from .labels import TLINK_LABELS
 
 # coarse shard for the doc-regrouping shuffle: grouping by doc_shard
@@ -52,6 +53,8 @@ N_DOC_SHARDS = 256
 STAGE_SCHEMA = pa.schema([
     ("doc_sha", pa.string()),
     ("doc_shard", pa.int32()),
+    ("salt_block", pa.int32()),       # salted path: pair-slice index
+    ("content", pa.string()),         # salted path: doc text re-shipped
     ("doc_path", pa.string()),
     ("kind", pa.string()),            # 'pair' | 'node'
     ("src", pa.string()),
@@ -176,8 +179,12 @@ def extract_pairs_batch(batch: pa.Table,
                  src=n["mention_id"], src_kind=n["kind"],
                  surface=n["surface"], attr=n["attr"],
                  src_form=_canon_form(n["kind"], n["surface"]))
-    # feats: build the ListArray from one flat float32 buffer + offsets
-    # (no Python float lists in the hot path)
+    return _stage_table(cols)
+
+
+def _stage_table(cols: dict) -> pa.Table:
+    """Build the stage table; feats become one flat float32 buffer +
+    offsets (no Python float lists in the hot path)."""
     feat_vals = cols.pop("feats")
     arrays = []
     for name in STAGE_SCHEMA.names:
@@ -201,6 +208,147 @@ def extract_pairs_batch(batch: pa.Table,
             arrays.append(pa.array(cols[name],
                                    STAGE_SCHEMA.field(name).type))
     return pa.Table.from_arrays(arrays, schema=STAGE_SCHEMA)
+
+
+def extract_salted_batch(batch: pa.Table, salt_threshold: int,
+                         config: PipelineConfig = DEFAULT_CONFIG
+                         ) -> pa.Table:
+    """Salted stage 1 (the explicit long-document skew mechanism):
+    documents whose candidate-pair count exceeds `salt_threshold` emit
+    one lightweight SALT row per pair-block (doc text + slice index)
+    instead of inline features; tt/node rows still come from here. A
+    shuffle repartition then spreads the salt rows, expand_salt_batch
+    computes each slice's rules+features in whatever task got it, and
+    the merge runs via the regroup path (salted rows break the
+    doc-contiguity invariant by design)."""
+    cols = {name: [] for name in STAGE_SCHEMA.names}
+
+    def emit(**kw):
+        for name in STAGE_SCHEMA.names:
+            cols[name].append(kw.get(name))
+
+    from .extract import tt_rule_grid
+    from .txp import parse_txp
+    for content, dpath in zip(batch.column("content").to_pylist(),
+                              batch.column("path").to_pylist()):
+        doc_sha = hashlib.sha256(content.encode()).hexdigest()
+        shard = int(doc_sha[:4], 16) % N_DOC_SHARDS
+        doc = parse_txp(content, name=dpath)
+        ttlinks = tt_rule_grid(doc, config.identity_rel)
+        cands = enumerate_pairs(doc, config)
+        forms = {}
+        for e in doc.entities.values():
+            if e.is_event:
+                forms[e.eid] = ("EVENT", doc.entity_token_attr(e, "lemma"))
+            else:
+                forms[e.eid] = ("TIMEX", e.value)
+        if len(cands) <= salt_threshold:
+            for cand in cands:
+                p = process_pair(doc, *cand, config=config)
+                sk, sf = forms.get(p["src"], ("?", "?"))
+                tk, tf = forms.get(p["tgt"], ("?", "?"))
+                emit(doc_sha=doc_sha, doc_shard=shard, doc_path=dpath,
+                     kind="pair", src=p["src"], tgt=p["tgt"],
+                     pair_class=p["pair_class"],
+                     rule_label=p["rule_label"], gold=p["gold"],
+                     feats=p["feats"], src_kind=sk, tgt_kind=tk,
+                     src_form=_canon_form(sk, sf),
+                     tgt_form=_canon_form(tk, tf))
+        else:
+            n_blocks = (len(cands) + salt_threshold - 1) // salt_threshold
+            for b in range(n_blocks):
+                emit(doc_sha=doc_sha, doc_shard=shard, doc_path=dpath,
+                     kind="salt", salt_block=b, content=content)
+        for (src, tgt), rel in ttlinks.items():
+            sk, sf = forms.get(src, ("TIMEX", "?"))
+            tk, tf = forms.get(tgt, ("TIMEX", "?"))
+            emit(doc_sha=doc_sha, doc_shard=shard, doc_path=dpath,
+                 kind="pair", src=src, tgt=tgt, pair_class="tt",
+                 rule_label=rel, gold="NONE", src_kind=sk, tgt_kind=tk,
+                 src_form=_canon_form(sk, sf), tgt_form=_canon_form(tk, tf))
+        for e in doc.entities.values():
+            kind, surface = forms[e.eid]
+            attr = e.ev_class if e.is_event else e.ttype
+            emit(doc_sha=doc_sha, doc_shard=shard, doc_path=dpath,
+                 kind="node", src=e.eid, src_kind=kind, surface=surface,
+                 attr=attr, src_form=_canon_form(kind, surface))
+    return _stage_table(cols)
+
+
+def expand_salt_batch(batch: pa.Table, salt_threshold: int,
+                      config: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Expansion stage of the salted path: re-parse each SALT row's doc
+    (parse is linear and cheap; the quadratic feature work is what the
+    salt spreads) and process only its pair slice. Non-salt rows pass
+    through unchanged."""
+    kinds = batch.column("kind").to_pylist()
+    if "salt" not in kinds:
+        return batch
+    from .txp import parse_txp
+    keep = pa.array([k != "salt" for k in kinds])
+    passthrough = batch.filter(keep)
+    cols = {name: [] for name in STAGE_SCHEMA.names}
+
+    def emit(**kw):
+        for name in STAGE_SCHEMA.names:
+            cols[name].append(kw.get(name))
+
+    doc_cache: dict = {}
+    for r in batch.filter(pa.array([k == "salt" for k in kinds])).to_pylist():
+        key = r["doc_sha"]
+        if key not in doc_cache:
+            doc = parse_txp(r["content"], name=r["doc_path"])
+            doc_cache[key] = (doc, enumerate_pairs(doc, config))
+        doc, cands = doc_cache[key]
+        lo = r["salt_block"] * salt_threshold
+        hi = min(len(cands), lo + salt_threshold)
+        forms = {}
+        for cand in cands[lo:hi]:
+            p = process_pair(doc, *cand, config=config)
+            for eid in (p["src"], p["tgt"]):
+                if eid not in forms:
+                    e = doc.entities[eid]
+                    forms[eid] = ("EVENT", doc.entity_token_attr(e, "lemma"))                         if e.is_event else ("TIMEX", e.value)
+            sk, sf = forms[p["src"]]
+            tk, tf = forms[p["tgt"]]
+            emit(doc_sha=r["doc_sha"], doc_shard=r["doc_shard"],
+                 doc_path=r["doc_path"], kind="pair", src=p["src"],
+                 tgt=p["tgt"], pair_class=p["pair_class"],
+                 rule_label=p["rule_label"], gold=p["gold"],
+                 feats=p["feats"], src_kind=sk, tgt_kind=tk,
+                 src_form=_canon_form(sk, sf), tgt_form=_canon_form(tk, tf))
+    return pa.concat_tables([passthrough, _stage_table(cols)])
+
+
+def run_extraction_salted(corpus_path: str,
+                          config: PipelineConfig = DEFAULT_CONFIG,
+                          salt_threshold: int = 2000,
+                          repartition_blocks: int = None) -> "rd.Dataset":
+    """Skew-managed variant of run_extraction: pair-block salting for
+    documents above `salt_threshold` candidates, an EXPLICIT shuffle
+    repartition spreading the salted blocks across tasks, feature
+    expansion, scoring, and the groupby(doc_shard) merge (required —
+    salting breaks doc-contiguity). Same output as run_extraction,
+    proven by tests; costs one extra all-to-all exchange, which is the
+    price of balancing a pathological document."""
+    ds = read_corpus(corpus_path)
+    ds = ds.map_batches(
+        lambda b: extract_salted_batch(b, salt_threshold, config),
+        batch_format="pyarrow", **remote_args())
+    if repartition_blocks is None:
+        import ray as _ray
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))             if _ray.is_initialized() else 8
+        repartition_blocks = 4 * ncpu
+    ds = ds.repartition(repartition_blocks, shuffle=True)
+    ds = ds.map_batches(
+        lambda b: expand_salt_batch(b, salt_threshold, config),
+        batch_format="pyarrow", **remote_args())
+    score_fn = _score_batch_task_dense if config.dense         else _score_batch_task
+    ds = ds.map_batches(score_fn, batch_format="pyarrow", **remote_args())
+    ds = ds.groupby("doc_shard").map_groups(
+        lambda g: _dict_encode(merge_shard(g, config)),
+        batch_format="pyarrow", **remote_args())
+    return ds
 
 
 class LinearScorer:

@@ -55,3 +55,28 @@ def test_giant_doc_matches_oracle(skewed_corpus):
     df = run_extraction(path).to_pandas()
     prf = triple_prf(df[df["kind"] == "edge"], oracle_edges(path))
     assert prf["precision"] == 1.0 and prf["recall"] == 1.0
+
+
+def test_salted_path_matches_default(skewed_corpus):
+    """run_extraction_salted (explicit pair-block salting + shuffle
+    repartition + regrouped merge) produces exactly the default
+    pipeline's edges; the giant document actually got salted."""
+    import pyarrow.dataset as pds
+    from erex.pipeline import run_extraction, run_extraction_salted
+    path, giant_sha = skewed_corpus
+    key = ["doc_sha", "subj", "pred", "obj", "pair_class", "stage"]
+
+    def norm(df):
+        df = df[df["kind"] == "edge"].copy()
+        for c in df.columns:
+            if str(df[c].dtype) == "category":
+                df[c] = df[c].astype(str)
+        return df.sort_values(key).reset_index(drop=True)
+
+    a = norm(run_extraction(path).to_pandas())
+    # threshold low enough that the giant doc splits into many blocks
+    b = norm(run_extraction_salted(path, salt_threshold=50).to_pandas())
+    assert len(a) == len(b) > 0
+    assert a[key].equals(b[key])
+    assert list(a["consistent"].astype(bool)) == \
+        list(b["consistent"].astype(bool))
