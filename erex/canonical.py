@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Min, Sum
 
 from ._env import remote_args
 

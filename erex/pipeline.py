@@ -40,7 +40,6 @@ from .extract import (FEAT_DIM, PAIR_CAUSAL, PAIR_DCT, PAIR_EE, PAIR_ET,
                       DEFAULT_CONFIG, PipelineConfig, enumerate_pairs,
                       get_models, merge_document, process_pair,
                       stage1_document)
-from .labels import TLINK_LABELS
 
 # coarse shard for the doc-regrouping shuffle: grouping by doc_shard
 # instead of doc_sha keeps the same doc-locality guarantee (a shard is a
