@@ -80,3 +80,29 @@ def test_salted_path_matches_default(skewed_corpus):
     assert a[key].equals(b[key])
     assert list(a["consistent"].astype(bool)) == \
         list(b["consistent"].astype(bool))
+
+
+def test_salted_dense_regroup_combo(ray_session):
+    """Config combinations compose: dense labels + salted topology."""
+    from erex.corpus import corpus_parquet
+    from erex.extract import PipelineConfig
+    from erex.labels import TLINK_DENSE_LABELS
+    from erex.pipeline import run_extraction, run_extraction_salted
+    corpus = corpus_parquet(25, seed=21)
+    cfg = PipelineConfig(dense=True)
+    a = run_extraction(corpus, config=cfg).to_pandas()
+    b = run_extraction_salted(corpus, config=cfg,
+                              salt_threshold=30).to_pandas()
+    for df in (a, b):
+        cls = df[(df["kind"] == "edge") & (df["stage"] == "classifier")
+                 & (df["pair_class"] != "causal")]
+        assert set(cls["pred"].astype(str)) <= set(TLINK_DENSE_LABELS)
+    key = ["doc_sha", "subj", "pred", "obj"]
+
+    def norm(df):
+        df = df[df["kind"] == "edge"].copy()
+        for c in key:
+            df[c] = df[c].astype(str)
+        return df.sort_values(key)[key].reset_index(drop=True)
+
+    assert norm(a).equals(norm(b))
