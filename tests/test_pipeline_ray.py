@@ -119,3 +119,20 @@ def test_reference_example_docs_through_ray(ray_session, tmp_path):
     assert prf["precision"] == 1.0 and prf["recall"] == 1.0
     # the closure kept a consistent majority
     assert edges["consistent"].astype(bool).mean() > 0.5
+
+
+def test_actor_pool_scorer_mode(corpus):
+    """scorer_mode='actors' (classic actor pool) matches task mode."""
+    from erex.pipeline import run_extraction
+    key = ["doc_sha", "subj", "pred", "obj"]
+
+    def norm(df):
+        df = df[df["kind"] == "edge"].copy()
+        for c in key:
+            df[c] = df[c].astype(str)
+        return df.sort_values(key)[key].reset_index(drop=True)
+
+    a = norm(run_extraction(corpus).to_pandas())
+    b = norm(run_extraction(corpus, scorer_mode="actors",
+                            scorer_concurrency=2).to_pandas())
+    assert len(a) > 0 and a.equals(b)
