@@ -48,6 +48,8 @@ def main(argv=None):
     p.add_argument("--regroup", action="store_true")
     p.add_argument("--salt-threshold", type=int, default=None,
                    help="pair-block salting for giant documents")
+    p.add_argument("--dense", action="store_true",
+                   help="TimeBank-Dense 6-label classifier heads")
 
     p = sub.add_parser("triples", help="(subj, pred, obj) TSV-style sink")
     add_common(p)
@@ -94,17 +96,22 @@ def main(argv=None):
     t0 = time.time()
     try:
         if args.cmd == "run":
+            from .extract import PipelineConfig
+            cfg = PipelineConfig(dense=args.dense)
             if args.resumable:
-                m = run_flagship_resumable(args.corpus, args.out)
+                m = run_flagship_resumable(args.corpus, args.out,
+                                           config=cfg)
                 m["sec"] = round(time.time() - t0, 2)
                 print(json.dumps(m))
             elif args.salt_threshold:
                 from .pipeline import run_extraction_salted
                 ds = run_extraction_salted(
-                    args.corpus, salt_threshold=args.salt_threshold)
+                    args.corpus, config=cfg,
+                    salt_threshold=args.salt_threshold)
                 write_edges(ds, args.out)
             else:
-                ds = run_extraction(args.corpus, regroup=args.regroup)
+                ds = run_extraction(args.corpus, config=cfg,
+                                    regroup=args.regroup)
                 write_edges(ds, args.out)
                 print(json.dumps({"out": args.out,
                                   "sec": round(time.time() - t0, 2)}))
