@@ -97,10 +97,16 @@ def run_scaling() -> None:
     # multiprocessing scales 8->32 at only 0.74), see BASELINE.md
     lo = int(os.environ.get("ERX_SCALE_LO", "4"))
     hi = int(os.environ.get("ERX_SCALE_HI", "16"))
-    # best-of-2 per level: single runs are noisy (+-20%) on the shared
-    # sandbox; min wall time is the standard stable estimator
-    r_lo = min((one(lo) for _ in range(2)), key=lambda r: r["value"])
-    r_hi = min((one(hi) for _ in range(2)), key=lambda r: r["value"])
+    # interleaved best-of-3 per level: single runs on the shared sandbox
+    # vary up to 2x under outside contention; interleaving samples both
+    # levels across the same contention windows and min wall time is the
+    # standard stable estimator
+    runs_lo, runs_hi = [], []
+    for _ in range(3):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency",
