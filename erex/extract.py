@@ -34,7 +34,8 @@ import numpy as np
 
 from .doc import Doc
 from .deppath import ee_dependency_path, et_dependency_path
-from .features import (ET_DIM, EE_DIM, CAUSAL_DIM, causal_vector,
+from .features import (ET_DIM, EE_DIM, CAUSAL_DIM, causal_signal_pair,
+                       causal_vector,
                        causal_verb_pair, ee_vector, et_vector,
                        sentence_contains_causal_signal,
                        sentence_contains_causal_verb)
@@ -56,6 +57,14 @@ class PipelineConfig:
     identity_rel: bool = False        # R1 IDENTITY vs SIMULTANEOUS
     dense: bool = False               # TimeBank-Dense 6-label classifier
                                       # heads (predictDense parity)
+    model_set: str = "reference"      # "reference" = shipped temprelpro /
+                                      # causerelpro weights (models_ref),
+                                      # "selftrained" = repo-trained
+    causal_tlink_gold: bool = False   # causal TLINK one-hot from the TXP
+                                      # annotation (CauseRelPro standalone,
+                                      # CauseRelPro.java:200-213 empty-map
+                                      # branch) instead of the temporal
+                                      # stage's own output
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -73,20 +82,34 @@ FEAT_DIM = {PAIR_DCT: ET_DIM, PAIR_ET: ET_DIM, PAIR_EE: EE_DIM,
 class CatenaModels:
     """The liblinear-format weight matrices (ST3-ST5), ~100 KB of
     read-only state — load once per actor / worker process. dense=True
-    loads the TimeBank-Dense temporal heads (*_dense.model)."""
+    loads the TimeBank-Dense temporal heads (*_dense.model).
 
-    def __init__(self, model_dir=None, dense: bool = False):
+    model_set="reference" (the default) loads the reference system's own
+    shipped weights (resources/models_ref: temprelpro-{dct,et,ee} +
+    causerelpro) with liblinear-java call-site semantics, giving
+    prediction parity with the reference (tests/test_javaref_parity.py).
+    model_set="selftrained" loads the repo-trained OVR-ridge stand-ins
+    (tools/train_models.py)."""
+
+    def __init__(self, model_dir=None, dense: bool = False,
+                 model_set: str = "reference"):
         suffix = "_dense.model" if dense else ".model"
+        java = False
         if model_dir is None:
-            base = _res.files("erex") / "resources" / "models"
+            sub = "models"
+            if model_set == "reference" and not dense:
+                sub, java = "models_ref", True
+            base = _res.files("erex") / "resources" / sub
             path = lambda stem, s=suffix: str(base / (stem + s))
         else:
             path = lambda stem, s=suffix: f"{model_dir}/{stem}{s}"
         self.dense = dense
-        self.dct = LinearModel.load(path("dct"))
-        self.et = LinearModel.load(path("et"))
-        self.ee = LinearModel.load(path("ee"))
-        self.causal = LinearModel.load(path("causal", ".model"))
+        self.model_set = model_set
+        self.dct = LinearModel.load(path("dct"), java_semantics=java)
+        self.et = LinearModel.load(path("et"), java_semantics=java)
+        self.ee = LinearModel.load(path("ee"), java_semantics=java)
+        self.causal = LinearModel.load(path("causal", ".model"),
+                                       java_semantics=java)
         from .labels import TLINK_DENSE_LABELS, TLINK_LABELS as _T
         self.temporal_vocab = TLINK_DENSE_LABELS if dense else _T
 
@@ -95,9 +118,10 @@ class CatenaModels:
                 PAIR_CAUSAL: self.causal}[pair_class]
 
 
-@lru_cache(maxsize=4)
-def get_models(model_dir=None, dense: bool = False) -> CatenaModels:
-    return CatenaModels(model_dir, dense)
+@lru_cache(maxsize=8)
+def get_models(model_dir=None, dense: bool = False,
+               model_set: str = "reference") -> CatenaModels:
+    return CatenaModels(model_dir, dense, model_set)
 
 
 # ---------------------------------------------------------------------------
@@ -105,8 +129,12 @@ def get_models(model_dir=None, dense: bool = False) -> CatenaModels:
 # ---------------------------------------------------------------------------
 def tt_rule_grid(doc: Doc, identity_rel: bool = False) -> dict:
     """getTimexTimexRuleRelation (TempRelPro.java:63-83): full pairwise
-    grid over the document's timexes; stores pair AND inverse."""
-    ents = list(doc.entities.values())
+    grid over the document's timexes; stores pair AND inverse.  Pair
+    enumeration follows Java HashMap iteration order over the entity-id
+    keys — the R1 era rules are order-asymmetric, so this order is part
+    of the reference's observable behavior (see erex/javamap.py)."""
+    from .javamap import java_hashmap_order
+    ents = [doc.entities[k] for k in java_hashmap_order(doc.entities)]
     ttlinks: dict = {}
     dct_value = doc.dct.value if doc.dct is not None else "XXXX-XX-XX"
     for i in range(len(ents)):
@@ -231,11 +259,38 @@ def process_pair(doc, src, tgt, gold, pair_class,
     rule = causality_link(cverb)
     feats = None
     if rule == "O":
+        # precision gate: only pairs whose causal-signal marker has a
+        # non-trivial dependency path reach the classifier
+        # (CauseRelPro.java:219-222, getSimplifiedSignalDependencyPath
+        # != "O|O"); the rest are dropped entirely
+        mc = causal_signal_pair(doc, e1, e2)
+        if mc.dep1 == "O" and mc.dep2 == "O":
+            return None
         dep = ee_dependency_path(doc, e1, e2)
         feats = causal_vector(doc, e1, e2, dep, "O")
     return {"src": src, "tgt": tgt, "pair_class": PAIR_CAUSAL,
             "rule_label": rule, "gold": gold, "dep_path": "",
             "feats": feats}
+
+
+def attach_gold_tlink(doc, pairs: list,
+                      config: PipelineConfig = DEFAULT_CONFIG) -> None:
+    """Gold TLINK type per causal pair for the standalone CauseRelPro
+    TLINK one-hot (doc.getTlinkTypes lookup, then inverse —
+    CauseRelPro.java:200-213); travels with the pair so the distributed
+    merge never needs the document back."""
+    if not (config.causal and config.causal_tlink_gold):
+        return
+    raw = {}
+    for s, t, g in doc.tlinks:
+        raw[(s, t)] = g              # HashMap.put overwrite semantics
+    for p in pairs:
+        if p["pair_class"] == PAIR_CAUSAL:
+            t = raw.get((p["src"], p["tgt"]))
+            if t is None:
+                inv = raw.get((p["tgt"], p["src"]))
+                t = inverse_tlink(inv) if inv else None
+            p["gold_tlink"] = t if t is not None else "O"
 
 
 def stage1_document(content: str, name: str = "TEXT",
@@ -255,8 +310,10 @@ def stage1_document(content: str, name: str = "TEXT",
     # M5 candidate filter + causal candidate gen, then per-pair rule +
     # features; enumerate_pairs/process_pair are also the units of the
     # salted skew path (pipeline.run_extraction_salted)
-    pairs = [process_pair(doc, *cand, config=config)
-             for cand in enumerate_pairs(doc, config, gold_candidates)]
+    pairs = [p for cand in enumerate_pairs(doc, config, gold_candidates)
+             if (p := process_pair(doc, *cand, config=config)) is not None]
+
+    attach_gold_tlink(doc, pairs, config)
 
     nodes = []
     for e in doc.entities.values():
@@ -348,12 +405,17 @@ def merge_document(pairs: list, ttlinks: dict, models: CatenaModels,
         if todo:
             X = np.stack([np.asarray(p["feats"], dtype=np.float32)
                           for p in todo])
-            # fill the trailing 14-dim TLINK one-hot
+            # fill the trailing 14-dim TLINK one-hot — from the temporal
+            # stage's own output (integrated CATENA flow) or from the TXP
+            # gold annotation (standalone CauseRelPro flow)
             for i, p in enumerate(todo):
-                t = tlink_map.get((p["src"], p["tgt"]))
-                if t is None:
-                    inv = tlink_map.get((p["tgt"], p["src"]))
-                    t = inverse_tlink(inv) if inv else None
+                if config.causal_tlink_gold:
+                    t = p.get("gold_tlink")
+                else:
+                    t = tlink_map.get((p["src"], p["tgt"]))
+                    if t is None:
+                        inv = tlink_map.get((p["tgt"], p["src"]))
+                        t = inverse_tlink(inv) if inv else None
                 if t in TLINK_LABELS:
                     X[i, CAUSAL_DIM - 14 + TLINK_LABELS.index(t)] = 1.0
             labels = models.causal.predict_labels(X, CLINK_LABELS)
@@ -430,7 +492,7 @@ def extract_document(content: str, models: CatenaModels = None,
     {triples, nodes}. `gold_timeml`: optional paired gold TimeML whose
     TLINKs become the candidate pairs (goldCandidate mode)."""
     if models is None:
-        models = get_models(dense=config.dense)
+        models = get_models(dense=config.dense, model_set=config.model_set)
     gold_candidates = None
     if gold_timeml is not None:
         from .timeml import parse_timeml

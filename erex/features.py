@@ -219,6 +219,36 @@ def _find_signal(words: list, key_words: list, from_end: bool):
     return None
 
 
+def _java_offset(words: list, sig: str, last: bool):
+    """Token offset of a signal occurrence exactly as getSignalTidArr
+    resolves it (PairFeatureVector.java:873-892): raw SUBSTRING
+    indexOf/lastIndexOf over the space-padded context string, then a
+    space count — so e.g. 'over' can resolve into 'over-the-counter'
+    earlier in the context than the word-boundary match the regex found."""
+    ctx = " " + " ".join(words) + " "
+    idx = ctx.rfind(sig) if last else ctx.find(sig)
+    if idx < 0:
+        return None
+    return ctx.strip()[:idx].count(" ")
+
+
+def _java_distance(words: list, sig: str, from_end: bool):
+    """getSignalEntityDistance (PairFeatureVector.java:894-910): space
+    count before the first raw-substring occurrence; for BEFORE/BETWEEN
+    both context and signal are word-reversed first."""
+    ctx = " " + " ".join(words) + " "
+    if from_end:
+        parts = ctx.split(" ")
+        while parts and parts[-1] == "":
+            parts.pop()                      # Java split(" ") semantics
+        ctx = " ".join(reversed(parts))
+        sig = " ".join(reversed(sig.split(" ")))
+    idx = ctx.find(sig)
+    if idx < 0:
+        return None
+    return ctx.strip()[:idx].count(" ")
+
+
 def _index_window(words: list) -> tuple:
     """(first, last) n-gram offset indexes (n <= 6) for a context window
     — turns the per-dictionary-key scans into dict lookups."""
@@ -351,16 +381,18 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
             off_in = idx_in[0].get(tuple(kw))
             if off_in is not None and 0 < off_in and \
                     off_in + len(kw) < len(words_e):
-                sig_tids = tids_e[off_in:off_in + len(kw)]
-                candidates[off_in] = Marker(
+                joff = _java_offset(words_e, key, False)
+                sig_tids = tids_e[joff:joff + len(kw)]
+                candidates[_java_distance(words_e, key, False)] = Marker(
                     key, sig[key], "INSIDE",
                     signal_dep_path(doc, e1, sig_tids),
                     signal_dep_path(doc, e2, sig_tids))
                 break
             off = idx_bt[1].get(tuple(kw))
             if off is not None and 0 < off and off + len(kw) < len(wb):
-                sig_tids = tb[off:off + len(kw)]
-                candidates[(len(wb) - off - len(kw)) + 100] = Marker(
+                joff = _java_offset(wb, key, True)
+                sig_tids = tb[joff:joff + len(kw)]
+                candidates[_java_distance(wb, key, True) + 100] = Marker(
                     key, sig[key], "BETWEEN",
                     signal_dep_path(doc, e1, sig_tids),
                     signal_dep_path(doc, e2, sig_tids))
@@ -373,16 +405,18 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
             kw = key.split(" ")
             off = idx_bf[1].get(tuple(kw))
             if off is not None and 0 < off and off + len(kw) < len(wbf):
-                sig_tids = tbf[off:off + len(kw)]
-                candidates[(len(wbf) - off - len(kw)) + 200] = Marker(
+                joff = _java_offset(wbf, key, True)
+                sig_tids = tbf[joff:joff + len(kw)]
+                candidates[_java_distance(wbf, key, True) + 200] = Marker(
                     key, sig_event[key], "BEFORE",
                     signal_dep_path(doc, e2, sig_tids),
                     signal_dep_path(doc, e1, sig_tids))
                 break
             off = idx_bg[0].get(tuple(kw))
             if off is not None and 0 < off and off + len(kw) < len(wg):
-                sig_tids = tg[off:off + len(kw)]
-                candidates[off + 400] = Marker(
+                joff = _java_offset(wg, key, False)
+                sig_tids = tg[joff:joff + len(kw)]
+                candidates[_java_distance(wg, key, False) + 400] = Marker(
                     key, sig_event[key], "BEGIN",
                     signal_dep_path(doc, e2, sig_tids),
                     signal_dep_path(doc, e1, sig_tids))
@@ -394,8 +428,9 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
             kw = key.split(" ")
             off = idx[0].get(tuple(kw))
             if off is not None and 0 < off and off + len(kw) < len(words):
-                sig_tids = tids[off:off + len(kw)]
-                candidates[off] = Marker(
+                joff = _java_offset(words, key, False)
+                sig_tids = tids[joff:joff + len(kw)]
+                candidates[_java_distance(words, key, False)] = Marker(
                     key, sig_event[key], "BEGIN-BETWEEN", "O",
                     signal_dep_path(doc, e2, sig_tids))
                 break
@@ -440,8 +475,12 @@ def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
             off = idxs[pos][1 if from_end else 0].get(kt)
             if off is None or off == 0 or off + len(kw) >= len(words):
                 continue
-            sig_tids = tids[off:off + len(kw)]
-            dist = (len(words) - off - len(kw)) if from_end else off
+            # presence comes from the word-exact index (equivalent to the
+            # regex test); tid + distance use the reference's raw
+            # substring resolution, which may land on a different token
+            joff = _java_offset(words, key, from_end)
+            sig_tids = tids[joff:joff + len(kw)]
+            dist = _java_distance(words, key, from_end)
             candidates[dist + offset] = Marker(
                 key, slist[key], pos,
                 signal_dep_path(doc, ent, sig_tids), "")
@@ -545,7 +584,7 @@ def is_coreference(doc: Doc, e1: Entity, e2: Entity) -> bool:
 
 
 def timex_value_template(value: str) -> str:
-    """M11: digit-masking template, \d -> N (Timex.java:53-57)."""
+    r"""M11: digit-masking template, \d -> N (Timex.java:53-57)."""
     import re as _re
     return _re.sub(r"\d", "N", value)
 
@@ -574,8 +613,8 @@ def causal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                 continue
             text = mm.group().strip()
             kw = text.split(" ")
-            off = _find_signal(words, kw, from_end)
-            if off is None:
+            off = _java_offset(words, text, from_end)
+            if off is None or off + len(kw) > len(tids):
                 continue
             sig_tids = tids[off:off + len(kw)]
             d1 = signal_dep_path(doc, e1, sig_tids)
@@ -590,7 +629,7 @@ def causal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                 if d2 == "":
                     d2 = "O"
                 d1 = "O"
-            dist = (len(words) - off - len(kw)) if from_end else off
+            dist = _java_distance(words, text, from_end)
             put(dist + i, Marker(text, cluster, pos, d1, d2))
 
     if doc.same_sentence(e1, e2):
@@ -671,10 +710,15 @@ def _verb_marker(doc: Doc, e1: Entity, e2: Entity, text: str, tid: str,
 # candidate gating for CLINKs (M10; CauseRelPro.java:61-95)
 # ---------------------------------------------------------------------------
 def sentence_contains_causal_signal(doc: Doc, sid: str) -> bool:
+    """Reference quirk (CauseRelPro.java:61-74): the gate matches the
+    causal-signal MAP KEYS — which are the list file's numeric line
+    numbers — literally against the sentence text, so it fires only when
+    a sentence contains a bare small number.  Verified against the
+    compiled reference (tools/javaref causmark mode)."""
     s = doc.sentences[sid]
     text = " " + " ".join(doc.tokens[t].text.lower() for t in
                           doc.token_ids_between(s.start_tok, s.end_tok)) + " "
-    return any(rx.search(text) for rx, _p, _c in signals.causal_signals())
+    return any(f" {k} " in text for k in signals.causal_signal_keys())
 
 
 def sentence_contains_causal_verb(doc: Doc, sid: str) -> bool:

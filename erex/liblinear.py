@@ -26,16 +26,28 @@ import numpy as np
 
 class LinearModel:
     def __init__(self, labels, weights, bias=1.0,
-                 solver="L2R_L2LOSS_SVC_DUAL"):
+                 solver="L2R_L2LOSS_SVC_DUAL", java_semantics=False):
         self.labels = list(labels)          # model label ids (ints)
         self.weights = np.asarray(weights, dtype=np.float64)
         self.bias = bias
         self.solver = solver
         self.nr_feature = self.weights.shape[0] - (1 if bias >= 0 else 0)
+        # java_semantics=True reproduces how the reference CALLS
+        # liblinear-java at predict time (EventEventRelationClassifier.java:
+        # 289-309): instances are raw FeatureNode lists 1..x_dim with NO
+        # appended bias node.  Linear.predictValues then accepts node
+        # indices up to n = nr_feature + (bias>=0), so the instance's
+        # (nr_feature+1)-th feature value multiplies the BIAS weight row,
+        # and features beyond that are silently dropped.  The reference
+        # builds 269-dim E-E vectors against an nr_feature=266 model and
+        # 377-dim causal vectors against nr_feature=351 — this call
+        # convention is the actual shipped behavior, verified against the
+        # compiled reference (tools/javaref).
+        self.java_semantics = java_semantics
 
     # -- text format ---------------------------------------------------
     @classmethod
-    def load(cls, path: str) -> "LinearModel":
+    def load(cls, path: str, java_semantics: bool = False) -> "LinearModel":
         labels, nr_class, nr_feature, bias = [], 0, 0, -1.0
         solver = "L2R_L2LOSS_SVC_DUAL"
         rows = []
@@ -66,7 +78,7 @@ class LinearModel:
         w = w.reshape(-1, n_cols)
         expect = nr_feature + (1 if bias >= 0 else 0)
         assert w.shape[0] == expect, (w.shape, nr_feature, bias)
-        return cls(labels, w, bias, solver)
+        return cls(labels, w, bias, solver, java_semantics=java_semantics)
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
@@ -83,6 +95,14 @@ class LinearModel:
     def decision_values(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, dtype=np.float64)
         W = self.weights
+        if self.java_semantics:
+            # Linear.predictValues accepts node indices 1..n where
+            # n = nr_feature (+1 when bias >= 0); index n when bias >= 0
+            # hits the bias weight row, larger indices are ignored.  No
+            # bias node is appended by the reference's call sites.
+            n = self.nr_feature + (1 if self.bias >= 0 else 0)
+            k = min(X.shape[1], n)
+            return X[:, :k] @ W[:k]
         if self.bias >= 0:
             scores = X @ W[:-1] + self.bias * W[-1]
         else:

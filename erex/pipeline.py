@@ -26,6 +26,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -37,9 +38,9 @@ import ray.data as rd
 
 from ._env import remote_args
 from .extract import (FEAT_DIM, PAIR_CAUSAL, PAIR_DCT, PAIR_EE, PAIR_ET,
-                      DEFAULT_CONFIG, PipelineConfig, enumerate_pairs,
-                      get_models, merge_document, process_pair,
-                      stage1_document)
+                      DEFAULT_CONFIG, PipelineConfig, attach_gold_tlink,
+                      enumerate_pairs, get_models, merge_document,
+                      process_pair, stage1_document)
 
 # coarse shard for the doc-regrouping shuffle: grouping by doc_shard
 # instead of doc_sha keeps the same doc-locality guarantee (a shard is a
@@ -62,6 +63,8 @@ STAGE_SCHEMA = pa.schema([
     ("rule_label", pa.string()),
     ("cls_label", pa.string()),
     ("gold", pa.string()),
+    ("gold_tlink", pa.string()),      # causal pairs: TXP gold TLINK type
+                                      # (standalone CauseRelPro one-hot)
     ("feats", pa.list_(pa.float32())),
     ("src_kind", pa.string()),
     ("tgt_kind", pa.string()),
@@ -161,7 +164,7 @@ def extract_pairs_batch(batch: pa.Table,
                  kind="pair",
                  src=p["src"], tgt=p["tgt"], pair_class=p["pair_class"],
                  rule_label=p["rule_label"], gold=p["gold"],
-                 feats=p["feats"],
+                 gold_tlink=p.get("gold_tlink"), feats=p["feats"],
                  src_kind=sk, tgt_kind=tk,
                  src_form=_canon_form(sk, sf), tgt_form=_canon_form(tk, tf))
         for (src, tgt), rel in s1["ttlinks"].items():
@@ -242,14 +245,18 @@ def extract_salted_batch(batch: pa.Table, salt_threshold: int,
             else:
                 forms[e.eid] = ("TIMEX", e.value)
         if len(cands) <= salt_threshold:
-            for cand in cands:
-                p = process_pair(doc, *cand, config=config)
+            ps = [p for cand in cands
+                  if (p := process_pair(doc, *cand, config=config))
+                  is not None]
+            attach_gold_tlink(doc, ps, config)
+            for p in ps:
                 sk, sf = forms.get(p["src"], ("?", "?"))
                 tk, tf = forms.get(p["tgt"], ("?", "?"))
                 emit(doc_sha=doc_sha, doc_shard=shard, doc_path=dpath,
                      kind="pair", src=p["src"], tgt=p["tgt"],
                      pair_class=p["pair_class"],
                      rule_label=p["rule_label"], gold=p["gold"],
+                     gold_tlink=p.get("gold_tlink"),
                      feats=p["feats"], src_kind=sk, tgt_kind=tk,
                      src_form=_canon_form(sk, sf),
                      tgt_form=_canon_form(tk, tf))
@@ -302,8 +309,10 @@ def expand_salt_batch(batch: pa.Table, salt_threshold: int,
         lo = r["salt_block"] * salt_threshold
         hi = min(len(cands), lo + salt_threshold)
         forms = {}
-        for cand in cands[lo:hi]:
-            p = process_pair(doc, *cand, config=config)
+        ps = [p for cand in cands[lo:hi]
+              if (p := process_pair(doc, *cand, config=config)) is not None]
+        attach_gold_tlink(doc, ps, config)
+        for p in ps:
             for eid in (p["src"], p["tgt"]):
                 if eid not in forms:
                     e = doc.entities[eid]
@@ -314,6 +323,7 @@ def expand_salt_batch(batch: pa.Table, salt_threshold: int,
                  doc_path=r["doc_path"], kind="pair", src=p["src"],
                  tgt=p["tgt"], pair_class=p["pair_class"],
                  rule_label=p["rule_label"], gold=p["gold"],
+                 gold_tlink=p.get("gold_tlink"),
                  feats=p["feats"], src_kind=sk, tgt_kind=tk,
                  src_form=_canon_form(sk, sf), tgt_form=_canon_form(tk, tf))
     return pa.concat_tables([passthrough, _stage_table(cols)])
@@ -342,7 +352,8 @@ def run_extraction_salted(corpus_path: str,
     ds = ds.map_batches(
         lambda b: expand_salt_batch(b, salt_threshold, config),
         batch_format="pyarrow", **remote_args())
-    score_fn = _score_batch_task_dense if config.dense         else _score_batch_task
+    score_fn = functools.partial(_score_batch_task, dense=config.dense,
+                                 model_set=config.model_set)
     ds = ds.map_batches(score_fn, batch_format="pyarrow", **remote_args())
     ds = ds.groupby("doc_shard").map_groups(
         lambda g: _dict_encode(merge_shard(g, config)),
@@ -364,8 +375,9 @@ class LinearScorer:
       state is heavy (real model weights, embedding tables); kept
       first-class and tested."""
 
-    def __init__(self, model_dir: str = None, dense: bool = False):
-        self.models = get_models(model_dir, dense)
+    def __init__(self, model_dir: str = None, dense: bool = False,
+                 model_set: str = "reference"):
+        self.models = get_models(model_dir, dense, model_set)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -437,7 +449,7 @@ def merge_group_rows(rows: list,
     """One document's stage-2 rows -> final edge + node rows. Models for
     the causal head come from the module-level cache (tiny, loaded once
     per worker process)."""
-    models = get_models()
+    models = get_models(dense=config.dense, model_set=config.model_set)
     doc_sha = rows[0]["doc_sha"]
     doc_path = rows[0]["doc_path"]
     forms: dict = {}
@@ -456,7 +468,8 @@ def merge_group_rows(rows: list,
                           "pair_class": r["pair_class"],
                           "rule_label": r["rule_label"],
                           "cls_label": r["cls_label"],
-                          "gold": r["gold"], "feats": r["feats"]})
+                          "gold": r["gold"], "gold_tlink": r["gold_tlink"],
+                          "feats": r["feats"]})
     triples = merge_document(pairs, ttlinks, models, config)
     out = {name: [] for name in EDGE_SCHEMA.names}
 
@@ -496,14 +509,11 @@ def _dict_encode(t: pa.Table) -> pa.Table:
     return t
 
 
-def _score_batch_task(batch: pa.Table) -> pa.Table:
+def _score_batch_task(batch: pa.Table, dense: bool = False,
+                      model_set: str = "reference") -> pa.Table:
     """Task-mode scorer: model matrices come from the per-process
     lru_cache (loaded once per Ray worker)."""
-    return LinearScorer()(batch)
-
-
-def _score_batch_task_dense(batch: pa.Table) -> pa.Table:
-    return LinearScorer(dense=True)(batch)
+    return LinearScorer(dense=dense, model_set=model_set)(batch)
 
 
 def run_extraction(corpus_path: str,
@@ -540,11 +550,14 @@ def run_extraction(corpus_path: str,
                 if _ray.is_initialized() else 8
             scorer_concurrency = (1, max(2, ncpu))
         ds = ds.map_batches(LinearScorer, batch_format="pyarrow",
+                            fn_constructor_kwargs={
+                                "dense": config.dense,
+                                "model_set": config.model_set},
                             concurrency=scorer_concurrency,
                             **remote_args())
     else:
-        score_fn = _score_batch_task_dense if config.dense \
-            else _score_batch_task
+        score_fn = functools.partial(_score_batch_task, dense=config.dense,
+                                     model_set=config.model_set)
         ds = ds.map_batches(score_fn, batch_format="pyarrow",
                             **remote_args())
     if regroup:

@@ -239,7 +239,13 @@ def event_causality_rule(same_sentence: bool, m_text: str, m_cluster: str,
 
 
 def causality_link(cverb: str) -> str:
-    """cVerb decision -> CLINK / CLINK-R / 'O'."""
-    if cverb in ("O", "NONE"):
+    """cVerb decision -> CLINK / CLINK-R / 'O'.
+
+    Reference quirk (CauseRelPro.java:182-186): the caller tests only
+    ``!rule.equals("O")``, so the rule value "NONE" — a causal-verb
+    marker whose dependency pattern FAILED — still becomes a CLINK
+    prediction.  Verified against the compiled reference on
+    wsj_1014.tml.txp (30 of its 34 causal triples arise this way)."""
+    if cverb == "O":
         return "O"
     return "CLINK-R" if "-R" in cverb else "CLINK"

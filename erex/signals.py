@@ -57,13 +57,36 @@ def temporal_timex_keys_sorted() -> tuple:
     return tuple(sorted(temporal_timex_signals(), reverse=True))
 
 
+def _load_signal_rows() -> list:
+    """causal_signal.tsv rows (key, pattern, cluster) in file order."""
+    txt = (_res.files("erex") / "resources" / "causal_signal.tsv").read_text()
+    out = []
+    for line in txt.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) == 3:
+            out.append((parts[0], parts[1], parts[2]))
+    return out
+
+
 @lru_cache(maxsize=None)
 def causal_signals() -> list:
     """[(compiled space-padded pattern, raw pattern, cluster)] in file order."""
     out = []
-    for pat, cluster in _load_tsv("causal_signal.tsv"):
+    for _key, pat, cluster in _load_signal_rows():
         out.append((re.compile(" " + pat + " "), pat, cluster))
     return out
+
+
+@lru_cache(maxsize=None)
+def causal_signal_keys() -> tuple:
+    """The numeric map keys of CausalSignalList.getList() — matched
+    LITERALLY against sentence text by the candidate gate
+    (CauseRelPro.isContainCausalSignal, CauseRelPro.java:61-74), a
+    reference quirk: readSignalFile keys its maps by the first `|||`
+    column, which is the line number."""
+    return tuple(k for k, _p, _c in _load_signal_rows())
 
 
 @lru_cache(maxsize=None)

@@ -303,7 +303,14 @@ def _resolve_fields(header_line: str) -> Optional[list]:
     if not header_line.startswith("# FIELDS:"):
         return None
     raw = header_line[len("# FIELDS:"):].strip().split("\t")
-    return [_FIELD_ALIASES.get(f, f) for f in raw if f]
+    fields = [_FIELD_ALIASES.get(f, f) for f in raw if f]
+    # The reference's 24-column example files label their final TLINK
+    # column "O" in the header; the real layout is known only to the
+    # hard-coded Field[] in TempRelPro.java's main (fieldsFile, where
+    # column 24 is Field.tlink).
+    if fields and fields[-1] == "O" and "tlink" not in fields:
+        fields[-1] = "tlink"
+    return fields
 
 
 def parse_txp(content: str, fields: Sequence[str] = None,

@@ -49,8 +49,20 @@ def test_two_class_single_column(tmp_path):
 def test_shipped_models_load():
     from erex.extract import get_models
     from erex.features import ET_DIM, EE_DIM, CAUSAL_DIM
+    # default set: the reference system's own weights, with the
+    # liblinear-java call-site semantics (nr_feature below the vector
+    # dims is the shipped reality — see resources/models_ref/README.md)
     m = get_models()
-    assert m.dct.nr_feature == ET_DIM
-    assert m.et.nr_feature == ET_DIM
-    assert m.ee.nr_feature == EE_DIM
-    assert m.causal.nr_feature == CAUSAL_DIM
+    assert m.dct.nr_feature == 268 and m.dct.java_semantics
+    assert m.et.nr_feature == 268 and m.et.java_semantics
+    assert m.ee.nr_feature == 266 and m.ee.java_semantics
+    assert m.causal.nr_feature == 351 and m.causal.java_semantics
+    assert [len(lbls) for lbls in
+            (m.dct.labels, m.et.labels, m.ee.labels, m.causal.labels)] \
+        == [7, 10, 10, 3]
+    # self-trained stand-ins keep the full engineered dimensionality
+    m2 = get_models(model_set="selftrained")
+    assert m2.dct.nr_feature == ET_DIM
+    assert m2.et.nr_feature == ET_DIM
+    assert m2.ee.nr_feature == EE_DIM
+    assert m2.causal.nr_feature == CAUSAL_DIM

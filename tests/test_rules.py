@@ -215,7 +215,9 @@ def test_causality_rule_table():
                                 "OBJ") == "AFFECT"
     assert event_causality_rule(False, "cause", "CAUSE", "SBJ", "OBJ") == "O"
     assert event_causality_rule(True, "x", "O", "SBJ", "OBJ") == "O"
-    assert causality_link("NONE") == "O"
+    # reference quirk: the caller only tests rule != "O", so a failed
+    # dep-pattern ("NONE") still yields CLINK (CauseRelPro.java:182-186)
+    assert causality_link("NONE") == "CLINK"
     assert causality_link("O") == "O"
 
 
