@@ -52,6 +52,8 @@ N_DOC_SHARDS = 256
 # unified row schema flowing between the stages (nullable everywhere)
 STAGE_SCHEMA = pa.schema([
     ("doc_sha", pa.string()),
+    ("doc_rows", pa.int32()),         # rows stage 1 emitted for this doc —
+                                      # the fused merge's completeness guard
     ("doc_shard", pa.int32()),
     ("salt_block", pa.int32()),       # salted path: pair-slice index
     ("content", pa.string()),         # salted path: doc text re-shipped
@@ -155,6 +157,7 @@ def extract_pairs_batch(batch: pa.Table,
         doc_sha = hashlib.sha256(content.encode()).hexdigest()
         shard = int(doc_sha[:4], 16) % N_DOC_SHARDS
         s1 = stage1_document(content, name=dpath, config=config)
+        doc_start = len(cols["doc_sha"])
         forms = {n["mention_id"]: (n["kind"], n["surface"])
                  for n in s1["nodes"]}
         for p in s1["pairs"]:
@@ -181,6 +184,10 @@ def extract_pairs_batch(batch: pa.Table,
                  src=n["mention_id"], src_kind=n["kind"],
                  surface=n["surface"], attr=n["attr"],
                  src_form=_canon_form(n["kind"], n["surface"]))
+        # stamp every row of this document with the doc's total row
+        # count — the fused merge's completeness guard
+        n_rows = len(cols["doc_sha"]) - doc_start
+        cols["doc_rows"][doc_start:] = [n_rows] * n_rows
     return _stage_table(cols)
 
 
@@ -422,7 +429,30 @@ def merge_batch(batch: pa.Table,
     WHOLE documents — the merge can run as a plain map_batches. Use
     `regroup=True` in run_extraction when that invariant is broken
     (e.g. pair-level salting of giant documents), which routes through
-    groupby(doc_shard) instead."""
+    groupby(doc_shard) instead.
+
+    The invariant is GUARDED, not assumed: stage 1 stamps every row
+    with its document's total row count (doc_rows), and any document
+    arriving here with fewer rows than stamped raises instead of being
+    silently merged as a half-document (wrong anchor maps / closure)."""
+    counts: dict = {}
+    for sha in batch.column("doc_sha").to_pylist():
+        counts[sha] = counts.get(sha, 0) + 1
+    shas = batch.column("doc_sha").to_pylist()
+    expected = batch.column("doc_rows").to_pylist()
+    bad = {}
+    for sha, exp in zip(shas, expected):
+        if exp is not None and counts[sha] != exp:
+            bad[sha] = (counts[sha], exp)
+    if bad:
+        sha, (got, exp) = next(iter(bad.items()))
+        raise RuntimeError(
+            f"fused merge received a split document: doc {sha[:12]} has "
+            f"{got} of {exp} stage-1 rows in this batch ({len(bad)} "
+            "affected doc(s)). The execution plan re-chunked between the "
+            "fused stages; rerun with run_extraction(..., regroup=True) "
+            "to route the merge through the explicit groupby(doc_shard) "
+            "shuffle.")
     return merge_shard(batch, config)
 
 
@@ -610,6 +640,12 @@ def run_flagship_resumable(corpus_path: str, out_dir: str,
             continue
         ds = run_extraction(frag, config)
         part_dir = os.path.join(out_dir, f"frag={frag_id}")
+        # a crash between write_parquet and the manifest marker leaves
+        # stale files; a rerun would add new uniquely-named files beside
+        # them and readers would see duplicated rows — clear first
+        if os.path.isdir(part_dir):
+            import shutil
+            shutil.rmtree(part_dir)
         ds.write_parquet(part_dir)
         # manifest written only after a successful write (atomic rename)
         meta = {"fragment": frag, "frag_id": frag_id}

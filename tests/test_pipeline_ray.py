@@ -74,6 +74,18 @@ def test_resumable_run_skips_done_fragments(corpus, tmp_path):
     m2 = run_flagship_resumable(corpus, str(out))
     assert m2["fragments_skipped"] == 1  # second run is a no-op
 
+    # crash-recovery: stale parquet without a manifest marker (crash
+    # between write and marker) must be REPLACED on rerun, not appended
+    import pandas as pd
+    frag_dirs = [d for d in out.iterdir() if d.name.startswith("frag=")]
+    assert len(frag_dirs) == 1
+    n_before = len(pd.read_parquet(frag_dirs[0]))
+    marker = next((out / "_manifest").glob("*.json"))
+    marker.unlink()                      # simulate lost marker
+    m3 = run_flagship_resumable(corpus, str(out))
+    assert m3["fragments_skipped"] == 0  # reprocessed
+    assert len(pd.read_parquet(frag_dirs[0])) == n_before  # no dupes
+
 
 def test_closure_consistency_of_output(corpus):
     """Property: the consistent edges of each document re-close with no
@@ -136,3 +148,27 @@ def test_actor_pool_scorer_mode(corpus):
     b = norm(run_extraction(corpus, scorer_mode="actors",
                             scorer_concurrency=2).to_pandas())
     assert len(a) > 0 and a.equals(b)
+
+
+def test_fused_merge_guard_detects_split_document():
+    """A document split across two batches must raise loudly in the
+    fused merge (never be merged as two half-documents); the regroup
+    path handles the same rows correctly."""
+    import pytest as _pytest
+    from erex.corpus import generate_txp
+    from erex.extract import DEFAULT_CONFIG
+    from erex.pipeline import extract_pairs_batch, merge_batch, merge_shard
+    import pyarrow as _pa
+
+    batch = _pa.table({"content": [generate_txp(3)],
+                       "path": ["doc_3.txp"]})
+    staged = extract_pairs_batch(batch, DEFAULT_CONFIG)
+    assert staged.num_rows > 4
+    half = staged.slice(0, staged.num_rows // 2)
+    with _pytest.raises(RuntimeError, match="split document"):
+        merge_batch(half, DEFAULT_CONFIG)
+    # whole batch passes the guard and merges
+    merged = merge_batch(staged, DEFAULT_CONFIG)
+    assert merged.num_rows > 0
+    # regroup-style merge of the same rows gives identical output
+    assert merge_shard(staged, DEFAULT_CONFIG).num_rows == merged.num_rows
