@@ -212,6 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": lambda sf: similarity.embedding_dup_pairs(
             sf, threshold_micro=400_000),
+        "dedup_embedding_lsh": lambda sf: similarity.embedding_dup_pairs_lsh(
+            sf, threshold_micro=400_000),
+        "dedup_ngram_capped": lambda sf: dedup.ngram_jaccard_pairs(
+            sf, df_cap=8),
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -357,6 +361,38 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
                 FROM sh a JOIN sh b
                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+                       AS jaccard_milli
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+                  >= 200
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_ngram_capped": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 3
+                UNION
+                SELECT DISTINCT doc_id, array_to_string(ws, ' ')
+                FROM toks WHERE len(ws) < 3 AND len(ws) > 0),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            ok AS (SELECT shingle FROM sh GROUP BY shingle
+                   HAVING COUNT(*) <= 8),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                JOIN ok ON ok.shingle = a.shingle
                 GROUP BY a.doc_id, b.doc_id)
             SELECT da AS doc_a, db AS doc_b,
                    CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)

@@ -26,3 +26,14 @@ def remote_args() -> dict:
     existing = os.environ.get("PYTHONPATH", "")
     path = REPO_DIR + (":" + existing if existing else "")
     return {"runtime_env": {"env_vars": {"PYTHONPATH": path}}}
+
+
+def pool_size(frac: float = 0.5, lo: int = 2, hi: int = 64) -> tuple:
+    """Actor-pool concurrency sized to the cluster: (min, max) workers
+    proportional to total CPUs so a stage neither starves a big cluster
+    (a fixed pool of 2 on 32 cores) nor oversubscribes a small one."""
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    top = max(lo, min(hi, int(ncpu * frac)))
+    return (1, top)

@@ -70,42 +70,118 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (SQL-checkable)
 # ---------------------------------------------------------------------------
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
-                        threshold_milli: int = 200) -> pd.DataFrame:
-    """All doc pairs with Jaccard(3-gram shingle sets) >= threshold.
-    Distributed shape: explode distinct shingles -> groupby(shingle)
-    emits co-occurring pairs -> groupby(pair) counts intersections ->
-    broadcast set sizes -> filter. Returns (doc_a, doc_b,
-    jaccard_milli)."""
+def _shingle_sizes_ds(sf_dir: str, n: int, col: str) -> "rd.Dataset":
+    """Distributed (doc_id, <col>=|shingle set|) — one small row per doc,
+    computed inside map_batches (the documents table itself never
+    reaches the driver)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def sizes(t: pa.Table) -> pa.Table:
+        ns = [len(shingle_set(x, n)) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         col: pa.array(ns, pa.int64())})
+
+    return ds.map_batches(sizes, batch_format="pyarrow", **remote_args())
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the cluster: each partition is
+    an aggregator actor, so more partitions than CPUs stalls small
+    sessions; at scale this should track total cores."""
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    return max(2, min(64, ncpu // 2))
+
+
+def _finish_jaccard(pairs: "rd.Dataset", sf_dir: str, n: int,
+                    threshold_milli: int) -> pd.DataFrame:
+    """(doc_a, doc_b, inter) -> verified (doc_a, doc_b, jaccard_milli)
+    via two distributed hash joins against the per-doc set sizes —
+    nothing bigger than the FINAL result reaches the driver."""
+    npart = _join_partitions()
+    na = _shingle_sizes_ds(sf_dir, n, "na")
+    nb = _shingle_sizes_ds(sf_dir, n, "nb")
+    joined = pairs.join(na, "inner", npart, on=("doc_a",),
+                        right_on=("doc_id",))
+    joined = joined.join(nb, "inner", npart, on=("doc_b",),
+                         right_on=("doc_id",))
+
+    def score(t: pa.Table) -> pa.Table:
+        inter = np.asarray(t.column("inter").to_pylist(), dtype=np.int64)
+        na_ = np.asarray(t.column("na").to_pylist(), dtype=np.int64)
+        nb_ = np.asarray(t.column("nb").to_pylist(), dtype=np.int64)
+        union = np.clip(na_ + nb_ - inter, 1, None)
+        jm = np.floor(1000 * inter / union).astype(np.int64)
+        keep = jm >= threshold_milli
+        return pa.table({
+            "doc_a": pa.array(np.asarray(t.column("doc_a").to_pylist(),
+                                         dtype=np.int64)[keep]),
+            "doc_b": pa.array(np.asarray(t.column("doc_b").to_pylist(),
+                                         dtype=np.int64)[keep]),
+            "jaccard_milli": pa.array(jm[keep])})
+
+    out = joined.map_batches(score, batch_format="pyarrow", **remote_args())
+    return out.to_pandas().sort_values(["doc_a", "doc_b"])\
+        .reset_index(drop=True)
+
+
+def _exploded_shingles(sf_dir: str, n: int,
+                       doc_filter_ref=None) -> "rd.Dataset":
+    """(shingle, doc_id) rows, optionally restricted to a broadcast doc
+    id set (ray.put'd frozenset)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, shs, sizes_id, sizes_n = [], [], [], []
+        import ray as _ray
+        allow = _ray.get(doc_filter_ref) if doc_filter_ref is not None \
+            else None
+        ids, shs = [], []
         for d, x in zip(t.column("doc_id").to_pylist(),
                         t.column("text").to_pylist()):
-            ss = shingle_set(x, n)
-            sizes_id.append(d)
-            sizes_n.append(len(ss))
-            for s in ss:
+            if allow is not None and d not in allow:
+                continue
+            for s in shingle_set(x, n):
                 ids.append(d)
                 shs.append(s)
         return pa.table({"shingle": pa.array(shs, pa.string()),
                          "doc_id": pa.array(ids, pa.int64())})
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow", **remote_args())
+    return ds.map_batches(explode, batch_format="pyarrow", **remote_args())
+
+
+def _shingle_shard(t: pa.Table) -> pa.Table:
+    sh = [int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % 64
+          for s in t.column("shingle").to_pylist()]
+    return t.append_column("shard", pa.array(sh, pa.int32()))
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
+                        threshold_milli: int = 200,
+                        df_cap: int = None) -> pd.DataFrame:
+    """All doc pairs with Jaccard(3-gram shingle sets) >= threshold.
+    Distributed shape: explode distinct shingles -> groupby(shingle)
+    emits co-occurring pairs -> groupby(pair) counts intersections ->
+    hash-join per-doc set sizes -> filter. Returns (doc_a, doc_b,
+    jaccard_milli).
+
+    df_cap: drop shingles whose document frequency exceeds the cap
+    before pair generation (stop-shingle filtering) — the per-shingle
+    pair fan-out is O(df^2), so one stop-word-like shingle shared by a
+    million documents is otherwise a single-key blowup. The groupby
+    co-locates ALL rows of a shingle, so the cap sees true global DF."""
+    exploded = _exploded_shingles(sf_dir, n)
 
     # shard-then-local-groupby (see minhash_lsh_pairs): one coarse
     # shuffle key, vectorized per-shard pair counting
-    def add_shard(t: pa.Table) -> pa.Table:
-        sh = [int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % 64
-              for s in t.column("shingle").to_pylist()]
-        return t.append_column("shard", pa.array(sh, pa.int32()))
-
     def shard_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
         agg: dict = {}
         for _s, docs in g.groupby("shingle")["doc_id"]:
             u = sorted(docs.unique())
+            if df_cap is not None and len(u) > df_cap:
+                continue
             for i in range(len(u)):
                 for j in range(i + 1, len(u)):
                     k = (u[i], u[j])
@@ -115,26 +191,14 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
              "inter": np.fromiter(agg.values(), dtype=np.int64,
                                   count=len(agg))})
 
-    pairs = (exploded.map_batches(add_shard, batch_format="pyarrow", **remote_args())
+    pairs = (exploded.map_batches(_shingle_shard, batch_format="pyarrow",
+                                  **remote_args())
              .groupby("shard")
-             .map_groups(shard_pair_counts, batch_format="pandas", **remote_args())
+             .map_groups(shard_pair_counts, batch_format="pandas",
+                         **remote_args())
              .groupby(["doc_a", "doc_b"])
              .aggregate(Sum("inter", alias_name="inter")))
-
-    # set sizes: small enough to collect (one row per doc)
-    sizes_df = pd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    sizes = {d: len(shingle_set(x, n))
-             for d, x in zip(sizes_df["doc_id"], sizes_df["text"])}
-    df = pairs.to_pandas()
-    na = df["doc_a"].map(sizes)
-    nb = df["doc_b"].map(sizes)
-    union = na + nb - df["inter"]
-    df["jaccard_milli"] = np.floor(
-        1000 * df["inter"] / union.clip(lower=1)).astype(np.int64)
-    df = df[df["jaccard_milli"] >= threshold_milli]
-    return df[["doc_a", "doc_b", "jaccard_milli"]].sort_values(
-        ["doc_a", "doc_b"]).reset_index(drop=True)
+    return _finish_jaccard(pairs, sf_dir, n, threshold_milli)
 
 
 # ---------------------------------------------------------------------------
@@ -210,25 +274,53 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
                     b.append(u[j])
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
+    from ray.data.aggregate import Count as _Count
+
     cand = (buckets.map_batches(add_shard, batch_format="pyarrow", **remote_args())
             .groupby("shard")
-            .map_groups(shard_pairs, batch_format="pandas", **remote_args()))
-    cand_df = cand.to_pandas().drop_duplicates()
+            .map_groups(shard_pairs, batch_format="pandas", **remote_args())
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(_Count(alias_name="_nb")))  # distributed dedup
+    cand_df = cand.to_pandas()[["doc_a", "doc_b"]]
 
-    # verification against exact shingle Jaccard (small candidate set)
-    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    sets = {d: shingle_set(x, n) for d, x in zip(docs["doc_id"],
-                                                 docs["text"])}
-    out = []
-    for da, db in cand_df.itertuples(index=False):
-        sa, sb = sets[da], sets[db]
-        union = len(sa | sb)
-        jm = int(1000 * len(sa & sb) / max(1, union))
-        if jm >= threshold_milli:
-            out.append((da, db, jm))
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_milli"])\
-        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # verification: exact shingle Jaccard computed DISTRIBUTED — the
+    # candidate pair list (small: LSH collisions only) is broadcast,
+    # shingles of candidate docs are re-exploded and intersections
+    # counted per shingle group, then set sizes are hash-joined in.
+    # No document text or shingle dict ever sits on the driver.
+    if cand_df.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard_milli"])
+    import ray as _ray
+    cand_pairs = frozenset(map(tuple, cand_df.to_numpy()))
+    cand_docs = frozenset(cand_df["doc_a"]) | frozenset(cand_df["doc_b"])
+    pairs_ref = _ray.put(cand_pairs)
+    docs_ref = _ray.put(cand_docs)
+
+    exploded = _exploded_shingles(sf_dir, n, doc_filter_ref=docs_ref)
+
+    def shard_inter(g: pd.DataFrame) -> pd.DataFrame:
+        allowed = _ray.get(pairs_ref)
+        agg: dict = {}
+        for _s, docs in g.groupby("shingle")["doc_id"]:
+            u = sorted(docs.unique())
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    k = (u[i], u[j])
+                    if k in allowed:
+                        agg[k] = agg.get(k, 0) + 1
+        return pd.DataFrame(
+            {"doc_a": [k[0] for k in agg], "doc_b": [k[1] for k in agg],
+             "inter": np.fromiter(agg.values(), dtype=np.int64,
+                                  count=len(agg))})
+
+    inter = (exploded.map_batches(_shingle_shard, batch_format="pyarrow",
+                                  **remote_args())
+             .groupby("shard")
+             .map_groups(shard_inter, batch_format="pandas",
+                         **remote_args())
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Sum("inter", alias_name="inter")))
+    return _finish_jaccard(inter, sf_dir, n, threshold_milli)
 
 
 # ---------------------------------------------------------------------------
@@ -287,9 +379,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                     rows.append((da, db, ham))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
 
+    # distributed dedup + filter: duplicate (pair) rows from different
+    # bands carry the same hamming, so Min collapses them; only the
+    # final near-dup pairs reach the driver
     cand = (buckets.map_batches(add_shard, batch_format="pyarrow", **remote_args())
             .groupby("shard")
-            .map_groups(shard_pairs, batch_format="pandas", **remote_args()))
-    df = cand.to_pandas().drop_duplicates()
-    df = df[df["hamming"] <= max_hamming]
-    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            .map_groups(shard_pairs, batch_format="pandas", **remote_args())
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Min("hamming", alias_name="hamming"))
+            .filter(expr=f"hamming <= {max_hamming}"))
+    return cand.to_pandas().sort_values(["doc_a", "doc_b"])\
+        .reset_index(drop=True)

@@ -20,7 +20,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from .._env import remote_args
+from .._env import pool_size, remote_args
 
 _MAGIC = b"ERXI"
 _HEADER = struct.Struct("<4sIII")  # magic, width, height, channels
@@ -88,7 +88,8 @@ def image_meta(sf_dir: str) -> pd.DataFrame:
     (doc_id, width, height, channels, n_bytes)."""
     ds = _with_payloads(sf_dir)
     out = ds.map_batches(FakeImageCodec, batch_format="pyarrow",
-                         batch_size=256, concurrency=2, **remote_args())
+                         batch_size=256, concurrency=pool_size(),
+                         **remote_args())
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 

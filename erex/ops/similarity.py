@@ -94,29 +94,66 @@ def _lsh_bucket(X: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(_N_PLANES))).sum(axis=1)
 
 
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic hyperplanes — recomputed identically in every task
+    from the fixed seed (no driver state shipped)."""
+    return np.random.RandomState(24680).normal(size=(_N_PLANES, dim))
+
+
 def ann_lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
-    """Approximate top-k: random-hyperplane buckets; each query only
-    scans its own bucket. Returns the same schema as ann_cosine_topk;
-    recall is validated against the exact result in tests."""
-    ids_all, M_all = _load_matrix(sf_dir)
-    dim = M_all.shape[1]
-    planes = _HP_RNG.normal(size=(_N_PLANES, dim))
-    Mn = _normalize(M_all)
-    buckets = _lsh_bucket(Mn, planes)
-    q_mask = ids_all < n_queries
+    """Approximate top-k as a REAL Ray pipeline: the corpus streams
+    through map_batches; each task recomputes the deterministic
+    hyperplanes, buckets its batch rows, and scores only rows landing in
+    a query's multi-probe bucket set (the query matrix + probe sets are
+    one small ray.put broadcast).  Per-batch partial top-k; the driver
+    merges only k*Q rows.  Same schema as ann_cosine_topk; recall is
+    validated against the exact result in tests."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    # queries: pruned read + filter (n_queries rows reach the driver)
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids = qdf["vec_id"].to_numpy()
+    Q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    planes = _hyperplanes(Q.shape[1])
+    q_buckets = _lsh_bucket(Q, planes)
+    # multi-probe: the query's bucket plus all Hamming-1 neighbours
+    probes = [frozenset({int(b)} | {int(b) ^ (1 << p)
+                                    for p in range(_N_PLANES)})
+              for b in q_buckets]
+    q_ref = ray.put((q_ids, Q, probes))
+
+    def partial(t: pa.Table) -> pa.Table:
+        q_ids_, Q_, probes_ = ray.get(q_ref)
+        vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        X = _normalize(np.stack(
+            t.column("embedding").to_pylist()).astype(np.float64))
+        bkt = _lsh_bucket(X, _hyperplanes(X.shape[1]))
+        rows = {"query_id": [], "vec_id": [], "cos_micro": []}
+        for qi, qid in enumerate(q_ids_):
+            mask = np.isin(bkt, list(probes_[qi])) & (vid != qid)
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            sims = X[idx] @ Q_[qi]
+            order = idx[np.lexsort((vid[idx], -sims))][:k]
+            simmap = dict(zip(idx, sims))
+            for i in order:
+                rows["query_id"].append(int(qid))
+                rows["vec_id"].append(int(vid[i]))
+                rows["cos_micro"].append(
+                    int(np.floor(simmap[i] * 1_000_000 + 0.5)))
+        return pa.table({c: pa.array(v) for c, v in rows.items()})
+
+    df = ds.map_batches(partial, batch_format="pyarrow",
+                        **remote_args()).to_pandas()
     rows = []
-    for qid, qv, qb in zip(ids_all[q_mask], Mn[q_mask], buckets[q_mask]):
-        # multi-probe: the query's bucket plus all Hamming-1 neighbours
-        probe = {int(qb)} | {int(qb) ^ (1 << p) for p in range(_N_PLANES)}
-        mask = np.isin(buckets, list(probe)) & (ids_all != qid)
-        cand_ids = ids_all[mask]
-        if cand_ids.size == 0:
-            continue
-        sims = Mn[mask] @ qv
-        order = np.lexsort((cand_ids, -sims))[:k]
-        for r, i in enumerate(order, 1):
-            rows.append((int(qid), r, int(cand_ids[i]),
-                         int(np.floor(sims[i] * 1_000_000 + 0.5))))
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["cos_micro", "vec_id"],
+                          ascending=[False, True]).head(k)
+        for r, (_, rec) in enumerate(g.iterrows(), 1):
+            rows.append((int(qid), r, int(rec["vec_id"]),
+                         int(rec["cos_micro"])))
     return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id",
                                        "cos_micro"])
 
@@ -152,6 +189,83 @@ def embedding_dup_pairs(sf_dir: str,
 
     return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
         .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+_DUP_BANDS = 4
+_DUP_PLANES_PER_BAND = 4
+
+
+def embedding_dup_pairs_lsh(sf_dir: str,
+                            threshold_micro: int = 950_000) -> pd.DataFrame:
+    """Near-dup pairs at scale: 16 deterministic hyperplanes split into
+    4 bands of 4 bits; a pair of vectors with cosine >= 0.95 agrees on
+    a 4-bit band with p ~ 0.65, so 4 bands give ~98.5% recall while
+    only ever comparing WITHIN band buckets (never all-pairs, no
+    broadcast matrix).  Exact cosine verification happens inside the
+    band-bucket groups; duplicate hits from different bands collapse in
+    a distributed groupby.  Same schema as embedding_dup_pairs."""
+    from ray.data.aggregate import Max as _Max
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        X = _normalize(np.stack(
+            t.column("embedding").to_pylist()).astype(np.float64))
+        planes = np.random.RandomState(97531).normal(
+            size=(_DUP_BANDS * _DUP_PLANES_PER_BAND, X.shape[1]))
+        bits = (X @ planes.T) > 0                  # (n, 16)
+        out = {"band": [], "bucket": [], "vec_id": [], "embedding": []}
+        vids = t.column("vec_id").to_pylist()
+        embs = t.column("embedding").to_pylist()
+        for b in range(_DUP_BANDS):
+            sl = bits[:, b * _DUP_PLANES_PER_BAND:
+                      (b + 1) * _DUP_PLANES_PER_BAND]
+            keys = (sl * (1 << np.arange(_DUP_PLANES_PER_BAND))).sum(axis=1)
+            out["band"].extend([b] * len(vids))
+            out["bucket"].extend(int(k) for k in keys)
+            out["vec_id"].extend(vids)
+            out["embedding"].extend(embs)
+        return pa.table({"band": pa.array(out["band"], pa.int32()),
+                         "bucket": pa.array(out["bucket"], pa.int32()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "embedding": pa.array(out["embedding"])})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"vec_a": [], "vec_b": [], "cos_micro": []}
+        for (_b, _k), sub in g.groupby(["band", "bucket"]):
+            sub = sub.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            X = _normalize(np.stack(sub["embedding"].to_numpy())
+                           .astype(np.float64))
+            sims = X @ X.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            cm = np.floor(sims[iu, ju] * 1_000_000 + 0.5).astype(np.int64)
+            keep = cm >= threshold_micro
+            rows["vec_a"].extend(int(v) for v in ids[iu[keep]])
+            rows["vec_b"].extend(int(v) for v in ids[ju[keep]])
+            rows["cos_micro"].extend(int(v) for v in cm[keep])
+        return pd.DataFrame(rows)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = [(b * 17 + k) % 64 for b, k in
+              zip(t.column("band").to_pylist(),
+                  t.column("bucket").to_pylist())]
+        return t.append_column("shard", pa.array(sh, pa.int32()))
+
+    out = (ds.map_batches(bucketize, batch_format="pyarrow", **remote_args())
+             .map_batches(add_shard, batch_format="pyarrow", **remote_args())
+             .groupby("shard")
+             .map_groups(bucket_pairs, batch_format="pandas",
+                         **remote_args())
+             .groupby(["vec_a", "vec_b"])
+             .aggregate(_Max("cos_micro", alias_name="cos_micro")))
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["vec_a", "vec_b", "cos_micro"])
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 def embedding_centroids(sf_dir: str) -> pd.DataFrame:

@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from .._env import remote_args
+from .._env import pool_size, remote_args
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 _ALPHA = re.compile(r"[A-Za-z]")
@@ -99,7 +99,7 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pyarrow", batch_size=1024,
-                         concurrency=2, **remote_args())
+                         concurrency=pool_size(), **remote_args())
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 

@@ -135,3 +135,39 @@ def test_closure_aware_prf(ray_session):
     assert 0.0 <= res["precision"] <= 1.0
     assert 0.0 <= res["recall"] <= 1.0
     assert res["n_sys"] > 0 and res["n_gold"] > 0
+
+
+def test_embedding_dup_lsh_recall(ray_session):
+    """The banded scale path must recover almost all exact near-dup
+    pairs (4 bands x 4 bits => ~98.5% expected recall at cos>=0.95) and
+    never report a pair below threshold (verification is exact)."""
+    from erex.ops.similarity import embedding_dup_pairs, \
+        embedding_dup_pairs_lsh
+    thr = 400_000
+    exact = embedding_dup_pairs(SF, threshold_micro=thr)
+    approx = embedding_dup_pairs_lsh(SF, threshold_micro=thr)
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    a = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert a <= e                       # no false positives
+    assert len(e) > 0
+    assert len(a & e) / len(e) >= 0.5   # cos 0.4 pairs collide less
+                                        # often than true near-dups
+    # scores of recovered pairs match the exact computation
+    em = {(r.vec_a, r.vec_b): r.cos_micro
+          for r in exact.itertuples(index=False)}
+    for r in approx.itertuples(index=False):
+        assert em[(r.vec_a, r.vec_b)] == r.cos_micro
+
+
+def test_ngram_jaccard_df_cap(ray_session):
+    """df_cap only removes pair contributions from high-DF shingles;
+    with a cap above every DF the result is unchanged."""
+    from erex.ops.dedup import ngram_jaccard_pairs
+    base = ngram_jaccard_pairs(SF, threshold_milli=200)
+    capped_hi = ngram_jaccard_pairs(SF, threshold_milli=200, df_cap=10**9)
+    pd.testing.assert_frame_equal(base, capped_hi)
+    capped = ngram_jaccard_pairs(SF, threshold_milli=200, df_cap=8)
+    # capping can only lower intersection counts => subset of pairs
+    b = set(zip(base["doc_a"], base["doc_b"]))
+    c = set(zip(capped["doc_a"], capped["doc_b"]))
+    assert c <= b
