@@ -126,6 +126,36 @@ def _catena_confusion_collapsed(sf_dir: str):
     return out.sort_values(["gold_c", "pred_c"]).reset_index(drop=True)
 
 
+def _label_collapse_variants(sf_dir: str):
+    """M13 collapse-variant maps 1-6 / 01-03 / binary as a Ray column
+    transform over the full input label vocabulary; hash-checked against
+    an equivalent SQL CASE formulation (the maps themselves are
+    transcribed from PairFeatureVector.java:3208-3490 and pinned by
+    tests/test_labels.py)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from erex._env import remote_args
+    from erex.labels import (COLLAPSE_VARIANT_MAPS, TLINK_LABELS,
+                             collapse_label_variant)
+
+    variants = sorted(COLLAPSE_VARIANT_MAPS) + ["binary"]
+    labels = list(TLINK_LABELS) + ["NONE", "END"]
+    ds = rd.from_items([{"variant": v, "label_in": l}
+                        for v in variants for l in labels])
+
+    def apply(t: pa.Table) -> pa.Table:
+        outs = [collapse_label_variant(l, v)
+                for v, l in zip(t.column("variant").to_pylist(),
+                                t.column("label_in").to_pylist())]
+        return t.append_column("label_out", pa.array(outs, pa.string()))
+
+    df = ds.map_batches(apply, batch_format="pyarrow",
+                        **remote_args()).to_pandas()
+    df["variant"] = df["variant"].replace({"": "base"})
+    return df.sort_values(["variant", "label_in"]).reset_index(drop=True)
+
+
 def _catena_timeml(sf_dir: str):
     """TimeML rendering sink (S5) over the merged edges."""
     from erex._env import remote_args
@@ -189,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catena_tt_rules": _catena_tt_rules,
         "catena_confusion": _catena_confusion,
         "catena_confusion_collapsed": _catena_confusion_collapsed,
+        "label_collapse_variants": _label_collapse_variants,
         "catena_stage_counts": _catena_stage_counts,
         "catena_edges_dense": _catena_edges_dense,
         "catena_timeml": _catena_timeml,
@@ -242,7 +273,34 @@ def oracle_sql() -> dict[str, str]:
                  "THEN 'de' "
                  "WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' "
                  "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END")
+
+    # M13 collapse variants: VALUES list over the full label vocabulary,
+    # CASE chains mirroring the if/else-if chains of
+    # PairFeatureVector.java:3208-3490
+    from erex.labels import COLLAPSE_VARIANT_MAPS, TLINK_LABELS
+    _variants = sorted(COLLAPSE_VARIANT_MAPS) + ["binary"]
+    _vlabels = list(TLINK_LABELS) + ["NONE", "END"]
+    _vals = ", ".join("('%s', '%s')" % ("base" if v == "" else v, l)
+                      for v in _variants for l in _vlabels)
+
+    def _case_sql(v):
+        if v == "binary":
+            return "CASE WHEN label_in = 'NONE' THEN '0' ELSE '1' END"
+        whens = " ".join("WHEN label_in = '%s' THEN '%s'" % (k, out)
+                         for k, out in COLLAPSE_VARIANT_MAPS[v].items())
+        return "CASE %s ELSE label_in END" % whens
+
+    _branches = " ".join(
+        "WHEN variant = '%s' THEN (%s)" % ("base" if v == "" else v,
+                                           _case_sql(v))
+        for v in _variants)
+    collapse_sql = (
+        "WITH inp(variant, label_in) AS (VALUES %s) "
+        "SELECT variant, label_in, CASE %s END AS label_out "
+        "FROM inp ORDER BY variant, label_in" % (_vals, _branches))
+
     return {
+        "label_collapse_variants": collapse_sql,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity*1000+0.5) AS BIGINT))

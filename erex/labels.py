@@ -86,3 +86,60 @@ COLLAPSE_MAP = {
 
 def collapse_label(label: str) -> str:
     return COLLAPSE_MAP.get(label, label)
+
+
+# M13 label-collapse VARIANTS (the TimeBank-Dense experiment label
+# groupings), transcribed from the liblinear feature path
+# addBinaryFeatureToVector, PairFeatureVector.java:3208-3490 (cases
+# labelCollapsed1-6 and labelCollapsed01-03; the base labelCollapsed is
+# COLLAPSE_MAP above, END normalization included).  Each map is an
+# if/else-if chain in the reference, i.e. applied exactly once.
+COLLAPSE_VARIANT_MAPS = {
+    "": {"END": "ENDS", **COLLAPSE_MAP},
+    "1": {"END": "ENDS", "IDENTITY": "SIMULTANEOUS",
+          "DURING": "IS_INCLUDED", "DURING_INV": "INCLUDES",
+          "IBEFORE": "BEFORE", "IAFTER": "AFTER", "BEGINS": "BEFORE",
+          "BEGUN_BY": "AFTER", "ENDS": "AFTER", "ENDED_BY": "BEFORE"},
+    "2": {"END": "ENDS", "IDENTITY": "SIMULTANEOUS",
+          "DURING": "IS_INCLUDED", "DURING_INV": "INCLUDES",
+          "IBEFORE": "BEFORE", "IAFTER": "AFTER", "BEGINS": "IS_INCLUDED",
+          "BEGUN_BY": "INCLUDES", "ENDS": "IS_INCLUDED",
+          "ENDED_BY": "INCLUDES"},
+    "3": {"END": "ENDS", "IDENTITY": "SIMULTANEOUS",
+          "IBEFORE": "BEFORE", "IAFTER": "AFTER", "BEGINS": "DURING",
+          "BEGUN_BY": "DURING_INV", "ENDS": "DURING",
+          "ENDED_BY": "DURING_INV"},
+    "4": {"END": "ENDS", "IDENTITY": "SIMULTANEOUS",
+          "IS_INCLUDED": "INCLUDES", "DURING": "DURING",
+          "DURING_INV": "DURING", "IBEFORE": "BEFORE", "IAFTER": "AFTER",
+          "BEGINS": "DURING", "BEGUN_BY": "DURING", "ENDS": "DURING",
+          "ENDED_BY": "DURING"},
+    "5": {"END": "ENDS", "IDENTITY": "SIMULTANEOUS", "DURING": "DURING",
+          "DURING_INV": "DURING", "IBEFORE": "BEFORE", "IAFTER": "AFTER",
+          "BEGINS": "IS_INCLUDED", "BEGUN_BY": "INCLUDES",
+          "ENDS": "IS_INCLUDED", "ENDED_BY": "INCLUDES"},
+    "6": {"END": "ENDS", "IDENTITY": "SIMULTANEOUS", "DURING": "NONE",
+          "DURING_INV": "NONE", "IBEFORE": "BEFORE", "IAFTER": "AFTER",
+          "BEGINS": "NONE", "BEGUN_BY": "NONE", "ENDS": "NONE",
+          "ENDED_BY": "NONE"},
+    "01": {"IDENTITY": "SIMULTANEOUS", "IS_INCLUDED": "INCLUDES",
+           "IBEFORE": "BEFORE", "IAFTER": "AFTER", "BEGUN_BY": "BEGINS",
+           "ENDED_BY": "ENDS", "DURING_INV": "DURING"},
+    "02": {"IDENTITY": "SIMULTANEOUS", "IS_INCLUDED": "INCLUDES",
+           "IBEFORE": "BEFORE", "IAFTER": "AFTER", "BEGINS": "DURING",
+           "ENDS": "DURING", "DURING": "DURING", "BEGUN_BY": "DURING_INV",
+           "ENDED_BY": "DURING_INV", "DURING_INV": "DURING_INV"},
+    "03": {"IDENTITY": "SIMULTANEOUS", "IBEFORE": "BEFORE",
+           "IAFTER": "AFTER", "BEGINS": "DURING", "ENDS": "DURING",
+           "DURING": "DURING", "BEGUN_BY": "DURING_INV",
+           "ENDED_BY": "DURING_INV", "DURING_INV": "DURING_INV"},
+}
+
+
+def collapse_label_variant(label: str, variant: str = "") -> str:
+    """Apply one collapse-variant map (variant in '', '1'..'6',
+    '01'..'03', 'binary')."""
+    if variant == "binary":
+        # case labelBinary: any non-NONE label -> "1", NONE -> "0"
+        return "0" if label == "NONE" else "1"
+    return COLLAPSE_VARIANT_MAPS[variant].get(label, label)

@@ -141,3 +141,63 @@ def test_feature_vector_parity():
             assert (g == m).all(), (key, list((g != m).nonzero()[0] + 1))
             checked += 1
     assert checked >= 40
+
+
+@pytest.mark.parametrize("stem", ["bbc_20130322_721", "wsj_1014"])
+def test_full_timeml_writer_parity(stem):
+    """S5 full-document writer vs the reference's own writeTimeMLFile
+    output (tools/javaref writetml mode): byte-equal reconstructed TEXT,
+    identical MAKEINSTANCE set, identical TLINK sequence (lid order)."""
+    import re
+    if not os.path.exists(EXAMPLE_DIR):
+        pytest.skip("reference example docs not available")
+    from erex.timeml import render_timeml_document
+
+    txp = open(os.path.join(EXAMPLE_DIR, stem + ".tml.txp")).read()
+    tml = open(f"/root/reference/data/example_TML/{stem}.tml").read()
+    gold = open(os.path.join(GOLD_DIR, "systml", stem + ".tml")).read()
+
+    # build the tt/et/ee result lists in the reference's emission order
+    # from the (already exactly parity-checked) engine triples
+    rows = extract_document(txp, config=CFG_T, name=stem)["triples"]
+    tt = [r for r in rows if r["pair_class"] == "tt"]
+    tt.reverse()        # merge_document's rule-first prepend reversed the
+                        # grid insertion order; restore it for the model
+    from erex.javamap import java_hashmap_order
+    keys = ["%s\t%s" % (r["src"], r["tgt"]) for r in tt]
+    order = {k: i for i, k in enumerate(java_hashmap_order(keys))}
+    tt.sort(key=lambda r: order["%s\t%s" % (r["src"], r["tgt"])])
+
+    def sel(pc, stage):
+        rs = [r for r in rows
+              if r["pair_class"] == pc and r["stage"] == stage]
+        if stage == "rule":
+            rs.reverse()    # undo the merge's rule-first prepend reversal
+        return rs
+
+    et = (sel("dct", "rule") + sel("et", "rule")
+          + sel("dct", "classifier") + sel("et", "classifier"))
+    ee = sel("ee", "rule") + sel("ee", "classifier")
+    as3 = lambda rs: [(r["src"], r["tgt"], r["label"]) for r in rs]
+    mine = render_timeml_document(txp, tml, as3(tt), as3(et), as3(ee))
+
+    def text_block(s):
+        return s[s.index("<TEXT>") + 6:s.index("</TEXT>")]
+
+    def instances(s):
+        out = set()
+        for m in re.finditer(r"<MAKEINSTANCE\b[^>]*>", s):
+            out.add(tuple(sorted(re.findall(r'(\w+)="([^"]*)"', m.group()))))
+        return out
+
+    def links(s):
+        out = []
+        for m in re.finditer(r"<TLINK\b[^>]*>", s):
+            out.append(tuple(sorted(re.findall(r'(\w+)="([^"]*)"',
+                                               m.group()))))
+        return out
+
+    assert text_block(mine).strip() == text_block(gold).strip()
+    assert instances(mine) == instances(gold)
+    assert links(mine) == links(gold)
+    assert len(links(mine)) == len(tt) + len(et) + len(ee)

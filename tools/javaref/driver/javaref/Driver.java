@@ -77,6 +77,40 @@ public class Driver {
 
     public static void main(String[] args) throws Exception {
         String mode = args[0];
+        if (mode.equals("writetml")) {
+            // writetml <txpFile> <tmlFile> <outDir> — run the temprel
+            // test flow and render the full system TimeML document via
+            // the reference's own writeTimeMLFile
+            // (TempEval3TaskABC.java:252-416)
+            String txpPath = args[1], tmlPath = args[2], outDir = args[3];
+            TXPParser txpParser = new TXPParser(EntityEnum.Language.EN,
+                    fieldsFor(txpPath));
+            TempRelPro trp = new TempRelPro();
+            List<List<PairFeatureVector>> fvs =
+                    trp.buildFeatureVectorFromFile(txpParser, txpPath);
+            TXPParser parser2 = new TXPParser(EntityEnum.Language.EN,
+                    fieldsFor(txpPath));
+            Doc docTxp = parser2.parseDocument(txpPath);
+            java.util.List<String> tt = new java.util.ArrayList<>();
+            java.util.List<String> et = new java.util.ArrayList<>();
+            java.util.List<String> ee = new java.util.ArrayList<>();
+            for (String p : trp.testModel(docTxp, fvs)) {
+                String[] c = p.split("\t");
+                boolean sT = c[0].startsWith("tmx");
+                boolean tT = c[1].startsWith("tmx");
+                String row = c[0] + "\t" + c[1] + "\tNONE\t" + c[2];
+                if (sT && tT) tt.add(row);
+                else if (!sT && tT) et.add(row);
+                else if (!sT && !tT) ee.add(row);
+            }
+            TXPParser parser3 = new TXPParser(EntityEnum.Language.EN,
+                    fieldsFor(txpPath));
+            parser.TimeMLParser tmlParser =
+                    new parser.TimeMLParser(EntityEnum.Language.EN);
+            task.JavarefTmlBridge.writeTimeML(parser3, txpPath,
+                    tmlParser, tmlPath, tt, et, ee, outDir);
+            return;
+        }
         for (int i = 1; i < args.length; i++) {
             String path = args[i];
             String name = new File(path).getName();
@@ -113,6 +147,20 @@ public class Driver {
                     System.out.println(name + "\tcaus"
                             + "\t" + fv.getE1().getID() + "\t" + fv.getE2().getID()
                             + "\t" + fv.printCSVVectors());
+                }
+            } else if (mode.equals("entorder")) {
+                // ground truth for erex/javamap.py: the entity HashMap's
+                // iteration order
+                Doc doc = parser.parseDocument(path);
+                for (String k : doc.getEntities().keySet()) {
+                    System.out.println(name + "\t" + k);
+                }
+            } else if (mode.equals("ttorder")) {
+                // ground truth for the ttlinks HashMap emission order
+                TempRelPro trp2 = new TempRelPro();
+                Doc doc = parser.parseDocument(path);
+                for (String k : trp2.getTimexTimexRuleRelation(doc).keySet()) {
+                    System.out.println(name + "\t" + k.replace("\t", "|"));
                 }
             } else if (mode.equals("causmark")) {
                 // dump the causal-signal marker of every causal candidate
