@@ -34,23 +34,42 @@ def _corpus_for(sf_dir: str) -> str:
 # ---------------------------------------------------------------------------
 # CATENA pipeline queries (rows-only checks: extraction is not SQL)
 # ---------------------------------------------------------------------------
-_MERGED_CACHE: dict = {}
+def _edges_dir(sf_dir: str) -> str:
+    """Streaming contract shape: the extraction runs ONCE per sf_dir,
+    consumed by write_parquet (no driver materialization of the
+    pipeline), and every downstream catena_* query re-reads the
+    partitioned parquet. A done-marker makes reruns free."""
+    import erex
+    path = _corpus_for(sf_dir)
+    # keyed by engine version so cached edges from an older engine build
+    # under /tmp are never served after semantics change
+    out = "%s.edges-%s" % (path, erex.__version__)
+    marker = out + ".done"      # outside the dir: read_parquet scans it
+    if not os.path.exists(marker):
+        import shutil
+        from erex.pipeline import run_extraction
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        run_extraction(path).write_parquet(out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _merged_ds(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(_edges_dir(sf_dir))
 
 
 def _merged_df(sf_dir: str):
-    """Run the extraction once per sf_dir and reuse across the catena_*
-    queries (the driver calls each query separately)."""
-    path = _corpus_for(sf_dir)
-    if path not in _MERGED_CACHE:
-        from erex.pipeline import run_extraction
-        df = run_extraction(path).to_pandas()
-        # normalize dictionary-encoded (categorical) columns to plain
-        # strings for the driver's value comparison
-        for c in df.columns:
-            if str(df[c].dtype) == "category":
-                df[c] = df[c].astype(str)
-        _MERGED_CACHE[path] = df
-    return _MERGED_CACHE[path].copy()
+    """Driver-side frame of the (small at test sf) final edge table —
+    read back from the streaming parquet sink, never from a mid-pipeline
+    materialization."""
+    df = _merged_ds(sf_dir).to_pandas()
+    for c in df.columns:
+        if str(df[c].dtype) == "category":
+            df[c] = df[c].astype(str)
+    return df
 
 
 def _catena_edges(sf_dir: str):
@@ -60,11 +79,6 @@ def _catena_edges(sf_dir: str):
          "consistent", "gold", "subj_key", "obj_key"]]
     return df.sort_values(["doc_sha", "subj", "obj", "pred"])\
         .reset_index(drop=True)
-
-
-def _merged_ds(sf_dir: str):
-    import ray.data as rd
-    return rd.from_pandas(_merged_df(sf_dir))
 
 
 def _catena_nodes(sf_dir: str):

