@@ -395,6 +395,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         return t.append_column("shard", pa.array(sh, pa.int32()))
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # Hamming-verify INSIDE the bucket group so only true near-dups
+        # enter the cross-band dedup shuffle (candidate fan-out from
+        # exact-duplicate clusters would otherwise dominate it)
         rows = []
         for (_b, _k), sub in g.groupby(["band", "key"]):
             recs = sorted(set(zip(sub["doc_id"], sub["simhash"])))
@@ -402,7 +405,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                 for j in range(i + 1, len(recs)):
                     (da, ha), (db, hb) = recs[i], recs[j]
                     ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
-                    rows.append((da, db, ham))
+                    if ham <= max_hamming:
+                        rows.append((da, db, ham))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
 
     # distributed dedup + filter: duplicate (pair) rows from different

@@ -150,6 +150,32 @@ def test_actor_pool_scorer_mode(corpus):
     assert len(a) > 0 and a.equals(b)
 
 
+def test_actor_pool_scorer_dense_config(corpus):
+    """Actors mode must honor config.dense through
+    fn_constructor_kwargs: dense task-mode output == dense actors-mode
+    output, and both differ from the standard heads."""
+    from erex.extract import PipelineConfig
+    from erex.pipeline import run_extraction
+    key = ["doc_sha", "subj", "pred", "obj"]
+
+    def norm(df):
+        df = df[(df["kind"] == "edge") & (df["stage"] == "classifier")]
+        df = df.copy()
+        for c in key:
+            df[c] = df[c].astype(str)
+        return df.sort_values(key)[key].reset_index(drop=True)
+
+    cfg = PipelineConfig(dense=True)
+    a = norm(run_extraction(corpus, cfg).to_pandas())
+    b = norm(run_extraction(corpus, cfg, scorer_mode="actors",
+                            scorer_concurrency=2).to_pandas())
+    assert len(a) > 0 and a.equals(b)
+    std = norm(run_extraction(corpus).to_pandas())
+    # dense heads use the 6-label TimeBank-Dense vocabulary => the
+    # classifier predictions cannot all coincide with the standard heads
+    assert not a.equals(std)
+
+
 def test_fused_merge_guard_detects_split_document():
     """A document split across two batches must raise loudly in the
     fused merge (never be merged as two half-documents); the regroup
