@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_centroids": similarity.embedding_centroids,
         # text analysis
         "token_count": text.token_count,

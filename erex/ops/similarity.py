@@ -191,6 +191,98 @@ def embedding_dup_pairs(sf_dir: str,
         .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def _kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 3):
+    """Deterministic distributed Lloyd iterations for the IVF coarse
+    quantizer: init = the k lowest vec_ids; each iteration is one
+    map_batches producing per-centroid partial sums (k x dim floats per
+    batch) merged on the driver — the corpus itself streams."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    init = ds.filter(expr=f"vec_id < {k}").to_pandas()
+    C = _normalize(np.stack(
+        init.sort_values("vec_id")["embedding"].to_numpy()
+    ).astype(np.float64))
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(t: pa.Table) -> pa.Table:
+            C_ = ray.get(c_ref)
+            X = _normalize(np.stack(
+                t.column("embedding").to_pylist()).astype(np.float64))
+            assign = np.argmax(X @ C_.T, axis=1)
+            rows = {"cid": [], "dim": [], "s": [], "n": []}
+            for c in np.unique(assign):
+                sub = X[assign == c]
+                sums = sub.sum(axis=0)
+                for d in range(X.shape[1]):
+                    rows["cid"].append(int(c))
+                    rows["dim"].append(d)
+                    rows["s"].append(float(sums[d]))
+                    rows["n"].append(len(sub))
+            return pa.table({kk: pa.array(v) for kk, v in rows.items()})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow",
+                             **remote_args()).to_pandas()
+        agg = agg.groupby(["cid", "dim"], as_index=False).sum()
+        newC = C.copy()
+        for cid, g in agg.groupby("cid"):
+            g = g.sort_values("dim")
+            newC[int(cid)] = g["s"].to_numpy() / max(1, g["n"].iloc[0])
+        C = _normalize(newC)
+    return C
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
+                 n_lists: int = 16, nprobe: int = 4) -> pd.DataFrame:
+    """IVF-Flat approximate top-k: a deterministic k-means coarse
+    quantizer (trained distributed) buckets the corpus; each query scans
+    only its `nprobe` nearest lists. The centroid matrix + queries are
+    one small broadcast; corpus assignment and scoring happen inside
+    map_batches with per-batch partial top-k (driver merges k*Q rows).
+    Same schema as ann_cosine_topk; recall validated in tests."""
+    C = _kmeans_centroids(sf_dir, k=n_lists)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids = qdf["vec_id"].to_numpy()
+    Q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, Q, probes, C))
+
+    def partial(t: pa.Table) -> pa.Table:
+        q_ids_, Q_, probes_, C_ = ray.get(ref)
+        vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        X = _normalize(np.stack(
+            t.column("embedding").to_pylist()).astype(np.float64))
+        assign = np.argmax(X @ C_.T, axis=1)
+        rows = {"query_id": [], "vec_id": [], "cos_micro": []}
+        for qi, qid in enumerate(q_ids_):
+            mask = np.isin(assign, probes_[qi]) & (vid != qid)
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            sims = X[idx] @ Q_[qi]
+            order = np.lexsort((vid[idx], -sims))[:k]
+            for o in order:
+                rows["query_id"].append(int(qid))
+                rows["vec_id"].append(int(vid[idx[o]]))
+                rows["cos_micro"].append(
+                    int(np.floor(sims[o] * 1_000_000 + 0.5)))
+        return pa.table({c: pa.array(v) for c, v in rows.items()})
+
+    df = ds.map_batches(partial, batch_format="pyarrow",
+                        **remote_args()).to_pandas()
+    rows = []
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["cos_micro", "vec_id"],
+                          ascending=[False, True]).head(k)
+        for r, (_, rec) in enumerate(g.iterrows(), 1):
+            rows.append((int(qid), r, int(rec["vec_id"]),
+                         int(rec["cos_micro"])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id",
+                                       "cos_micro"])
+
+
 _DUP_BANDS = 4
 _DUP_PLANES_PER_BAND = 4
 

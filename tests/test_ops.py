@@ -171,3 +171,24 @@ def test_ngram_jaccard_df_cap(ray_session):
     b = set(zip(base["doc_a"], base["doc_b"]))
     c = set(zip(capped["doc_a"], capped["doc_b"]))
     assert c <= b
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF-Flat with nprobe=4 of 16 lists recovers a solid fraction of
+    the exact top-k; results it does return carry exact scores."""
+    from erex.ops.similarity import ann_cosine_topk, ann_ivf_topk
+    exact = ann_cosine_topk(SF, n_queries=8, k=5)
+    approx = ann_ivf_topk(SF, n_queries=8, k=5)
+    hits = tot = 0
+    em = {}
+    for r in exact.itertuples(index=False):
+        em[(r.query_id, r.vec_id)] = r.cos_micro
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.4
+    for r in approx.itertuples(index=False):
+        if (r.query_id, r.vec_id) in em:
+            assert em[(r.query_id, r.vec_id)] == r.cos_micro
