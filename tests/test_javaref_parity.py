@@ -3,7 +3,7 @@
 The golden files under tests/golden/javaref/ are the stdout of the
 reference's own TempRelPro / CauseRelPro test flows (shipped liblinear
 models, real Java parser/features/rules), produced by
-tools/javaref/Driver.java over 50 synthetic corpus docs and the two
+tools/javaref/Driver.java over 200 synthetic corpus docs and the two
 reference example documents.  Regenerate with:
 
     tools/javaref/build.sh
@@ -57,20 +57,20 @@ def _triples(content, name, cfg, causal_only=False):
 def test_synth_temprel_exact_parity():
     gold = _load_gold("synth_temprel.tsv")
     total = mismatched = 0
-    for i in range(50):
+    for i in range(200):
         name = f"doc_{i}.txp"
         mine = _triples(generate_txp(i), name, CFG_T)
         total += len(gold[name])
         if mine != gold[name]:
             mismatched += 1
-    assert total > 2000
+    assert total > 9000
     assert mismatched == 0
 
 
 def test_synth_causal_exact_parity():
     gold = _load_gold("synth_causal.tsv")
     bad = []
-    for i in range(50):
+    for i in range(200):
         name = f"doc_{i}.txp"
         mine = _triples(generate_txp(i), name, CFG_C, causal_only=True)
         if mine != gold[name]:
