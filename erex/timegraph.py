@@ -67,6 +67,7 @@ class TimeGraph:
         self._idx: dict = {}         # interval id -> start point index
         self._n = 0
         self.M: list = []            # list of bytearrays, row-major
+        self.MT: list = []           # transposed mirror (column scans)
         self.final: list = []        # accepted (src, tgt, label)
         self.violated: list = []     # rejected (src, tgt, label)
         self.redundant: list = []    # accepted but already entailed
@@ -80,19 +81,31 @@ class TimeGraph:
         self._n += 2
         for row in self.M:
             row.extend(b"\x00\x00")
+        for row in self.MT:
+            row.extend(b"\x00\x00")
         self.M.append(bytearray(self._n))
         self.M.append(bytearray(self._n))
+        self.MT.append(bytearray(self._n))
+        self.MT.append(bytearray(self._n))
         self._idx[x] = s
         self.M[s][s + 1] = LT
         self.M[s + 1][s] = GT
+        self.MT[s + 1][s] = LT
+        self.MT[s][s + 1] = GT
         return s
 
     def _commit_checked(self, triples) -> bool:
         """Transactionally add (p, rel, q) point constraints with
         worklist propagation; rolls back and returns False on any
-        contradiction (which can surface transitively)."""
+        contradiction (which can surface transitively).
+
+        Both derivation scans run over ROWS via enumerate (the second
+        over the transposed mirror MT) — iterating a bytearray directly
+        is ~2x faster than an index loop, and column access through MT
+        avoids the per-cell list+bytearray double indexing."""
         M = self.M
-        n = self._n
+        MT = self.MT
+        comp = COMP4
         touched = []                       # (a, b) cells set, for rollback
         updates = list(triples)
         ok = True
@@ -105,29 +118,35 @@ class TimeGraph:
             if cur != UNK:
                 ok = False
                 break
+            inv = _INV[r]
             row_a[b] = r
-            M[b][a] = _INV[r]
+            M[b][a] = inv
+            MT[b][a] = r
+            MT[a][b] = inv
             touched.append((a, b))
             # derive (a, comp(r, M[b,c]), c) for all known M[b,c]
             row_b = M[b]
             r4 = r * 4
-            for c in range(n):
-                rc = row_b[c]
+            for c, rc in enumerate(row_b):
                 if rc and c != a:
-                    rr = COMP4[r4 + rc]
+                    rr = comp[r4 + rc]
                     if rr and row_a[c] != rr:
                         updates.append((a, rr, c))
-            # derive (c, comp(M[c,a], r), b) for all known M[c,a]
-            for c in range(n):
-                rc = M[c][a]
+            # derive (c, comp(M[c,a], r), b) for all known M[c,a];
+            # M[c][a] over all c is column a = MT[a]
+            col_a = MT[a]
+            col_b = MT[b]
+            for c, rc in enumerate(col_a):
                 if rc and c != b:
-                    rr = COMP4[rc * 4 + r]
-                    if rr and M[c][b] != rr:
+                    rr = comp[rc * 4 + r]
+                    if rr and col_b[c] != rr:
                         updates.append((c, rr, b))
         if not ok:
             for a, b in reversed(touched):
                 M[a][b] = UNK
                 M[b][a] = UNK
+                MT[b][a] = UNK
+                MT[a][b] = UNK
             return False
         return True
 
