@@ -213,8 +213,7 @@ _A = _rng.randint(1, _P31, size=N_PERM).astype(np.int64)
 _B = _rng.randint(0, _P31, size=N_PERM).astype(np.int64)
 
 
-def minhash_signature(text: str, n: int = 3) -> np.ndarray:
-    ss = shingle_set(text, n)
+def _signature_from_set(ss: set) -> np.ndarray:
     if not ss:
         return np.full(N_PERM, _P31, dtype=np.int64)
     xs = np.fromiter((_h64(s) for s in ss), dtype=np.uint64, count=len(ss))
@@ -224,18 +223,25 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
     return np.min(prod, axis=1).astype(np.int64)
 
 
+def minhash_signature(text: str, n: int = 3) -> np.ndarray:
+    return _signature_from_set(shingle_set(text, n))
+
+
 class MinHasher:
     """Actor-pool stage: permutation constants are module state; kept as
-    a class to document the stateful-stage shape."""
+    a class to document the stateful-stage shape. Each bucket row also
+    carries the doc's shingle-set size, so the verification stage never
+    needs a separate sizes pass over the documents table."""
 
     def __init__(self, n: int = 3):
         self.n = n
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
+        ids, bands, keys, nshs = [], [], [], []
         for d, x in zip(t.column("doc_id").to_pylist(),
                         t.column("text").to_pylist()):
-            sig = minhash_signature(x, self.n)
+            ss = shingle_set(x, self.n)
+            sig = _signature_from_set(ss)
             for b in range(N_BANDS):
                 chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
                 key = hashlib.md5(
@@ -243,9 +249,11 @@ class MinHasher:
                 ids.append(d)
                 bands.append(b)
                 keys.append(key)
+                nshs.append(len(ss))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "band": pa.array(bands, pa.int32()),
-                         "bucket": pa.array(keys, pa.string())})
+                         "bucket": pa.array(keys, pa.string()),
+                         "nsh": pa.array(nshs, pa.int64())})
 
 
 def minhash_lsh_pairs(sf_dir: str, n: int = 3,
@@ -265,14 +273,16 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
         return t.append_column("shard", pa.array(sh, pa.int32()))
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = [], []
-        for (_band, _bucket), docs in g.groupby(["band", "bucket"])["doc_id"]:
-            u = sorted(docs.unique())
-            for i in range(len(u)):
-                for j in range(i + 1, len(u)):
-                    a.append(u[i])
-                    b.append(u[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        a, b, na, nb = [], [], [], []
+        for (_band, _bucket), sub in g.groupby(["band", "bucket"]):
+            recs = sorted(set(zip(sub["doc_id"], sub["nsh"])))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    a.append(recs[i][0])
+                    b.append(recs[j][0])
+                    na.append(recs[i][1])
+                    nb.append(recs[j][1])
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "na": na, "nb": nb})
 
     cand = (buckets.map_batches(add_shard, batch_format="pyarrow", **remote_args())
             .groupby("shard")
@@ -285,34 +295,18 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
     # verification: exact shingle Jaccard computed DISTRIBUTED — the
     # candidate pair/doc sets (small) are broadcast, shingles of
     # candidate documents are re-exploded and intersections counted per
-    # shingle group; per-doc set sizes come from a tiny map_batches over
-    # the filtered documents. No document text or shingle dictionary
-    # ever sits on the driver; driver-side work is O(candidates).
+    # shingle group; per-doc set sizes rode along on the bucket rows, so
+    # no extra documents pass is needed. No document text or shingle
+    # dictionary ever sits on the driver; driver work is O(candidates).
     if cand_df.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard_milli"])
     import ray as _ray
-    cand_pairs = frozenset(map(tuple, cand_df.to_numpy()))
+    cand_pairs = frozenset(zip(cand_df["doc_a"], cand_df["doc_b"]))
     cand_docs = frozenset(cand_df["doc_a"]) | frozenset(cand_df["doc_b"])
     pairs_ref = _ray.put(cand_pairs)
     docs_ref = _ray.put(cand_docs)
-
-    ds_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"])
-
-    def cand_sizes(t: pa.Table) -> pa.Table:
-        allow = _ray.get(docs_ref)
-        ids, ns = [], []
-        for d, x in zip(t.column("doc_id").to_pylist(),
-                        t.column("text").to_pylist()):
-            if d in allow:
-                ids.append(d)
-                ns.append(len(shingle_set(x, n)))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n": pa.array(ns, pa.int64())})
-
-    sizes_df = ds_docs.map_batches(cand_sizes, batch_format="pyarrow",
-                                   **remote_args()).to_pandas()
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n"]))
+    sizes = dict(zip(cand_df["doc_a"], cand_df["na"]))
+    sizes.update(zip(cand_df["doc_b"], cand_df["nb"]))
 
     exploded = _exploded_shingles(sf_dir, n, doc_filter_ref=docs_ref)
 
