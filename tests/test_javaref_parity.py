@@ -201,3 +201,44 @@ def test_full_timeml_writer_parity(stem):
     assert instances(mine) == instances(gold)
     assert links(mine) == links(gold)
     assert len(links(mine)) == len(tt) + len(et) + len(ee)
+
+
+def test_javamap_matches_real_jvm_hashmap():
+    """Property check of erex/javamap.py against a real JVM: random
+    entity-id-shaped key sets of varying sizes must iterate in exactly
+    java.util.HashMap's order."""
+    import random
+    import shutil
+    import subprocess
+    import tempfile
+
+    from erex.javamap import java_hashmap_order
+
+    javac, java = shutil.which("javac"), shutil.which("java")
+    if not (javac and java):
+        pytest.skip("JVM not available")
+    src = os.path.join(os.path.dirname(__file__), "..", "tools",
+                       "javaref", "driver", "javaref", "HashOrder.java")
+    with tempfile.TemporaryDirectory() as td:
+        subprocess.run([javac, "-d", td, src], check=True)
+        rng = random.Random(7)
+        groups = []
+        for size in (1, 3, 11, 12, 13, 48, 49, 100, 193, 300):
+            ks = []
+            seen = set()
+            while len(ks) < size:
+                kind = rng.choice(["e%d", "tmx%d", "e%d\ttmx%d"])
+                k = kind % tuple(rng.randrange(3000)
+                                 for _ in range(kind.count("%d")))
+                if k not in seen:
+                    seen.add(k)
+                    ks.append(k)
+            groups.append(ks)
+        stdin = "\n\n".join("\n".join(g) for g in groups) + "\n"
+        res = subprocess.run([java, "-cp", td, "javaref.HashOrder"],
+                             input=stdin, capture_output=True, text=True,
+                             check=True)
+        got = [g.split("\n") for g in res.stdout.strip("\n").split("\n\n")]
+        assert len(got) == len(groups)
+        for ks, jv in zip(groups, got):
+            assert java_hashmap_order(ks) == jv, len(ks)
