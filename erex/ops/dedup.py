@@ -158,6 +158,25 @@ def _shingle_shard(t: pa.Table) -> pa.Table:
     return t.append_column("shard", pa.array(sh, pa.int32()))
 
 
+def _pair_shard(t: pa.Table) -> pa.Table:
+    a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
+    b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
+    sh = ((a * 1_000_003 + b) % 64).astype(np.int32)
+    return t.append_column("pshard", pa.array(sh))
+
+
+def _pair_agg(ds: "rd.Dataset", fn) -> "rd.Dataset":
+    """Shard-then-local aggregate over (doc_a, doc_b) keys. Ray's
+    multi-key groupby().aggregate() costs ~1.5 ms per group, which is
+    pathological for pair tables (hundreds of thousands of one-row
+    groups); a coarse hash shard + one vectorized pandas aggregate per
+    shard does the same reduction in bulk."""
+    return (ds.map_batches(_pair_shard, batch_format="pyarrow",
+                           **remote_args())
+              .groupby("pshard")
+              .map_groups(fn, batch_format="pandas", **remote_args()))
+
+
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
                         threshold_milli: int = 200,
                         df_cap: int = None) -> pd.DataFrame:
@@ -191,13 +210,16 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
              "inter": np.fromiter(agg.values(), dtype=np.int64,
                                   count=len(agg))})
 
-    pairs = (exploded.map_batches(_shingle_shard, batch_format="pyarrow",
-                                  **remote_args())
-             .groupby("shard")
-             .map_groups(shard_pair_counts, batch_format="pandas",
-                         **remote_args())
-             .groupby(["doc_a", "doc_b"])
-             .aggregate(Sum("inter", alias_name="inter")))
+    def sum_inter(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["doc_a", "doc_b"], as_index=False)["inter"].sum()
+
+    pairs = _pair_agg(
+        exploded.map_batches(_shingle_shard, batch_format="pyarrow",
+                             **remote_args())
+        .groupby("shard")
+        .map_groups(shard_pair_counts, batch_format="pandas",
+                    **remote_args()),
+        sum_inter)
     return _finish_jaccard(pairs, sf_dir, n, threshold_milli)
 
 
@@ -325,13 +347,15 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
              "inter": np.fromiter(agg.values(), dtype=np.int64,
                                   count=len(agg))})
 
-    inter = (exploded.map_batches(_shingle_shard, batch_format="pyarrow",
-                                  **remote_args())
-             .groupby("shard")
-             .map_groups(shard_inter, batch_format="pandas",
-                         **remote_args())
-             .groupby(["doc_a", "doc_b"])
-             .aggregate(Sum("inter", alias_name="inter")))
+    def sum_inter(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["doc_a", "doc_b"], as_index=False)["inter"].sum()
+
+    inter = _pair_agg(
+        exploded.map_batches(_shingle_shard, batch_format="pyarrow",
+                             **remote_args())
+        .groupby("shard")
+        .map_groups(shard_inter, batch_format="pandas", **remote_args()),
+        sum_inter)
     df = inter.to_pandas()
     na = df["doc_a"].map(sizes)
     nb = df["doc_b"].map(sizes)
@@ -388,29 +412,46 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         sh = [int(k) % 64 for k in t.column("key").to_pylist()]
         return t.append_column("shard", pa.array(sh, pa.int32()))
 
+    _POP8 = np.array([bin(i).count("1") for i in range(256)],
+                     dtype=np.uint8)
+
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # Hamming-verify INSIDE the bucket group so only true near-dups
-        # enter the cross-band dedup shuffle (candidate fan-out from
-        # exact-duplicate clusters would otherwise dominate it)
-        rows = []
+        # enter the cross-band dedup shuffle; the pairwise hamming is a
+        # vectorized byte-popcount over the XOR matrix (an
+        # exact-duplicate cluster of k docs makes C(k,2) pairs per band,
+        # which a Python pair loop cannot keep up with)
+        out_a, out_b, out_h = [], [], []
         for (_b, _k), sub in g.groupby(["band", "key"]):
             recs = sorted(set(zip(sub["doc_id"], sub["simhash"])))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    (da, ha), (db, hb) = recs[i], recs[j]
-                    ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
-                    if ham <= max_hamming:
-                        rows.append((da, db, ham))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+            if len(recs) < 2:
+                continue
+            ids = np.array([r[0] for r in recs], dtype=np.int64)
+            hs = np.array([r[1] for r in recs],
+                          dtype=np.int64).astype(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = (hs[iu] ^ hs[ju]).view(np.uint64)
+            ham = _POP8[x.view(np.uint8).reshape(len(x), 8)]\
+                .sum(axis=1).astype(np.int64)
+            keep = ham <= max_hamming
+            out_a.extend(int(v) for v in ids[iu[keep]])
+            out_b.extend(int(v) for v in ids[ju[keep]])
+            out_h.extend(int(v) for v in ham[keep])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                             "hamming": out_h})
 
-    # distributed dedup + filter: duplicate (pair) rows from different
-    # bands carry the same hamming, so Min collapses them; only the
-    # final near-dup pairs reach the driver
-    cand = (buckets.map_batches(add_shard, batch_format="pyarrow", **remote_args())
-            .groupby("shard")
-            .map_groups(shard_pairs, batch_format="pandas", **remote_args())
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(Min("hamming", alias_name="hamming"))
-            .filter(expr=f"hamming <= {max_hamming}"))
+    # distributed dedup: duplicate (pair) rows from different bands
+    # carry the same hamming, so a per-shard drop_duplicates collapses
+    # them; only the final near-dup pairs reach the driver
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "hamming"]]
+
+    cand = _pair_agg(
+        buckets.map_batches(add_shard, batch_format="pyarrow",
+                            **remote_args())
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas", **remote_args()),
+        pair_dedup)
     return cand.to_pandas().sort_values(["doc_a", "doc_b"])\
         .reset_index(drop=True)
