@@ -234,6 +234,32 @@ def test_javamap_matches_real_jvm_hashmap():
                     seen.add(k)
                     ks.append(k)
             groups.append(ks)
+
+        # forced-collision groups exercising the treeify machinery:
+        # bins with >=9 same-slot keys (tree bins at cap>=64, extra
+        # resizes below), putTreeVal splicing, split + untreeify.
+        from erex.javamap import _hash_signed
+        by_slot = {}
+        for i in range(40000):
+            k = "e%d" % i
+            by_slot.setdefault(_hash_signed(k) & 63, []).append(k)
+        big = sorted(by_slot.values(), key=len, reverse=True)
+        # (a) 12 colliding keys alone: treeifyBin forces resizes 16->64+
+        groups.append(big[0][:12])
+        # (b) collisions + filler at cap 64: a genuine tree bin, then
+        # more same-slot inserts via putTreeVal
+        groups.append(big[0][:14] + [k for g in big[5:25] for k in g[:2]])
+        # (c) two tree bins at once + enough keys to force a resize
+        # after treeification (split path, one side untreeifies)
+        mixed = big[0][:11] + big[1][:11] + [k for g in big[10:40]
+                                             for k in g[:1]]
+        rng.shuffle(mixed)
+        groups.append(mixed)
+        # (d) interleaved inserts so tree bins grow node by node
+        inter = []
+        for pair in zip(big[0][:13], big[1][:13]):
+            inter.extend(pair)
+        groups.append(inter)
         stdin = "\n\n".join("\n".join(g) for g in groups) + "\n"
         res = subprocess.run([java, "-cp", td, "javaref.HashOrder"],
                              input=stdin, capture_output=True, text=True,
