@@ -596,50 +596,62 @@ def causal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
     dep1/dep2 with the containment-cancel post-step."""
     pats = signals.causal_signals()
     candidates: dict = {}
-    order = 0
+    # Java walks the signal keys OUTER and the three contexts INNER,
+    # with ONE counter i shared by all contexts that is ALSO bumped
+    # inside the collision loop (`while containsKey: distance++; i++`,
+    # PairFeatureVector.java:1406-1457) — so an early collision shifts
+    # every later candidate's key.  Replicated exactly.
+    i = 0
 
     def put(dist, m):
-        nonlocal order
-        while dist in candidates:
-            dist += 1
+        nonlocal i
+        if dist in candidates:
+            while dist in candidates:
+                dist += 1
+                i += 1
         candidates[dist] = m
 
-    def scan(words, tids, pos, from_end):
-        nonlocal order
+    def scan_one(rx, cluster, words, tids, pos, from_end):
         padded = " " + " ".join(words) + " "
-        for i, (rx, _pat, cluster) in enumerate(pats):
-            mm = rx.search(padded)
-            if not mm:
-                continue
-            text = mm.group().strip()
-            kw = text.split(" ")
-            off = _java_offset(words, text, from_end)
-            if off is None or off + len(kw) > len(tids):
-                continue
-            sig_tids = tids[off:off + len(kw)]
-            d1 = signal_dep_path(doc, e1, sig_tids)
-            d2 = signal_dep_path(doc, e2, sig_tids)
-            if d2 != "O" and d2 in d1:
-                d1 = d1.replace(d2, "O") or "O"
-                if d1 == "":
-                    d1 = "O"
-                d2 = "O"
-            elif d1 != "O" and d1 in d2:
-                d2 = d2.replace(d1, "O") or "O"
-                if d2 == "":
-                    d2 = "O"
+        mm = rx.search(padded)
+        if not mm:
+            return
+        text = mm.group().strip()
+        kw = text.split(" ")
+        off = _java_offset(words, text, from_end)
+        if off is None or off + len(kw) > len(tids):
+            return
+        sig_tids = tids[off:off + len(kw)]
+        d1 = signal_dep_path(doc, e1, sig_tids)
+        d2 = signal_dep_path(doc, e2, sig_tids)
+        if d2 != "O" and d2 in d1:
+            d1 = d1.replace(d2, "O") or "O"
+            if d1 == "":
                 d1 = "O"
-            dist = _java_distance(words, text, from_end)
-            put(dist + i, Marker(text, cluster, pos, d1, d2))
+            d2 = "O"
+        elif d1 != "O" and d1 in d2:
+            d2 = d2.replace(d1, "O") or "O"
+            if d2 == "":
+                d2 = "O"
+            d1 = "O"
+        dist = _java_distance(words, text, from_end)
+        put(dist + i, Marker(text, cluster, pos, d1, d2))
 
     if doc.same_sentence(e1, e2):
         ctx = _pair_contexts(doc, e1, e2)
-        scan(*ctx["BETWEEN"], "BETWEEN", True)
-        scan(*ctx["BEFORE"], "BEFORE", True)
-        scan(*ctx["AFTER"], "AFTER", False)
+        wbet, tbet = ctx["BETWEEN"]
+        wbef, tbef = ctx["BEFORE"]
+        waft, taft = ctx["AFTER"]
+        for rx, _pat, cluster in pats:
+            scan_one(rx, cluster, wbet, tbet, "BETWEEN", True)
+            scan_one(rx, cluster, wbef, tbef, "BEFORE", True)
+            scan_one(rx, cluster, waft, taft, "AFTER", False)
+            i += 1
     elif not doc._non_text_pair(e1, e2):
         words, tids = _sentence_begin_window(doc, e2.sent_id)
-        scan(words, tids, "BEGIN-BETWEEN", False)
+        for rx, _pat, cluster in pats:
+            scan_one(rx, cluster, words, tids, "BEGIN-BETWEEN", False)
+            i += 1
 
     if candidates:
         return candidates[min(candidates)]

@@ -72,9 +72,18 @@ def _load_signal_rows() -> list:
 
 @lru_cache(maxsize=None)
 def causal_signals() -> list:
-    """[(compiled space-padded pattern, raw pattern, cluster)] in file order."""
+    """[(compiled space-padded pattern, raw pattern, cluster)] in
+    java.util.HashMap keySet() iteration order of the numeric keys —
+    getCausalSignal walks ``signalList.keySet()`` raw (HashMap<String,
+    String>, PairFeatureVector.java:1406/1468, no reverse sort unlike
+    the temporal scans), and the per-key counter ``i`` it adds to each
+    candidate's distance makes the winning marker order-dependent
+    whenever several patterns match."""
+    from .javamap import java_hashmap_order
+    rows = {k: (pat, cluster) for k, pat, cluster in _load_signal_rows()}
     out = []
-    for _key, pat, cluster in _load_signal_rows():
+    for key in java_hashmap_order(rows):
+        pat, cluster = rows[key]
         out.append((re.compile(" " + pat + " "), pat, cluster))
     return out
 

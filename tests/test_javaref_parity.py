@@ -268,3 +268,40 @@ def test_javamap_matches_real_jvm_hashmap():
         assert len(got) == len(groups)
         for ks, jv in zip(groups, got):
             assert java_hashmap_order(ks) == jv, len(ks)
+
+
+def test_adversarial_causal_markers():
+    """Multi-signal causal-marker parity against the compiled reference.
+
+    tests/golden/javaref/adv/*.txp (tools/adversarial_causal.py) put
+    SEVERAL causal signals around one candidate pair, so the winning
+    marker depends on getCausalSignal's exact bookkeeping: HashMap
+    key order, the shared per-key counter i added to every distance,
+    and the collision loop that bumps i.  The golden is the live
+    system's `javaref.Driver causmark` stdout; the previous
+    context-major/file-order implementation provably diverged on two
+    adv3 pairs (it picked 'due to' BEFORE where Java picks 'hence')."""
+    from erex.extract import causal_candidates
+    from erex.features import causal_signal_pair
+    from erex.txp import parse_txp
+
+    gold = {}
+    with open(os.path.join(GOLD_DIR, "causmark_adv.tsv")) as f:
+        for line in f:
+            doc, s, t, _rule, text, cluster, pos, d1, d2 = \
+                line.rstrip("\n").split("\t")
+            gold[(doc, s, t)] = (text, cluster, pos, d1, d2)
+    assert len(gold) == 13
+    seen = 0
+    for name in ("adv0", "adv1", "adv2", "adv3"):
+        path = os.path.join(GOLD_DIR, "adv", name + ".txp")
+        doc = parse_txp(open(path).read(), name=name)
+        cands = causal_candidates(doc)
+        for (a, b) in cands:
+            m = causal_signal_pair(doc, doc.entities[a], doc.entities[b])
+            key = (name + ".txp", a, b)
+            assert key in gold, "candidate set mismatch: %s" % (key,)
+            assert gold[key] == (m.text, m.cluster, m.position,
+                                 m.dep1, m.dep2), key
+            seen += 1
+    assert seen == 13
