@@ -376,6 +376,10 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
         idx_in = _index_window(words_e)
         wb, tb = ctx["BETWEEN"]
         idx_bt = _index_window(wb)
+        # the reference scans EVERY key into one distance-keyed HashMap
+        # (equal distances overwrite, minimum wins) — a first-match-wins
+        # scan provably diverges (golden tadv5: 'when' found first loses
+        # to the nearer later key 'previously')
         for key in keys:
             kw = key.split(" ")
             off_in = idx_in[0].get(tuple(kw))
@@ -387,7 +391,7 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     key, sig[key], "INSIDE",
                     signal_dep_path(doc, e1, sig_tids),
                     signal_dep_path(doc, e2, sig_tids))
-                break
+                continue
             off = idx_bt[1].get(tuple(kw))
             if off is not None and 0 < off and off + len(kw) < len(wb):
                 joff = _java_offset(wb, key, True)
@@ -396,7 +400,6 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     key, sig[key], "BETWEEN",
                     signal_dep_path(doc, e1, sig_tids),
                     signal_dep_path(doc, e2, sig_tids))
-                break
         wbf, tbf = ctx["BEFORE"]
         idx_bf = _index_window(wbf)
         wg, tg = ctx["BEGIN"]
@@ -411,7 +414,7 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     key, sig_event[key], "BEFORE",
                     signal_dep_path(doc, e2, sig_tids),
                     signal_dep_path(doc, e1, sig_tids))
-                break
+                continue
             off = idx_bg[0].get(tuple(kw))
             if off is not None and 0 < off and off + len(kw) < len(wg):
                 joff = _java_offset(wg, key, False)
@@ -420,7 +423,6 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     key, sig_event[key], "BEGIN",
                     signal_dep_path(doc, e2, sig_tids),
                     signal_dep_path(doc, e1, sig_tids))
-                break
     elif not e2.is_timex and not doc._non_text_pair(e1, e2):
         words, tids = _sentence_begin_window(doc, e2.sent_id)
         idx = _index_window(words)
@@ -433,7 +435,6 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                 candidates[_java_distance(words, key, False)] = Marker(
                     key, sig_event[key], "BEGIN-BETWEEN", "O",
                     signal_dep_path(doc, e2, sig_tids))
-                break
 
     if candidates:
         return candidates[min(candidates)]

@@ -305,3 +305,28 @@ def test_adversarial_causal_markers():
                                  m.dep1, m.dep2), key
             seen += 1
     assert seen == 13
+
+
+def test_adversarial_temporal_markers():
+    """Multi-signal TEMPORAL-marker parity against the compiled
+    reference (tools/adversarial_tempsig.py docs, `javaref.Driver
+    tempmark` golden).  getTemporalSignal scans EVERY reverse-sorted
+    key into one distance-keyed map with overwrite — the engine's
+    previous first-match-wins scan diverged on tadv5 ('when' vs the
+    nearer later key 'previously')."""
+    from erex.features import temporal_signal_pair
+    from erex.txp import parse_txp
+
+    rows = [l.rstrip("\n").split("\t")
+            for l in open(os.path.join(GOLD_DIR, "tempmark_adv.tsv"))]
+    assert len(rows) == 7
+    docs = {}
+    for doc_name, _cat, a, b, text, cluster, pos, d1, d2 in rows:
+        name = doc_name[:-4]
+        if name not in docs:
+            path = os.path.join(GOLD_DIR, "adv", name + ".txp")
+            docs[name] = parse_txp(open(path).read(), name=name)
+        doc = docs[name]
+        m = temporal_signal_pair(doc, doc.entities[a], doc.entities[b])
+        assert (text, cluster, pos, d1, d2) == \
+            (m.text, m.cluster, m.position, m.dep1, m.dep2), (doc_name, a, b)

@@ -148,6 +148,22 @@ public class Driver {
                             + "\t" + fv.getE1().getID() + "\t" + fv.getE2().getID()
                             + "\t" + fv.printCSVVectors());
                 }
+            } else if (mode.equals("tempmark")) {
+                // dump the temporal-signal marker of every candidate
+                // pair (PairFeatureVector.getTemporalSignal)
+                TempRelPro task = new TempRelPro();
+                List<List<PairFeatureVector>> fvs = task.buildFeatureVectorFromFile(parser, path);
+                String[] cats = {"dct", "et", "ee"};
+                for (int c = 0; c < 3; c++) {
+                    for (PairFeatureVector fv : fvs.get(c)) {
+                        model.feature.Marker m = fv.getTemporalSignal();
+                        System.out.println(name + "\t" + cats[c]
+                                + "\t" + fv.getE1().getID() + "\t" + fv.getE2().getID()
+                                + "\t" + m.getText() + "\t" + m.getCluster()
+                                + "\t" + m.getPosition() + "\t" + m.getDepRelE1()
+                                + "\t" + m.getDepRelE2());
+                    }
+                }
             } else if (mode.equals("entorder")) {
                 // ground truth for erex/javamap.py: the entity HashMap's
                 // iteration order
