@@ -364,9 +364,12 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
     sig_timex = signals.temporal_timex_signals()
     sig_event = signals.temporal_event_signals()
     sig = sig_timex if e2.is_timex else sig_event
-    keys = signals.temporal_timex_keys_sorted() if e2.is_timex \
-        else signals.temporal_event_keys_sorted()
-    ev_keys = signals.temporal_event_keys_sorted()
+    keys_split = signals.temporal_timex_keys_split() if e2.is_timex \
+        else signals.temporal_event_keys_split()
+    pair_key_set = signals.temporal_timex_key_tuples() if e2.is_timex \
+        else signals.temporal_event_key_tuples()
+    ev_keys_split = signals.temporal_event_keys_split()
+    ev_key_set = signals.temporal_event_key_tuples()
     candidates: dict = {}
 
     if doc.same_sentence(e1, e2):
@@ -380,9 +383,12 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
         # (equal distances overwrite, minimum wins) — a first-match-wins
         # scan provably diverges (golden tadv5: 'when' found first loses
         # to the nearer later key 'previously')
-        for key in keys:
-            kw = key.split(" ")
-            off_in = idx_in[0].get(tuple(kw))
+        present = (set(idx_in[0]) | set(idx_bt[0])) & pair_key_set
+        for key, kt in (keys_split if present else ()):
+            if kt not in present:
+                continue
+            kw = kt
+            off_in = idx_in[0].get(kt)
             if off_in is not None and 0 < off_in and \
                     off_in + len(kw) < len(words_e):
                 joff = _java_offset(words_e, key, False)
@@ -392,7 +398,7 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     signal_dep_path(doc, e1, sig_tids),
                     signal_dep_path(doc, e2, sig_tids))
                 continue
-            off = idx_bt[1].get(tuple(kw))
+            off = idx_bt[1].get(kt)
             if off is not None and 0 < off and off + len(kw) < len(wb):
                 joff = _java_offset(wb, key, True)
                 sig_tids = tb[joff:joff + len(kw)]
@@ -404,9 +410,12 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
         idx_bf = _index_window(wbf)
         wg, tg = ctx["BEGIN"]
         idx_bg = _index_window(wg)
-        for key in ev_keys:
-            kw = key.split(" ")
-            off = idx_bf[1].get(tuple(kw))
+        present = (set(idx_bf[0]) | set(idx_bg[0])) & ev_key_set
+        for key, kt in (ev_keys_split if present else ()):
+            if kt not in present:
+                continue
+            kw = kt
+            off = idx_bf[1].get(kt)
             if off is not None and 0 < off and off + len(kw) < len(wbf):
                 joff = _java_offset(wbf, key, True)
                 sig_tids = tbf[joff:joff + len(kw)]
@@ -415,7 +424,7 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     signal_dep_path(doc, e2, sig_tids),
                     signal_dep_path(doc, e1, sig_tids))
                 continue
-            off = idx_bg[0].get(tuple(kw))
+            off = idx_bg[0].get(kt)
             if off is not None and 0 < off and off + len(kw) < len(wg):
                 joff = _java_offset(wg, key, False)
                 sig_tids = tg[joff:joff + len(kw)]
@@ -426,9 +435,12 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
     elif not e2.is_timex and not doc._non_text_pair(e1, e2):
         words, tids = _sentence_begin_window(doc, e2.sent_id)
         idx = _index_window(words)
-        for key in ev_keys:
-            kw = key.split(" ")
-            off = idx[0].get(tuple(kw))
+        present = set(idx[0]) & ev_key_set
+        for key, kt in (ev_keys_split if present else ()):
+            if kt not in present:
+                continue
+            kw = kt
+            off = idx[0].get(kt)
             if off is not None and 0 < off and off + len(kw) < len(words):
                 joff = _java_offset(words, key, False)
                 sig_tids = tids[joff:joff + len(kw)]
@@ -455,8 +467,10 @@ def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
         return hit
     slist = signals.temporal_timex_signals() if ent.is_timex \
         else signals.temporal_event_signals()
-    keys = signals.temporal_timex_keys_sorted() if ent.is_timex \
-        else signals.temporal_event_keys_sorted()
+    keys_split = signals.temporal_timex_keys_split() if ent.is_timex \
+        else signals.temporal_event_keys_split()
+    key_set = signals.temporal_timex_key_tuples() if ent.is_timex \
+        else signals.temporal_event_key_tuples()
     tid_before, _ = _tid_entity_before_after(doc, ent)
     tid_start, tid_end = _tid_before_after(doc, ent)
     _, tid_after = _tid_entity_before_after(doc, ent)
@@ -467,10 +481,17 @@ def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
         "BEGIN": (_sentence_begin_window(doc, ent.sent_id), 300, False),
     }
     idxs = {pos: _index_window(ctx[pos][0][0]) for pos in ctx}
+    # fast path: only keys whose word-tuple occurs in SOME window can
+    # produce a candidate — for most entities that set is empty
+    present: set = set()
+    for pos in idxs:
+        present.update(idxs[pos][0])
+    present &= key_set
     candidates: dict = {}
-    for key in keys:
-        kw = key.split(" ")
-        kt = tuple(kw)
+    for key, kt in (keys_split if present else ()):
+        if kt not in present:
+            continue
+        kw = kt
         for pos in ("INSIDE", "BEFORE", "AFTER", "BEGIN"):
             (words, tids), offset, from_end = ctx[pos]
             off = idxs[pos][1 if from_end else 0].get(kt)

@@ -57,6 +57,30 @@ def temporal_timex_keys_sorted() -> tuple:
     return tuple(sorted(temporal_timex_signals(), reverse=True))
 
 
+@lru_cache(maxsize=None)
+def temporal_event_keys_split() -> tuple:
+    """((key, word-tuple), ...) in reverse-sorted order — precomputed
+    so the hot marker scans skip per-call split()."""
+    return tuple((k, tuple(k.split(" ")))
+                 for k in temporal_event_keys_sorted())
+
+
+@lru_cache(maxsize=None)
+def temporal_timex_keys_split() -> tuple:
+    return tuple((k, tuple(k.split(" ")))
+                 for k in temporal_timex_keys_sorted())
+
+
+@lru_cache(maxsize=None)
+def temporal_event_key_tuples() -> frozenset:
+    return frozenset(t for _k, t in temporal_event_keys_split())
+
+
+@lru_cache(maxsize=None)
+def temporal_timex_key_tuples() -> frozenset:
+    return frozenset(t for _k, t in temporal_timex_keys_split())
+
+
 def _load_signal_rows() -> list:
     """causal_signal.tsv rows (key, pattern, cluster) in file order."""
     txt = (_res.files("erex") / "resources" / "causal_signal.tsv").read_text()
