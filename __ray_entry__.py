@@ -277,6 +277,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _fingerprint_sql() -> str:
+    """DuckDB replica of erex.ops.text.rolling_fingerprint: md5-derived
+    64-bit token hashes (reduced mod M — congruent to the raw rolling
+    recurrence), per-position window hashes as modular power sums over
+    HUGEINTs, minimum wins.  Window powers are injected as literals."""
+    from erex.ops.text import BASE, MOD
+    pw = "[" + ", ".join("CAST(%d AS HUGEINT)" % pow(BASE, k, MOD)
+                         for k in range(5)) + "]"
+    return f"""
+        WITH hs AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                    w -> CAST(CAST(concat('0x', substr(md5(w), 1, 16))
+                              AS UBIGINT) AS HUGEINT) % {MOD}) AS h
+          FROM documents),
+        win AS (
+          SELECT doc_id, h, len(h) AS n,
+                 CASE WHEN len(h) >= 5 THEN 5 ELSE len(h) END AS w
+          FROM hs)
+        SELECT doc_id,
+          CAST(CASE WHEN n = 0 THEN 0 ELSE
+            list_min(list_transform(range(1, n - w + 2),
+              i -> list_aggregate(
+                     list_transform(range(1, w + 1),
+                       j -> (h[i + j - 1] * ({pw})[w - j + 1]) % {MOD}),
+                     'sum') % {MOD}))
+          END AS BIGINT) AS fingerprint
+        FROM win
+        ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from erex.ops.text import LANG_STOPWORDS
     lang_counts = ", ".join(
@@ -538,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {lang_case} AS lang_pred
             FROM counts ORDER BY doc_id
         """,
+        "doc_fingerprint": _fingerprint_sql(),
         "mm_image_meta": """
             SELECT doc_id,
                    64 + doc_id % 512 AS width,
