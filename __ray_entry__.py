@@ -277,6 +277,152 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _embedding_lsh_sql() -> str:
+    """DuckDB replica of embedding_dup_pairs_lsh: the 16 deterministic
+    hyperplanes (seed 97531) as literal arrays, 4 bands of 4 sign bits,
+    pairs sharing any band bucket, exact-cosine filter at the query's
+    400k-micro threshold."""
+    import numpy as np
+    from erex.ops.similarity import _DUP_BANDS, _DUP_PLANES_PER_BAND
+    planes = np.random.RandomState(97531).normal(
+        size=(_DUP_BANDS * _DUP_PLANES_PER_BAND, 64))
+
+    def key_expr(b):
+        return " + ".join(
+            "CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]),"
+            " [%s]) > 0 THEN %d ELSE 0 END"
+            % (",".join(repr(float(v))
+                        for v in planes[b * _DUP_PLANES_PER_BAND + p]),
+               1 << p)
+            for p in range(_DUP_PLANES_PER_BAND))
+
+    keys = ", ".join("%s AS k%d" % (key_expr(b), b)
+                     for b in range(_DUP_BANDS))
+    case = " ".join("WHEN %d THEN k%d" % (b, b) for b in range(_DUP_BANDS))
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding, {keys} FROM embeddings),
+        bk AS (SELECT vec_id, r.b AS band, CASE r.b {case} END AS key
+               FROM emb, UNNEST(range(0, {_DUP_BANDS})) AS r(b)),
+        cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                 FROM bk a JOIN bk b
+                   ON a.band = b.band AND a.key = b.key
+                  AND a.vec_id < b.vec_id)
+        SELECT c.va AS vec_a, c.vb AS vec_b,
+               CAST(FLOOR(list_cosine_similarity(
+                    CAST(x.embedding AS DOUBLE[]),
+                    CAST(y.embedding AS DOUBLE[]))*1000000+0.5)
+                    AS BIGINT) AS cos_micro
+        FROM cand c
+        JOIN embeddings x ON x.vec_id = c.va
+        JOIN embeddings y ON y.vec_id = c.vb
+        WHERE CAST(FLOOR(list_cosine_similarity(
+              CAST(x.embedding AS DOUBLE[]),
+              CAST(y.embedding AS DOUBLE[]))*1000000+0.5) AS BIGINT)
+              >= 400000
+        ORDER BY vec_a, vec_b
+    """
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB replica of ann_lsh_topk: the 4 deterministic hyperplanes
+    (seeded, dim 64 across all sf scales) are injected as literal
+    arrays; a row is an LSH candidate for a query iff their sign-bit
+    buckets differ in <= 1 bit (exactly the engine's multi-probe set:
+    own bucket plus all Hamming-1 neighbours); exact cosine + top-k on
+    the candidates."""
+    from erex.ops.similarity import _N_PLANES, _hyperplanes
+    planes = _hyperplanes(64)
+    bucket = " + ".join(
+        "CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), [%s])"
+        " > 0 THEN %d ELSE 0 END"
+        % (",".join(repr(float(v)) for v in planes[p]), 1 << p)
+        for p in range(_N_PLANES))
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bkt AS qb
+              FROM emb WHERE vec_id < 8),
+        c AS (
+          SELECT q.qid, e.vec_id AS vid,
+                 CAST(FLOOR(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                      CAST(e.embedding AS DOUBLE[]))*1000000+0.5)
+                      AS BIGINT) AS cm
+          FROM q JOIN emb e
+            ON e.vec_id != q.qid
+           AND bit_count(CAST(xor(e.bkt, q.qb) AS BIGINT)) <= 1),
+        r AS (SELECT qid, vid, cm,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cm DESC, vid) AS rn
+              FROM c)
+        SELECT qid AS query_id, rn AS rank, vid AS vec_id, cm AS cos_micro
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank
+    """
+
+
+def _minhash_sql() -> str:
+    """DuckDB replica of the full minhash-LSH pipeline: md5-derived
+    shingle hashes mod p, the 128 (a*x+b) mod p permutation minima as a
+    vectorized cross-join GROUP BY (the a/b constants are injected as
+    literals from erex.ops.dedup), 64 two-row bands compared by VALUE
+    equality (the engine's md5 bucket key is injective on the band
+    values, so bucket equality == value equality), then the same exact
+    Jaccard verification as dedup_ngram_jaccard."""
+    from erex.ops.dedup import N_BANDS, N_PERM, _A, _B, _P31
+    a = ",".join(str(int(v)) for v in _A)
+    b = ",".join(str(int(v)) for v in _B)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+            WHERE len(ws) >= 3
+            UNION
+            SELECT DISTINCT doc_id, array_to_string(ws, ' ')
+            FROM toks WHERE len(ws) < 3 AND len(ws) > 0),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        flat AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(md5(shingle), 1, 16))
+                        AS UBIGINT) % {_P31} AS BIGINT) AS x
+            FROM sh),
+        prm AS (
+            SELECT r.i AS i, ([{a}])[r.i] AS a, ([{b}])[r.i] AS b
+            FROM UNNEST(range(1, {N_PERM}+1)) AS r(i)),
+        minv AS (
+            SELECT f.doc_id, p.i, MIN((p.a * f.x + p.b) % {_P31}) AS v
+            FROM flat f CROSS JOIN prm p
+            GROUP BY f.doc_id, p.i),
+        bucket AS (
+            SELECT doc_id, CAST((i-1)/2 AS BIGINT) AS band,
+                   MAX(CASE WHEN (i-1)%2 = 0 THEN v END) AS v1,
+                   MAX(CASE WHEN (i-1)%2 = 1 THEN v END) AS v2
+            FROM minv GROUP BY doc_id, CAST((i-1)/2 AS BIGINT)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bucket a JOIN bucket b
+              ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+             AND a.doc_id < b.doc_id),
+        inter AS (
+            SELECT c.da, c.db, COUNT(*) AS i
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.da
+            JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+            GROUP BY c.da, c.db)
+        SELECT i.da AS doc_a, i.db AS doc_b,
+               CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i)) AS BIGINT)
+                   AS jaccard_milli
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.da
+        JOIN sizes sb ON sb.doc_id = i.db
+        WHERE CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i)) AS BIGINT)
+              >= 200
+        ORDER BY doc_a, doc_b
+    """
+
+
 def _fingerprint_sql() -> str:
     """DuckDB replica of erex.ops.text.rolling_fingerprint: md5-derived
     64-bit token hashes (reduced mod M — congruent to the raw rolling
@@ -509,6 +655,44 @@ def oracle_sql() -> dict[str, str]:
                   >= 200
             ORDER BY doc_a, doc_b
         """,
+        "dedup_minhash": _minhash_sql(),
+        # SimHash: any pair at Hamming<=3 shares an exact 16-bit quarter
+        # (pigeonhole over 4 bands), so the engine's band+verify result
+        # set equals the plain all-pairs Hamming filter — which IS
+        # SQL-expressible: md5-derived 64-bit token hashes, per-bit
+        # majority vote via a 64-way unnest, bit_count(xor) pairs
+        "dedup_simhash": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text),
+                                                        '[a-z0-9]+')) AS ws
+                FROM documents),
+            flat AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(t.w), 1, 16))
+                            AS UBIGINT) AS h
+                FROM toks, UNNEST(ws) AS t(w)),
+            bits AS (
+                SELECT doc_id, r.b,
+                       SUM(CASE WHEN (h >> r.b) & 1 = 1
+                           THEN 1 ELSE -1 END) AS s
+                FROM flat, UNNEST(range(0, 64)) AS r(b)
+                GROUP BY doc_id, r.b),
+            sh0 AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0
+                                THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                                ELSE 0 END) AS UBIGINT) AS sim
+                FROM bits GROUP BY doc_id),
+            sh AS (
+                SELECT d.doc_id, COALESCE(s.sim, 0) AS sim
+                FROM documents d LEFT JOIN sh0 s ON s.doc_id = d.doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
         "dedup_embedding": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -535,6 +719,8 @@ def oracle_sql() -> dict[str, str]:
                    cm AS cos_micro
             FROM r WHERE rn <= 5 ORDER BY query_id, rank
         """,
+        "dedup_embedding_lsh": _embedding_lsh_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_centroids": """
             SELECT label, i - 1 AS dim,
                    CAST(FLOOR(1000000 * SUM(CAST(v AS DOUBLE)) / COUNT(*)
