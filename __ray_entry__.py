@@ -170,6 +170,62 @@ def _label_collapse_variants(sf_dir: str):
     return df.sort_values(["variant", "label_in"]).reset_index(drop=True)
 
 
+def _label_inverse_map(sf_dir: str):
+    """M8 inverse-relation functions + label numbering as a Ray column
+    transform over the full label vocabulary, hash-checked against a SQL
+    CASE formulation (the maps are pinned against the reference's
+    TemporalRelation.getInverseRelation / label indexing by
+    tests/test_labels.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from erex._env import remote_args
+    from erex.labels import (TLINK_LABELS, inverse_clink, inverse_tlink,
+                             tlink_label_num)
+
+    labels = list(TLINK_LABELS) + ["NONE", "END", "VAGUE", "O",
+                                   "CLINK", "CLINK-R"]
+    ds = rd.from_items([{"label_in": l} for l in labels])
+
+    def apply(t: pa.Table) -> pa.Table:
+        ins = t.column("label_in").to_pylist()
+        return pa.table({
+            "label_in": t.column("label_in"),
+            "inv_tlink": pa.array([inverse_tlink(l) for l in ins],
+                                  pa.string()),
+            "inv_clink": pa.array([inverse_clink(l) for l in ins],
+                                  pa.string()),
+            "label_num": pa.array([tlink_label_num(l) for l in ins],
+                                  pa.int64()),
+        })
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          **remote_args()).to_pandas()\
+        .sort_values("label_in").reset_index(drop=True)
+
+
+def _label_inverse_sql() -> str:
+    from erex.labels import _INVERSE, TLINK_LABELS
+    labels = list(TLINK_LABELS) + ["NONE", "END", "VAGUE", "O",
+                                   "CLINK", "CLINK-R"]
+    vals = ", ".join("('%s')" % l for l in labels)
+    inv_t = " ".join("WHEN label_in = '%s' THEN '%s'" % (k, v)
+                     for k, v in _INVERSE.items())
+    num = " ".join("WHEN label_in = '%s' THEN %d" % (l, i + 1)
+                   for i, l in enumerate(TLINK_LABELS))
+    return f"""
+        WITH inp(label_in) AS (VALUES {vals})
+        SELECT label_in,
+               CASE {inv_t} ELSE label_in END AS inv_tlink,
+               CASE WHEN label_in = 'CLINK' THEN 'CLINK-R'
+                    WHEN label_in = 'CLINK-R' THEN 'CLINK'
+                    ELSE 'NONE' END AS inv_clink,
+               CAST(CASE WHEN label_in = 'END'
+                         THEN {TLINK_LABELS.index("ENDS") + 1}
+                         {num} ELSE 0 END AS BIGINT) AS label_num
+        FROM inp ORDER BY label_in
+    """
+
+
 def _catena_timeml(sf_dir: str):
     """TimeML rendering sink (S5) over the merged edges."""
     from erex._env import remote_args
@@ -234,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catena_confusion": _catena_confusion,
         "catena_confusion_collapsed": _catena_confusion_collapsed,
         "label_collapse_variants": _label_collapse_variants,
+        "label_inverse_map": _label_inverse_map,
         "catena_stage_counts": _catena_stage_counts,
         "catena_edges_dense": _catena_edges_dense,
         "catena_timeml": _catena_timeml,
@@ -494,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "label_collapse_variants": collapse_sql,
+        "label_inverse_map": _label_inverse_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity*1000+0.5) AS BIGINT))
