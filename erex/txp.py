@@ -125,6 +125,14 @@ class TXPDocParser:
         self._curr_timex: Optional[Entity] = None
         self._curr_event: Optional[Entity] = None
         self._curr_sent: Optional[Sentence] = None
+        # hot-path column indices, resolved once per document (missing
+        # field -> huge sentinel so `i < len(cols)` covers it)
+        gi = lambda f: self.idx.get(f, 1 << 30)  # noqa: E731
+        self._ix = tuple(gi(f) for f in (
+            "token_id", "sent_id", "pos", "tense_aspect_pol", "lemma",
+            "chunk", "ner", "supersense", "connective", "main_verb",
+            "deps", "tmx_id", "ev_id", "tmx_type", "tmx_value",
+            "ev_class", "coref_event", "tlink", "clink"))
 
     # -- helpers -------------------------------------------------------
     def _col(self, cols: list, field: str, default: str = "O") -> str:
@@ -191,20 +199,24 @@ class TXPDocParser:
         if not first:
             return
 
-        tok_id = self._col(cols, "token_id")
-        sent_id = self._col(cols, "sent_id")
-        pos = self._col(cols, "pos")
-        tense, aspect, pol = _parse_tap(self._col(cols, "tense_aspect_pol"))
+        n = len(cols)
+        (i_tok, i_sent, i_pos, i_tap, i_lem, i_chk, i_ner, i_ss, i_conn,
+         i_mv, i_dep, i_tmx, i_ev, i_tt, i_tv, i_ec, i_co, i_tl,
+         i_cl) = self._ix
+        tok_id = cols[i_tok] if i_tok < n else "O"
+        sent_id = cols[i_sent] if i_sent < n else "O"
+        pos = cols[i_pos] if i_pos < n else "O"
+        tense, aspect, pol = _parse_tap(cols[i_tap] if i_tap < n else "O")
         tok = Token(
             tid=tok_id, sent_id=sent_id, text=first,
-            lemma=self._col(cols, "lemma"), pos=pos,
+            lemma=cols[i_lem] if i_lem < n else "O", pos=pos,
             mainpos=main_pos_from_pos(pos),
-            chunk=self._col(cols, "chunk"),
-            ner=self._col(cols, "ner"),
-            supersense=self._col(cols, "supersense"),
-            conn=self._col(cols, "connective"),
-            main_verb=self._col(cols, "main_verb") == "mainVb",
-            deps=_parse_deps(self._col(cols, "deps")),
+            chunk=cols[i_chk] if i_chk < n else "O",
+            ner=cols[i_ner] if i_ner < n else "O",
+            supersense=cols[i_ss] if i_ss < n else "O",
+            conn=cols[i_conn] if i_conn < n else "O",
+            main_verb=(cols[i_mv] if i_mv < n else "O") == "mainVb",
+            deps=_parse_deps(cols[i_dep] if i_dep < n else "O"),
             tense=tense, aspect=aspect, pol=pol,
             index=self._tok_i,
         )
@@ -221,8 +233,8 @@ class TXPDocParser:
             self._flush_sentence()
             self._curr_sent = Sentence(sent_id, tok_id, tok_id)
 
-        tmx_id = self._col(cols, "tmx_id")
-        ev_id = self._col(cols, "ev_id")
+        tmx_id = cols[i_tmx] if i_tmx < n else "O"
+        ev_id = cols[i_ev] if i_ev < n else "O"
 
         # timex run-length (TXPParser.java:267-304)
         ct = self._curr_timex
@@ -230,8 +242,8 @@ class TXPDocParser:
             tok.timex_id = tmx_id
             self._curr_timex = Entity(
                 eid=tmx_id, kind="TIMEX", start_tok=tok_id, end_tok=tok_id,
-                ttype=_strip_bio(self._col(cols, "tmx_type")),
-                value=self._col(cols, "tmx_value"))
+                ttype=_strip_bio(cols[i_tt] if i_tt < n else "O"),
+                value=cols[i_tv] if i_tv < n else "O")
         elif ct is not None and tmx_id == ct.eid:
             tok.timex_id = tmx_id
             ct.end_tok = tok_id
@@ -242,11 +254,11 @@ class TXPDocParser:
             tok.timex_id = tmx_id
             self._curr_timex = Entity(
                 eid=tmx_id, kind="TIMEX", start_tok=tok_id, end_tok=tok_id,
-                ttype=_strip_bio(self._col(cols, "tmx_type")),
-                value=self._col(cols, "tmx_value"))
+                ttype=_strip_bio(cols[i_tt] if i_tt < n else "O"),
+                value=cols[i_tv] if i_tv < n else "O")
 
         # coref
-        coref_cell = self._col(cols, "coref_event")
+        coref_cell = cols[i_co] if i_co < n else "O"
         coref = coref_cell.split(":") if coref_cell not in ("O", "_", "") else []
 
         # event run-length (TXPParser.java:312-351); note: a token that is
@@ -256,7 +268,7 @@ class TXPDocParser:
             tok.event_id = ev_id
             self._curr_event = Entity(
                 eid=ev_id, kind="EVENT", start_tok=tok_id, end_tok=tok_id,
-                ev_class=self._col(cols, "ev_class"),
+                ev_class=cols[i_ec] if i_ec < n else "O",
                 tense=tense, aspect=aspect, pol=pol, coref=list(coref))
         elif ce is not None and ev_id == ce.eid:
             tok.event_id = ev_id
@@ -268,13 +280,13 @@ class TXPDocParser:
             tok.event_id = ev_id
             self._curr_event = Entity(
                 eid=ev_id, kind="EVENT", start_tok=tok_id, end_tok=tok_id,
-                ev_class=self._col(cols, "ev_class"),
+                ev_class=cols[i_ec] if i_ec < n else "O",
                 tense=tense, aspect=aspect, pol=pol, coref=list(coref))
 
         # tlink / clink cells (only on entity-bearing rows,
         # TXPParser.java:395-436)
         if tmx_id != "O" or ev_id != "O":
-            tcell = self._col(cols, "tlink", default="")
+            tcell = cols[i_tl] if i_tl < n else ""
             if tcell and tcell not in ("O", "_NULL_"):
                 for t in tcell.split("||"):
                     parts = t.split(":")
@@ -284,7 +296,7 @@ class TXPDocParser:
                             self._tlink_keys.add(key)
                             doc.tlinks.append((parts[0], parts[1], parts[2]))
                         doc.tlink_types[parts[0] + "," + parts[1]] = parts[2]
-            ccell = self._col(cols, "clink", default="")
+            ccell = cols[i_cl] if i_cl < n else ""
             if ccell and ccell not in ("O", "_NULL_"):
                 for c in ccell.split("||"):
                     parts = c.split(":")
