@@ -151,6 +151,9 @@ class TimeGraph:
         Because the masks are fully closed after every single edge,
         a contradiction always surfaces as a direct pre-mutation check
         in _add_lt/_add_eq — never mid-propagation."""
+        if len(triples) == 1:       # single edge: no rollback needed
+            p, r, q = triples[0]
+            return self._add_eq(p, q) if r == EQ else self._add_lt(p, q)
         snap = (self.eq[:], self.succ[:], self.pred[:])
         for p, r, q in triples:
             ok = self._add_eq(p, q) if r == EQ else self._add_lt(p, q)
