@@ -539,10 +539,15 @@ def _connective_run(doc: Doc, start_tid: str, end_tid: str, conn_type: str,
 def connective_marker_pair(doc: Doc, e1: Entity, e2: Entity,
                            conn_type: str = "Temporal") -> Marker:
     """F8: getTemporalConnective / getCausalConnective
-    (PairFeatureVector.java:1291-1371) over the discourse-connective
-    token column: BETWEEN(+0) > BEFORE(+100) > AFTER(+200) >
-    INSIDE(+300, temporal only) > BEGIN(+400); cross-sentence
-    BEGIN-BETWEEN/BEGIN-BEFORE."""
+    (PairFeatureVector.java:1291-1371, 1563-1620) over the
+    discourse-connective token column: BETWEEN(+0) > BEFORE(+100) >
+    AFTER(+200) > INSIDE(+300, temporal only) > BEGIN; cross-sentence
+    BEGIN-BETWEEN.  Three reference quirks pinned by the connmark
+    adversarial goldens: AFTER markers carry NO dep paths
+    (getConnectiveMarker's if/else chain skips AFTER); the temporal
+    INSIDE marker's dep paths come from the BEGIN-window run, not the
+    INSIDE run (the call site passes tidConnBegin); and the
+    cross-sentence window starts at SENTENCE 1's start token."""
     candidates: dict = {}
     if doc.same_sentence(e1, e2):
         tid_before1, _ = _tid_entity_before_after(doc, e1)
@@ -553,7 +558,7 @@ def connective_marker_pair(doc: Doc, e1: Entity, e2: Entity,
         i0 = doc.tokens[s.start_tok].index
         tid_begin = doc.token_arr[min(i0 + 4, doc.tokens[s.end_tok].index)]
 
-        def put(run, pos, base_ent, offset):
+        def put(run, pos, base_ent, offset, dep_run=None):
             if not run:
                 return False
             text = doc.span_lower_text(run[0], run[-1])
@@ -563,15 +568,20 @@ def connective_marker_pair(doc: Doc, e1: Entity, e2: Entity,
             else:
                 dist = abs(doc.tokens[base_ent.end_tok].index
                            - doc.tokens[run[0]].index)
+            dr = run if dep_run is None else dep_run
             if pos in ("BETWEEN", "INSIDE"):
-                d1 = signal_dep_path(doc, e1, run)
-                d2 = signal_dep_path(doc, e2, run)
-            else:
-                d1 = signal_dep_path(doc, e2, run)
-                d2 = signal_dep_path(doc, e1, run)
+                d1 = signal_dep_path(doc, e1, dr)
+                d2 = signal_dep_path(doc, e2, dr)
+            elif pos in ("BEFORE", "BEGIN"):
+                d1 = signal_dep_path(doc, e2, dr)
+                d2 = signal_dep_path(doc, e1, dr)
+            else:                       # AFTER: no dep branch in Java
+                d1 = d2 = "O"
             candidates[dist + offset] = Marker(text, text, pos, d1, d2)
             return True
 
+        begin_run = _connective_run(doc, s.start_tok, tid_begin, conn_type,
+                                    False)
         # strict priority chain (else-if in the reference)
         (put(_connective_run(doc, tid_before1, tid_start2, conn_type, True),
              "BETWEEN", e2, 0)
@@ -581,14 +591,15 @@ def connective_marker_pair(doc: Doc, e1: Entity, e2: Entity,
                                 False), "AFTER", e2, 200)
          or (conn_type == "Temporal"
              and put(_connective_run(doc, e2.start_tok, e2.end_tok,
-                                     conn_type, False), "INSIDE", e2, 300))
-         or put(_connective_run(doc, s.start_tok, tid_begin, conn_type,
-                                False), "BEGIN", e2, 400))
+                                     conn_type, False), "INSIDE", e2, 300,
+                     dep_run=begin_run))
+         or put(begin_run, "BEGIN", e2, 400))
     elif not doc._non_text_pair(e1, e2):
+        s1 = doc.sentences[e1.sent_id]
         s2 = doc.sentences[e2.sent_id]
         i0 = doc.tokens[s2.start_tok].index
         tid_begin2 = doc.token_arr[min(i0 + 4, doc.tokens[s2.end_tok].index)]
-        run = _connective_run(doc, s2.start_tok, tid_begin2, conn_type,
+        run = _connective_run(doc, s1.start_tok, tid_begin2, conn_type,
                               False)
         if run:
             text = doc.span_lower_text(run[0], run[-1])

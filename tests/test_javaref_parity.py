@@ -330,3 +330,34 @@ def test_adversarial_temporal_markers():
         m = temporal_signal_pair(doc, doc.entities[a], doc.entities[b])
         assert (text, cluster, pos, d1, d2) == \
             (m.text, m.cluster, m.position, m.dep1, m.dep2), (doc_name, a, b)
+
+
+def test_adversarial_connective_markers():
+    """Discourse-connective marker parity against the compiled
+    reference (tools/adversarial_connective.py docs, `javaref.Driver
+    connmark` golden).  Pins three quirks the engine previously got
+    wrong: AFTER markers carry no dep paths, the temporal INSIDE
+    marker's deps come from the BEGIN-window run, and the
+    cross-sentence BEGIN-BETWEEN window starts at SENTENCE 1's start
+    (cadv2/cadv3 found their markers only via that widened window)."""
+    from erex.features import connective_marker_pair
+    from erex.txp import parse_txp
+
+    rows = [l.rstrip("\n").split("\t")
+            for l in open(os.path.join(GOLD_DIR, "connmark_adv.tsv"))]
+    assert len(rows) == 6
+    docs = {}
+    for f in rows:
+        doc_name, _cat, a, b = f[0], f[1], f[2], f[3]
+        name = doc_name[:-4]
+        if name not in docs:
+            path = os.path.join(GOLD_DIR, "adv", name + ".txp")
+            docs[name] = parse_txp(open(path).read(), name=name)
+        doc = docs[name]
+        e1, e2 = doc.entities[a], doc.entities[b]
+        mt = connective_marker_pair(doc, e1, e2, "Temporal")
+        mc = connective_marker_pair(doc, e1, e2, "Contingency")
+        assert tuple(f[4:8]) == (mt.text, mt.position, mt.dep1, mt.dep2), \
+            (doc_name, a, b, "temporal")
+        assert tuple(f[8:12]) == (mc.text, mc.position, mc.dep1, mc.dep2), \
+            (doc_name, a, b, "causal")

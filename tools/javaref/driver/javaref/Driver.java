@@ -164,6 +164,25 @@ public class Driver {
                                 + "\t" + m.getDepRelE2());
                     }
                 }
+            } else if (mode.equals("connmark")) {
+                // dump temporal+causal discourse-connective markers of
+                // every candidate pair (getTemporalConnective /
+                // getCausalConnective)
+                TempRelPro task = new TempRelPro();
+                List<List<PairFeatureVector>> fvs = task.buildFeatureVectorFromFile(parser, path);
+                String[] cats = {"dct", "et", "ee"};
+                for (int c = 0; c < 3; c++) {
+                    for (PairFeatureVector fv : fvs.get(c)) {
+                        model.feature.Marker t = fv.getTemporalConnective();
+                        model.feature.Marker u = fv.getCausalConnective();
+                        System.out.println(name + "\t" + cats[c]
+                                + "\t" + fv.getE1().getID() + "\t" + fv.getE2().getID()
+                                + "\t" + t.getText() + "\t" + t.getPosition()
+                                + "\t" + t.getDepRelE1() + "\t" + t.getDepRelE2()
+                                + "\t" + u.getText() + "\t" + u.getPosition()
+                                + "\t" + u.getDepRelE1() + "\t" + u.getDepRelE2());
+                    }
+                }
             } else if (mode.equals("entorder")) {
                 // ground truth for erex/javamap.py: the entity HashMap's
                 // iteration order
