@@ -361,3 +361,57 @@ def test_adversarial_connective_markers():
             (doc_name, a, b, "temporal")
         assert tuple(f[8:12]) == (mc.text, mc.position, mc.dep1, mc.dep2), \
             (doc_name, a, b, "causal")
+
+
+def test_bulk_marker_parity_synthetic_corpus():
+    """Marker-LEVEL parity over 50 synthetic corpus docs: 3,182 golden
+    rows from the compiled reference's tempmark / causmark / connmark /
+    entmark driver modes (pair temporal signal, pair causal signal,
+    temporal+causal connectives, per-entity temporal signal).  Stronger
+    than the triple-level goldens — a marker divergence that does not
+    flip any classifier prediction would hide there but not here.
+    Regenerate: write docs 0..49 via generate_txp to .txp files, run
+    `javaref.Driver <mode>` over them (dct pairs are skipped by the
+    connmark/entmark modes: the reference NPEs on the DCT's null
+    sentence id)."""
+    from erex.features import (causal_signal_pair, connective_marker_pair,
+                               temporal_signal_pair,
+                               temporal_signal_per_entity)
+    from erex.txp import parse_txp
+
+    docs = {}
+
+    def get(name):
+        if name not in docs:
+            docs[name] = parse_txp(generate_txp(int(name[4:-4])),
+                                   name=name)
+        return docs[name]
+
+    def check(fname, fn, ncols, has_cat=True):
+        n = 0
+        for line in open(os.path.join(GOLD_DIR, fname)):
+            f = line.rstrip("\n").split("\t")
+            a, b = (f[2], f[3]) if has_cat else (f[1], f[2])
+            doc = get(f[0])
+            got = fn(doc, doc.entities[a], doc.entities[b])
+            assert tuple(f[4:4 + ncols]) == got[:ncols], (fname, f[0], a, b)
+            n += 1
+        return n
+
+    as5 = lambda m: (m.text, m.cluster, m.position, m.dep1, m.dep2)
+
+    def conn(d, e1, e2):
+        mt = connective_marker_pair(d, e1, e2, "Temporal")
+        mc = connective_marker_pair(d, e1, e2, "Contingency")
+        return (mt.text, mt.position, mt.dep1, mt.dep2,
+                mc.text, mc.position, mc.dep1, mc.dep2)
+
+    n = check("tempmark_synth.tsv",
+              lambda d, e1, e2: as5(temporal_signal_pair(d, e1, e2)), 5)
+    n += check("causmark_synth.tsv",
+               lambda d, e1, e2: as5(causal_signal_pair(d, e1, e2)), 5,
+               has_cat=False)
+    n += check("connmark_synth.tsv", conn, 8)
+    n += check("entmark_synth.tsv",
+               lambda d, e1, e2: as5(temporal_signal_per_entity(d, e2)), 5)
+    assert n == 3182

@@ -164,14 +164,34 @@ public class Driver {
                                 + "\t" + m.getDepRelE2());
                     }
                 }
-            } else if (mode.equals("connmark")) {
-                // dump temporal+causal discourse-connective markers of
-                // every candidate pair (getTemporalConnective /
-                // getCausalConnective)
+            } else if (mode.equals("entmark")) {
+                // dump the PER-ENTITY temporal signal marker of e2 for
+                // every et/ee candidate pair (the marker consumed by the
+                // shipped EE feature vector; skipping dct pairs — the
+                // reference NPEs on the DCT's null sentence id)
                 TempRelPro task = new TempRelPro();
                 List<List<PairFeatureVector>> fvs = task.buildFeatureVectorFromFile(parser, path);
                 String[] cats = {"dct", "et", "ee"};
-                for (int c = 0; c < 3; c++) {
+                for (int c = 1; c < 3; c++) {
+                    for (PairFeatureVector fv : fvs.get(c)) {
+                        model.feature.Marker m =
+                                fv.getTemporalSignalPerEntity(fv.getE2());
+                        System.out.println(name + "\t" + cats[c]
+                                + "\t" + fv.getE1().getID() + "\t" + fv.getE2().getID()
+                                + "\t" + m.getText() + "\t" + m.getCluster()
+                                + "\t" + m.getPosition() + "\t" + m.getDepRelE1()
+                                + "\t" + m.getDepRelE2());
+                    }
+                }
+            } else if (mode.equals("connmark")) {
+                // dump temporal+causal discourse-connective markers of
+                // every et/ee candidate pair (getTemporalConnective /
+                // getCausalConnective; dct pairs skipped — the DCT's
+                // null sentence id NPEs the cross-sentence branch)
+                TempRelPro task = new TempRelPro();
+                List<List<PairFeatureVector>> fvs = task.buildFeatureVectorFromFile(parser, path);
+                String[] cats = {"dct", "et", "ee"};
+                for (int c = 1; c < 3; c++) {
                     for (PairFeatureVector fv : fvs.get(c)) {
                         model.feature.Marker t = fv.getTemporalConnective();
                         model.feature.Marker u = fv.getCausalConnective();
