@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": similarity.embedding_centroids,
         # text analysis
         "token_count": text.token_count,
+        "token_count_bpe": text.token_count_bpe,
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
@@ -477,6 +478,19 @@ def _minhash_sql() -> str:
         WHERE CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i)) AS BIGINT)
               >= 200
         ORDER BY doc_a, doc_b
+    """
+
+
+def _token_bpe_sql() -> str:
+    """Same BPE-ish pre-tokenizer pattern, run verbatim by DuckDB's RE2
+    (the pattern deliberately avoids constructs whose semantics differ
+    between Python re and RE2)."""
+    from erex.ops.text import BPE_RE_PATTERN
+    pat = BPE_RE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{pat}')) AS n_tokens
+        FROM documents ORDER BY doc_id
     """
 
 
@@ -815,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
             FROM counts ORDER BY doc_id
         """,
         "doc_fingerprint": _fingerprint_sql(),
+        "token_count_bpe": _token_bpe_sql(),
         "mm_image_meta": """
             SELECT doc_id,
                    64 + doc_id % 512 AS width,

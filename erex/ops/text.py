@@ -34,6 +34,32 @@ LANG_STOPWORDS = (
 )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with
+# identical semantics in Python re and RE2 (no \p classes, no
+# lookahead) so the DuckDB oracle can run the SAME pattern:
+# contractions | space?-letters | space?-digits | space?-punct | spaces
+BPE_RE_PATTERN = (r"'(?:s|t|re|ve|ll|d|m)| ?[A-Za-z]+| ?[0-9]+"
+                  r"| ?[^A-Za-z0-9\s]+|\s+")
+BPE_RE = re.compile(BPE_RE_PATTERN)
+
+
+def token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens) under the BPE-ish pre-tokenizer split — the
+    token count an LLM-training pipeline budgets by, as opposed to
+    token_count's plain word runs."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = [len(BPE_RE.findall(x)) for x in texts]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def token_count(sf_dir: str) -> pd.DataFrame:
     """(doc_id, n_tokens) with tokens = [A-Za-z0-9]+ runs."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
