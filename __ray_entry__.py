@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
+        "stopword_ratio": text.stopword_ratio,
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
@@ -478,6 +479,23 @@ def _minhash_sql() -> str:
         WHERE CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i)) AS BIGINT)
               >= 200
         ORDER BY doc_a, doc_b
+    """
+
+
+def _stopword_sql() -> str:
+    from erex.ops.text import STOPWORDS
+    lst = ", ".join("'%s'" % w for w in STOPWORDS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents)
+        SELECT doc_id,
+               len(ws) AS n_tokens,
+               len(list_filter(ws, w -> w IN ({lst}))) AS n_stopwords,
+               CAST(1000 * len(list_filter(ws, w -> w IN ({lst})))
+                    // GREATEST(1, len(ws)) AS BIGINT) AS stopword_milli
+        FROM toks ORDER BY doc_id
     """
 
 
@@ -830,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": _fingerprint_sql(),
         "token_count_bpe": _token_bpe_sql(),
+        "stopword_ratio": _stopword_sql(),
         "mm_image_meta": """
             SELECT doc_id,
                    64 + doc_id % 512 AS width,

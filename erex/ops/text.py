@@ -60,6 +60,35 @@ def token_count_bpe(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+             "it", "that", "for", "on", "with", "as", "at", "by", "from")
+
+
+def stopword_ratio(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_stopwords, stopword_milli) — the classic
+    quality-filter signal: too-low ratios indicate non-prose (tables,
+    code, boilerplate).  Integer milli ratio for exact oracle compare."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sw = frozenset(STOPWORDS)
+
+    def f(t: pa.Table) -> pa.Table:
+        nt, ns, ratio = [], [], []
+        for x in t.column("text").to_pylist():
+            toks = TOKEN_RE.findall(x.lower())
+            k = sum(1 for w in toks if w in sw)
+            nt.append(len(toks))
+            ns.append(k)
+            ratio.append(1000 * k // max(1, len(toks)))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "n_stopwords": pa.array(ns, pa.int64()),
+                         "stopword_milli": pa.array(ratio, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def token_count(sf_dir: str) -> pd.DataFrame:
     """(doc_id, n_tokens) with tokens = [A-Za-z0-9]+ runs."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -156,8 +185,9 @@ def rolling_fingerprint(tokens, window: int = 5) -> int:
 
 
 def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
-    """(doc_id, fingerprint) via min rolling hash — non-SQL-expressible;
-    validated by the pytest oracle instead."""
+    """(doc_id, fingerprint) via min rolling hash; hash-checked against
+    a DuckDB replica (modular window power sums — __ray_entry__
+    _fingerprint_sql) and the pytest oracle."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
