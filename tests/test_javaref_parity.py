@@ -414,4 +414,15 @@ def test_bulk_marker_parity_synthetic_corpus():
     n += check("connmark_synth.tsv", conn, 8)
     n += check("entmark_synth.tsv",
                lambda d, e1, e2: as5(temporal_signal_per_entity(d, e2)), 5)
-    assert n == 3182
+    # verbmark: Java's getVerbMarker cluster is null for verbs absent
+    # from the verb list ("lead-to", "have") — normalized to the
+    # engine's "O", the only admissible difference
+    from erex.features import causal_verb_pair
+    for line in open(os.path.join(GOLD_DIR, "verbmark_synth.tsv")):
+        f = line.rstrip("\n").split("\t")
+        doc = get(f[0])
+        m = causal_verb_pair(doc, doc.entities[f[2]], doc.entities[f[3]])
+        gold = tuple("O" if g == "null" else g for g in f[4:9])
+        assert gold == as5(m), (f[0], f[2], f[3])
+        n += 1
+    assert n == 3643

@@ -164,6 +164,19 @@ public class Driver {
                                 + "\t" + m.getDepRelE2());
                     }
                 }
+            } else if (mode.equals("verbmark")) {
+                // dump the causal verb marker of every ee candidate
+                // pair (getCausalVerb; null clusters printed as-is)
+                TempRelPro task = new TempRelPro();
+                List<List<PairFeatureVector>> fvs = task.buildFeatureVectorFromFile(parser, path);
+                for (PairFeatureVector fv : fvs.get(2)) {
+                    model.feature.Marker m = fv.getCausalVerb();
+                    System.out.println(name + "\tee"
+                            + "\t" + fv.getE1().getID() + "\t" + fv.getE2().getID()
+                            + "\t" + m.getText() + "\t" + m.getCluster()
+                            + "\t" + m.getPosition() + "\t" + m.getDepRelE1()
+                            + "\t" + m.getDepRelE2());
+                }
             } else if (mode.equals("entmark")) {
                 // dump the PER-ENTITY temporal signal marker of e2 for
                 // every et/ee candidate pair (the marker consumed by the
