@@ -250,10 +250,19 @@ def _java_distance(words: list, sig: str, from_end: bool):
 
 
 def _index_window(words: list) -> tuple:
-    """(first, last) n-gram offset indexes (n <= 6) for a context window
-    — turns the per-dictionary-key scans into dict lookups."""
+    """(first, last, interior) n-gram offset indexes (n <= 6) for a
+    context window — turns the per-dictionary-key scans into dict
+    lookups.  `interior` holds the n-grams with at least one occurrence
+    that is neither window-initial nor window-final: the reference's
+    presence test is ``contains(" key ")`` over the UNPADDED space-join,
+    which any interior occurrence satisfies even when the first/last
+    occurrence touches the window edge (pinned by the wsj_1014 bulk
+    marker goldens: the edge 'for' fails the test but an interior 'for'
+    earlier in the window passes, and tid/distance then resolve to the
+    edge occurrence via raw lastIndexOf)."""
     first: dict = {}
     last: dict = {}
+    interior: set = set()
     L = len(words)
     for n in range(1, min(6, L) + 1):
         for i in range(L - n + 1):
@@ -261,7 +270,9 @@ def _index_window(words: list) -> tuple:
             if k not in first:
                 first[k] = i
             last[k] = i
-    return first, last
+            if 0 < i and i + n < L:
+                interior.add(k)
+    return first, last, interior
 
 
 def signal_dep_path(doc: Doc, e: Entity, signal_tids: list,
@@ -383,14 +394,12 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
         # (equal distances overwrite, minimum wins) — a first-match-wins
         # scan provably diverges (golden tadv5: 'when' found first loses
         # to the nearer later key 'previously')
-        present = (set(idx_in[0]) | set(idx_bt[0])) & pair_key_set
+        present = (idx_in[2] | idx_bt[2]) & pair_key_set
         for key, kt in (keys_split if present else ()):
             if kt not in present:
                 continue
             kw = kt
-            off_in = idx_in[0].get(kt)
-            if off_in is not None and 0 < off_in and \
-                    off_in + len(kw) < len(words_e):
+            if kt in idx_in[2]:
                 joff = _java_offset(words_e, key, False)
                 sig_tids = tids_e[joff:joff + len(kw)]
                 candidates[_java_distance(words_e, key, False)] = Marker(
@@ -398,8 +407,7 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     signal_dep_path(doc, e1, sig_tids),
                     signal_dep_path(doc, e2, sig_tids))
                 continue
-            off = idx_bt[1].get(kt)
-            if off is not None and 0 < off and off + len(kw) < len(wb):
+            if kt in idx_bt[2]:
                 joff = _java_offset(wb, key, True)
                 sig_tids = tb[joff:joff + len(kw)]
                 candidates[_java_distance(wb, key, True) + 100] = Marker(
@@ -410,13 +418,12 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
         idx_bf = _index_window(wbf)
         wg, tg = ctx["BEGIN"]
         idx_bg = _index_window(wg)
-        present = (set(idx_bf[0]) | set(idx_bg[0])) & ev_key_set
+        present = (idx_bf[2] | idx_bg[2]) & ev_key_set
         for key, kt in (ev_keys_split if present else ()):
             if kt not in present:
                 continue
             kw = kt
-            off = idx_bf[1].get(kt)
-            if off is not None and 0 < off and off + len(kw) < len(wbf):
+            if kt in idx_bf[2]:
                 joff = _java_offset(wbf, key, True)
                 sig_tids = tbf[joff:joff + len(kw)]
                 candidates[_java_distance(wbf, key, True) + 200] = Marker(
@@ -424,8 +431,7 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
                     signal_dep_path(doc, e2, sig_tids),
                     signal_dep_path(doc, e1, sig_tids))
                 continue
-            off = idx_bg[0].get(kt)
-            if off is not None and 0 < off and off + len(kw) < len(wg):
+            if kt in idx_bg[2]:
                 joff = _java_offset(wg, key, False)
                 sig_tids = tg[joff:joff + len(kw)]
                 candidates[_java_distance(wg, key, False) + 400] = Marker(
@@ -435,13 +441,12 @@ def temporal_signal_pair(doc: Doc, e1: Entity, e2: Entity) -> Marker:
     elif not e2.is_timex and not doc._non_text_pair(e1, e2):
         words, tids = _sentence_begin_window(doc, e2.sent_id)
         idx = _index_window(words)
-        present = set(idx[0]) & ev_key_set
+        present = idx[2] & ev_key_set
         for key, kt in (ev_keys_split if present else ()):
             if kt not in present:
                 continue
             kw = kt
-            off = idx[0].get(kt)
-            if off is not None and 0 < off and off + len(kw) < len(words):
+            if kt in idx[2]:
                 joff = _java_offset(words, key, False)
                 sig_tids = tids[joff:joff + len(kw)]
                 candidates[_java_distance(words, key, False)] = Marker(
@@ -474,18 +479,27 @@ def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
     tid_before, _ = _tid_entity_before_after(doc, ent)
     tid_start, tid_end = _tid_before_after(doc, ent)
     _, tid_after = _tid_entity_before_after(doc, ent)
+    # per context: (window, offset, tid_from_end, dist_from_end) — the
+    # BEGIN branch splits directions (a reference quirk pinned by the
+    # entmark goldens): getSignalMarkerPerEntity resolves the tid with
+    # position "BEGIN" (forward indexOf) but the distance call passes
+    # "BETWEEN" (reversed), so 'followed by' beats 'followed' there.
     ctx = {
-        "INSIDE": (_word_window(doc, ent.start_tok, ent.end_tok), 0, False),
-        "BEFORE": (_word_window(doc, tid_before, tid_start), 100, True),
-        "AFTER": (_word_window(doc, tid_end, tid_after), 200, False),
-        "BEGIN": (_sentence_begin_window(doc, ent.sent_id), 300, False),
+        "INSIDE": (_word_window(doc, ent.start_tok, ent.end_tok), 0,
+                   False, False),
+        "BEFORE": (_word_window(doc, tid_before, tid_start), 100,
+                   True, True),
+        "AFTER": (_word_window(doc, tid_end, tid_after), 200,
+                  False, False),
+        "BEGIN": (_sentence_begin_window(doc, ent.sent_id), 300,
+                  False, True),
     }
     idxs = {pos: _index_window(ctx[pos][0][0]) for pos in ctx}
-    # fast path: only keys whose word-tuple occurs in SOME window can
-    # produce a candidate — for most entities that set is empty
+    # fast path: only keys with an interior occurrence in SOME window
+    # can produce a candidate — for most entities that set is empty
     present: set = set()
     for pos in idxs:
-        present.update(idxs[pos][0])
+        present.update(idxs[pos][2])
     present &= key_set
     candidates: dict = {}
     for key, kt in (keys_split if present else ()):
@@ -493,16 +507,16 @@ def temporal_signal_per_entity(doc: Doc, ent: Entity) -> Marker:
             continue
         kw = kt
         for pos in ("INSIDE", "BEFORE", "AFTER", "BEGIN"):
-            (words, tids), offset, from_end = ctx[pos]
-            off = idxs[pos][1 if from_end else 0].get(kt)
-            if off is None or off == 0 or off + len(kw) >= len(words):
+            (words, tids), offset, tid_fe, dist_fe = ctx[pos]
+            if kt not in idxs[pos][2]:
                 continue
-            # presence comes from the word-exact index (equivalent to the
-            # regex test); tid + distance use the reference's raw
-            # substring resolution, which may land on a different token
-            joff = _java_offset(words, key, from_end)
+            # presence = any interior word-exact occurrence (the
+            # reference's contains(" key ") over the unpadded join);
+            # tid + distance use the reference's raw substring
+            # resolution, which may land on a different token
+            joff = _java_offset(words, key, tid_fe)
             sig_tids = tids[joff:joff + len(kw)]
-            dist = _java_distance(words, key, from_end)
+            dist = _java_distance(words, key, dist_fe)
             candidates[dist + offset] = Marker(
                 key, slist[key], pos,
                 signal_dep_path(doc, ent, sig_tids), "")

@@ -426,3 +426,65 @@ def test_bulk_marker_parity_synthetic_corpus():
         assert gold == as5(m), (f[0], f[2], f[3])
         n += 1
     assert n == 3643
+
+
+def test_bulk_marker_parity_example_docs():
+    """Marker-level parity over the REFERENCE'S OWN example documents
+    (real newswire text): 1,490 golden rows across the five marker
+    families. Real text caught two divergences the synthetic corpus
+    never produced: presence is `contains(" key ")` over the UNPADDED
+    context join — satisfied by ANY interior occurrence even when the
+    last occurrence rides the window edge (tid/distance still resolve
+    by raw lastIndexOf to that edge) — and the per-entity BEGIN branch
+    resolves its tid forward but its distance REVERSED (the reference
+    passes position "BETWEEN" to the distance call)."""
+    from erex.features import (causal_signal_pair, causal_verb_pair,
+                               connective_marker_pair,
+                               temporal_signal_pair,
+                               temporal_signal_per_entity)
+    from erex.txp import parse_txp
+
+    docs = {}
+
+    def get(name):
+        if name not in docs:
+            docs[name] = parse_txp(
+                open(os.path.join(EXAMPLE_DIR, name)).read(), name=name)
+        return docs[name]
+
+    as5 = lambda m: (m.text, m.cluster, m.position, m.dep1, m.dep2)
+
+    def conn(d, e1, e2):
+        mt = connective_marker_pair(d, e1, e2, "Temporal")
+        mc = connective_marker_pair(d, e1, e2, "Contingency")
+        return (mt.text, mt.position, mt.dep1, mt.dep2,
+                mc.text, mc.position, mc.dep1, mc.dep2)
+
+    def check(fname, fn, ncols, has_cat=True, nullify=False):
+        n = 0
+        for line in open(os.path.join(GOLD_DIR, fname)):
+            f = line.rstrip("\n").split("\t")
+            a, b = (f[2], f[3]) if has_cat else (f[1], f[2])
+            doc = get(f[0])
+            got = fn(doc, doc.entities[a], doc.entities[b])
+            gold = tuple(f[4:4 + ncols])
+            if nullify:
+                gold = tuple("O" if g == "null" else g for g in gold)
+            assert gold == got[:ncols], (fname, f[0], a, b)
+            n += 1
+        return n
+
+    if not os.path.exists(EXAMPLE_DIR):
+        pytest.skip("reference example docs not available")
+    n = check("tempmark_example.tsv",
+              lambda d, a, b: as5(temporal_signal_pair(d, a, b)), 5)
+    n += check("causmark_example.tsv",
+               lambda d, a, b: as5(causal_signal_pair(d, a, b)), 5,
+               has_cat=False)
+    n += check("connmark_example.tsv", conn, 8)
+    n += check("entmark_example.tsv",
+               lambda d, a, b: as5(temporal_signal_per_entity(d, b)), 5)
+    n += check("verbmark_example.tsv",
+               lambda d, a, b: as5(causal_verb_pair(d, a, b)), 5,
+               nullify=True)
+    assert n == 1490
