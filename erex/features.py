@@ -250,29 +250,22 @@ def _java_distance(words: list, sig: str, from_end: bool):
 
 
 def _index_window(words: list) -> tuple:
-    """(first, last, interior) n-gram offset indexes (n <= 6) for a
-    context window — turns the per-dictionary-key scans into dict
-    lookups.  `interior` holds the n-grams with at least one occurrence
-    that is neither window-initial nor window-final: the reference's
-    presence test is ``contains(" key ")`` over the UNPADDED space-join,
-    which any interior occurrence satisfies even when the first/last
-    occurrence touches the window edge (pinned by the wsj_1014 bulk
-    marker goldens: the edge 'for' fails the test but an interior 'for'
+    """(_, _, interior) — the set of n-grams (n <= 6) with at least one
+    INTERIOR occurrence (neither window-initial nor window-final) in
+    the context window: the reference's presence test is
+    ``contains(" key ")`` over the UNPADDED space-join, which any
+    interior occurrence satisfies even when the first/last occurrence
+    touches the window edge (pinned by the wsj_1014 bulk marker
+    goldens: the edge 'for' fails the test but an interior 'for'
     earlier in the window passes, and tid/distance then resolve to the
-    edge occurrence via raw lastIndexOf)."""
-    first: dict = {}
-    last: dict = {}
+    edge occurrence via raw lastIndexOf).  The leading tuple slots are
+    kept for signature stability; only `interior` is consumed."""
     interior: set = set()
     L = len(words)
-    for n in range(1, min(6, L) + 1):
-        for i in range(L - n + 1):
-            k = tuple(words[i:i + n])
-            if k not in first:
-                first[k] = i
-            last[k] = i
-            if 0 < i and i + n < L:
-                interior.add(k)
-    return first, last, interior
+    for n in range(1, min(6, L - 2) + 1):
+        for i in range(1, L - n):
+            interior.add(tuple(words[i:i + n]))
+    return None, None, interior
 
 
 def signal_dep_path(doc: Doc, e: Entity, signal_tids: list,
