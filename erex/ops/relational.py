@@ -27,6 +27,15 @@ from .._env import remote_args
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+# Coarse shard count for shard-then-local-pandas aggregations: Ray's
+# groupby().map_groups() costs ~1.5 ms PER GROUP (measured, see
+# dedup._pair_agg), so per-user / per-brand grouping at high key
+# cardinality (10^8 users) is pathological.  A fixed-width hash shard
+# bounds the shuffle at `_N_SHARDS` groups; each shard then does one
+# vectorized pandas groupby over its keys.
+_N_SHARDS = 64
+
+
 def _milli(arr) -> pa.Array:
     """floor(x*1000 + 0.5) as int64 — half-up rounding, the exact formula
     the DuckDB oracles use (CAST(FLOOR(x*1000+0.5) AS BIGINT)), so sums
@@ -78,17 +87,16 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"])
     orders = orders[orders["o_custkey"].isin(ckeys)]
-    omap_ref = ray.put(dict(zip(orders["o_orderkey"],
-                                orders["o_orderdate"])))
+    okeys_ref = ray.put(np.sort(orders["o_orderkey"].to_numpy()))
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        omap = ray.get(omap_ref)
+        okeys = ray.get(okeys_ref)
         keys = t.column("l_orderkey").to_numpy()
-        mask = np.fromiter((k in omap for k in keys), bool, len(keys))
+        mask = np.isin(keys, okeys, assume_unique=False)
         if not mask.any():
             return pa.table({"o_orderkey": pa.array([], pa.int64()),
                              "revenue_milli": pa.array([], pa.int64())})
@@ -140,15 +148,29 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        n_sessions = int((gaps > gap_minutes * 60).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "n_events": [len(g)]})
+    def shard(t: pa.Table) -> pa.Table:
+        sh = pc.cast(pc.bit_wise_and(t.column("user_id"),
+                                     _N_SHARDS - 1), pa.int32())
+        return t.append_column("ushard", sh)
 
-    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas", **remote_args())
+    def sess_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over ALL users in the shard: session start
+        # = first event of a user OR gap > threshold
+        g = g.sort_values(["user_id", "ts"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        start = g["user_id"].ne(g["user_id"].shift()) | \
+            (gaps > gap_minutes * 60)
+        out = (g.assign(_start=start)
+                .groupby("user_id", sort=False)["_start"]
+                .agg(n_sessions="sum", n_events="size")
+                .reset_index())
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = (ds.map_batches(shard, batch_format="pyarrow", **remote_args())
+             .groupby("ushard")
+             .map_groups(sess_shard, batch_format="pandas", **remote_args()))
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
@@ -157,16 +179,26 @@ def q_top_parts_per_brand(sf_dir: str, k: int = 3) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/part.parquet",
                          columns=["p_brand", "p_partkey", "p_retailprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    def shard(t: pa.Table) -> pa.Table:
+        import zlib
+        sh = [zlib.crc32(b.encode()) & (_N_SHARDS - 1)
+              for b in t.column("p_brand").to_pylist()]
+        return t.append_column("bshard", pa.array(sh, pa.int32()))
+
+    def topk_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-brand top-k: one sort, groupby head + cumcount
         g = g.copy()
         g["price_milli"] = np.floor(
             g["p_retailprice"].to_numpy() * 1000.0 + 0.5).astype(np.int64)
-        g = g.sort_values(["price_milli", "p_partkey"],
-                          ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1)
+        g = g.sort_values(["p_brand", "price_milli", "p_partkey"],
+                          ascending=[True, False, True])
+        g = g.groupby("p_brand", sort=False).head(k)
+        g["rank"] = g.groupby("p_brand", sort=False).cumcount() + 1
         return g[["p_brand", "p_partkey", "price_milli", "rank"]]
 
-    out = ds.groupby("p_brand").map_groups(topk, batch_format="pandas", **remote_args())
+    out = (ds.map_batches(shard, batch_format="pyarrow", **remote_args())
+             .groupby("bshard")
+             .map_groups(topk_shard, batch_format="pandas", **remote_args()))
     return out.to_pandas().sort_values(["p_brand", "rank"])\
         .reset_index(drop=True)
 
@@ -204,7 +236,7 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
                          columns=["o_custkey", "o_orderpriority"])
     okeys = od.loc[od["o_orderpriority"] == "1-URGENT",
                    "o_custkey"].unique()
-    kref = ray.put(set(int(k) for k in okeys))
+    kref = ray.put(np.sort(okeys.astype(np.int64)))
 
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name", "c_mktsegment"])
@@ -212,7 +244,7 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
     def anti(t: pa.Table) -> pa.Table:
         keys = ray.get(kref)
         ck = t.column("c_custkey").to_numpy()
-        mask = np.fromiter((int(k) not in keys for k in ck), bool, len(ck))
+        mask = ~np.isin(ck, keys)
         return t.filter(pa.array(mask))
 
     out = ds.map_batches(anti, batch_format="pyarrow",
@@ -238,25 +270,29 @@ def q_asof_latest_order(sf_dir: str, n_users: int = 50) -> pd.DataFrame:
 
     def prep(t: pa.Table) -> pa.Table:
         mask = pc.less(t.column("user_id"), pa.scalar(n_users))
-        return t.filter(mask)
+        t = t.filter(mask)
+        sh = pc.cast(pc.bit_wise_and(t.column("user_id"),
+                                     _N_SHARDS - 1), pa.int32())
+        return t.append_column("ushard", sh)
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(oref)
-        uid = int(g["user_id"].iloc[0])
-        mine = od[od["o_custkey"] == uid].sort_values(
-            ["o_orderdate", "o_orderkey"])
-        g = g.sort_values("ts")
-        if mine.empty:
-            return pd.DataFrame(columns=["event_id", "o_orderkey"])
-        m = pd.merge_asof(g, mine, left_on="ts", right_on="o_orderdate",
+    def asof_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # group-wise as-of in ONE merge_asof call (by= columns):
+        # right side stable-sorted by (o_orderdate, o_orderkey) so equal
+        # dates resolve to the larger o_orderkey (backward takes the
+        # last row <= ts within the by-group)
+        od = ray.get(oref).sort_values(["o_orderdate", "o_orderkey"],
+                                       kind="stable")
+        g = g.sort_values("ts", kind="stable")
+        m = pd.merge_asof(g, od, left_on="ts", right_on="o_orderdate",
+                          left_by="user_id", right_by="o_custkey",
                           direction="backward")
         m = m[m["o_orderkey"].notna()]
         return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
                              "o_orderkey": m["o_orderkey"].astype("int64")})
 
     out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
-             .groupby("user_id")
-             .map_groups(asof, batch_format="pandas", **remote_args()))
+             .groupby("ushard")
+             .map_groups(asof_shard, batch_format="pandas", **remote_args()))
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 

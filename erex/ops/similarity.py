@@ -20,12 +20,37 @@ import ray.data as rd
 from .._env import remote_args
 
 
+# Guard for the one deliberate full-matrix load (`embedding_dup_pairs`,
+# the exact all-pairs baseline): refuse to broadcast a matrix that could
+# not fit on a worker at corpus scale.  The LSH-banded sibling
+# (`embedding_dup_pairs_lsh`) is the scale path.
+_FULL_MATRIX_MAX_ROWS = 2_000_000
+
+
 def _load_matrix(sf_dir: str):
+    """Driver-side load of the FULL embedding matrix.  Only legitimate
+    for exact-baseline operators whose spec is all-pairs against the
+    whole corpus; guarded so it can never silently run at corpus scale."""
     t = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
+    if len(t) > _FULL_MATRIX_MAX_ROWS:
+        raise ValueError(
+            f"embeddings table has {len(t)} rows > {_FULL_MATRIX_MAX_ROWS}: "
+            "the exact full-matrix baseline is for oracle-scale inputs only; "
+            "use embedding_dup_pairs_lsh / ann_lsh_topk at corpus scale")
     ids = t["vec_id"].to_numpy()
     M = np.stack(t["embedding"].to_numpy()).astype(np.float64)
     return ids, M
+
+
+def _load_queries(ds: "rd.Dataset", n_queries: int):
+    """Pruned, filtered read of just the query rows — the corpus never
+    reaches the driver (predicate pushes into the parquet scan)."""
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    q_ids = qdf["vec_id"].to_numpy()
+    Q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    return q_ids, Q
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -40,14 +65,10 @@ def ann_cosine_topk(sf_dir: str, n_queries: int = 8,
     against all OTHER vectors: broadcast query matrix, batched matmul,
     per-batch partial top-k, driver-side final top-k (k*Q rows).
     Ties broken by (cos_micro desc, vec_id asc)."""
-    ids_all, M_all = _load_matrix(sf_dir)
-    q_mask = ids_all < n_queries
-    Q = _normalize(M_all[q_mask])
-    q_ids = ids_all[q_mask]
-    q_ref = ray.put((q_ids, Q))
-
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    q_ids, Q = _load_queries(ds, n_queries)
+    q_ref = ray.put((q_ids, Q))
 
     def partial(t: pa.Table) -> pa.Table:
         q_ids_, Q_ = ray.get(q_ref)
@@ -112,9 +133,7 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
                          columns=["vec_id", "embedding"])
 
     # queries: pruned read + filter (n_queries rows reach the driver)
-    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
-    q_ids = qdf["vec_id"].to_numpy()
-    Q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    q_ids, Q = _load_queries(ds, n_queries)
     planes = _hyperplanes(Q.shape[1])
     q_buckets = _lsh_bucket(Q, planes)
     # multi-probe: the query's bucket plus all Hamming-1 neighbours
@@ -174,18 +193,12 @@ def embedding_dup_pairs(sf_dir: str,
         vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
         X = _normalize(np.stack(
             t.column("embedding").to_pylist()).astype(np.float64))
-        sims = X @ Mn_.T
-        a, b, s = [], [], []
-        for i, va in enumerate(vid):
-            mask = (ids_ > va) & (np.floor(sims[i] * 1_000_000 + 0.5)
-                                  >= threshold_micro)
-            for j in np.nonzero(mask)[0]:
-                a.append(int(va))
-                b.append(int(ids_[j]))
-                s.append(int(np.floor(sims[i, j] * 1_000_000 + 0.5)))
-        return pa.table({"vec_a": pa.array(a, pa.int64()),
-                         "vec_b": pa.array(b, pa.int64()),
-                         "cos_micro": pa.array(s, pa.int64())})
+        sims_micro = np.floor((X @ Mn_.T) * 1_000_000 + 0.5).astype(np.int64)
+        mask = (ids_[None, :] > vid[:, None]) & (sims_micro >= threshold_micro)
+        ii, jj = np.nonzero(mask)
+        return pa.table({"vec_a": pa.array(vid[ii], pa.int64()),
+                         "vec_b": pa.array(ids_[jj], pa.int64()),
+                         "cos_micro": pa.array(sims_micro[ii, jj], pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
         .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
@@ -210,16 +223,18 @@ def _kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 3):
             X = _normalize(np.stack(
                 t.column("embedding").to_pylist()).astype(np.float64))
             assign = np.argmax(X @ C_.T, axis=1)
-            rows = {"cid": [], "dim": [], "s": [], "n": []}
-            for c in np.unique(assign):
-                sub = X[assign == c]
-                sums = sub.sum(axis=0)
-                for d in range(X.shape[1]):
-                    rows["cid"].append(int(c))
-                    rows["dim"].append(d)
-                    rows["s"].append(float(sums[d]))
-                    rows["n"].append(len(sub))
-            return pa.table({kk: pa.array(v) for kk, v in rows.items()})
+            cids, counts = np.unique(assign, return_counts=True)
+            dim = X.shape[1]
+            # (n_cids, dim) partial sums in one pass, emitted flat
+            sums = np.zeros((len(cids), dim))
+            for ci, c in enumerate(cids):
+                sums[ci] = X[assign == c].sum(axis=0)
+            return pa.table({
+                "cid": pa.array(np.repeat(cids, dim).astype(np.int64)),
+                "dim": pa.array(np.tile(np.arange(dim), len(cids))),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, dim).astype(np.int64)),
+            })
 
         agg = ds.map_batches(partial, batch_format="pyarrow",
                              **remote_args()).to_pandas()
@@ -243,9 +258,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
     C = _kmeans_centroids(sf_dir, k=n_lists)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
-    q_ids = qdf["vec_id"].to_numpy()
-    Q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    q_ids, Q = _load_queries(ds, n_queries)
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
     ref = ray.put((q_ids, Q, probes, C))
 
@@ -371,16 +384,17 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         lab = np.asarray(t.column("label").to_pylist())
         X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-        rows = {"label": [], "dim": [], "s": [], "n": []}
-        for l in np.unique(lab):
-            sub = X[lab == l]
-            sums = sub.sum(axis=0)
-            for d in range(X.shape[1]):
-                rows["label"].append(int(l))
-                rows["dim"].append(d)
-                rows["s"].append(float(sums[d]))
-                rows["n"].append(len(sub))
-        return pa.table({k: pa.array(v) for k, v in rows.items()})
+        labels, counts = np.unique(lab, return_counts=True)
+        dim = X.shape[1]
+        sums = np.zeros((len(labels), dim))
+        for li, l in enumerate(labels):
+            sums[li] = X[lab == l].sum(axis=0)
+        return pa.table({
+            "label": pa.array(np.repeat(labels, dim).astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(dim), len(labels))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, dim).astype(np.int64)),
+        })
 
     agg = (ds.map_batches(partial, batch_format="pyarrow", **remote_args())
              .groupby(["label", "dim"])
