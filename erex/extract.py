@@ -65,6 +65,13 @@ class PipelineConfig:
                                       # CauseRelPro.java:200-213 empty-map
                                       # branch) instead of the temporal
                                       # stage's own output
+    dct_split: bool = True            # route event-DCT pairs to the DCT
+                                      # classifier (TempRelPro flavor).
+                                      # False = TaskC flavor: ALL
+                                      # event-timex pairs (incl. DCT) use
+                                      # the ET model
+                                      # (TempEval3TaskC.java:467-470 has
+                                      # no DCT split)
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -219,7 +226,8 @@ def enumerate_pairs(doc, config: PipelineConfig = DEFAULT_CONFIG,
         elif (e1.is_event and e2.is_timex) or (e1.is_timex and e2.is_event):
             ev, tmx = (e1, e2) if e1.is_event else (e2, e1)
             out.append((src, tgt, gold,
-                        PAIR_DCT if tmx.is_dct else PAIR_ET))
+                        PAIR_DCT if (tmx.is_dct and config.dct_split)
+                        else PAIR_ET))
     if config.causal:
         for (src, tgt), gold in causal_candidates(doc).items():
             out.append((src, tgt, gold, PAIR_CAUSAL))
@@ -334,17 +342,36 @@ def stage1_document(content: str, name: str = "TEXT",
 # stage 3: per-document merge (R4 + R6 + R7)
 # ---------------------------------------------------------------------------
 def merge_document(pairs: list, ttlinks: dict, models: CatenaModels,
-                   config: PipelineConfig = DEFAULT_CONFIG) -> list:
+                   config: PipelineConfig = DEFAULT_CONFIG,
+                   external_clinks: dict = None) -> list:
     """`pairs` rows must carry cls_label (classifier output) for rows with
     rule_label == 'O' of classes dct/et/ee, and feats for causal rows.
     Returns final triple rows:
-    (src, tgt, label, pair_class, stage, consistent, gold)."""
+    (src, tgt, label, pair_class, stage, consistent, gold) — in the
+    reference's closure-input order (ttStr + etStr + eeStr,
+    TempEval3TaskC.java:562).
+
+    external_clinks: precomputed CLINK map {(e1, e2): CLINK|CLINK-R}
+    (both directions, as built by TempEval3TaskC.getCLINKs from the
+    causal extractor's output file) used for the R6 post-edit instead of
+    the in-merge causal stage — the TaskC flavor."""
     out = []
 
-    # T-T triples: the whole grid, both directions (TempRelPro.java:520-527)
-    tt_rows = [{"src": s, "tgt": t, "label": r, "pair_class": PAIR_TT,
-                "stage": "rule", "gold": "NONE"}
-               for (s, t), r in ttlinks.items()]
+    # T-T triples: the whole grid, both directions, in the reference's
+    # java.util.HashMap keySet iteration order over the "src\ttgt" string
+    # keys (TempRelPro.java:520-527 / TempEval3TaskC.java:454 both
+    # iterate ttlinks.keySet())
+    from .javamap import java_hashmap_order
+    tt_order = java_hashmap_order([f"{s}\t{t}" for (s, t) in ttlinks])
+    tt_rows = []
+    for seq, key in enumerate(tt_order):
+        s, t = key.split("\t")
+        # tt_seq = keySet emission index (the TimeML writer and triple
+        # sinks emit in this order; the returned row order below is the
+        # closure-input order, which differs for SIMULTANEOUS pairs)
+        tt_rows.append({"src": s, "tgt": t, "label": ttlinks[(s, t)],
+                        "pair_class": PAIR_TT, "stage": "rule",
+                        "gold": "NONE", "tt_seq": seq})
 
     # E-T / E-DCT: rule preferred over classifier; build anchor maps from
     # the final labels (TempEval3TaskC.java:467-502)
@@ -433,6 +460,9 @@ def merge_document(pairs: list, ttlinks: dict, models: CatenaModels,
                                 "label": label, "pair_class": PAIR_CAUSAL,
                                 "stage": stage, "gold": p["gold"]})
 
+    if external_clinks is not None:
+        clink_map = external_clinks
+
     # E-E final: rule / reason / clink post-edit / classifier
     ee_rows = []
     for p in ee_pairs:
@@ -453,7 +483,16 @@ def merge_document(pairs: list, ttlinks: dict, models: CatenaModels,
         others = [r for r in rows if r["stage"] not in ("rule", "reason")]
         return list(reversed(rules)) + others
 
-    temporal = rule_first(tt_rows) + rule_first(et_rows) + rule_first(ee_rows)
+    # tt block: the reference prepends only SIMULTANEOUS pairs (relabeled
+    # IDENTITY in the closure string) and appends the rest in keySet
+    # order (TempEval3TaskC.java:455-459) — IDENTITY and SIMULTANEOUS are
+    # constraint-identical in the point algebra, so only this order (not
+    # the relabel) affects closure outcomes
+    tt_sim = [r for r in tt_rows if r["label"] == "SIMULTANEOUS"]
+    tt_other = [r for r in tt_rows if r["label"] != "SIMULTANEOUS"]
+    tt_closure = list(reversed(tt_sim)) + tt_other
+
+    temporal = tt_closure + rule_first(et_rows) + rule_first(ee_rows)
     if config.closure:
         from .timegraph import TimeGraph
         tg = TimeGraph()
@@ -504,3 +543,43 @@ def extract_document(content: str, models: CatenaModels = None,
     score_stage(s1["pairs"], models)
     triples = merge_document(s1["pairs"], s1["ttlinks"], models, config)
     return {"triples": triples, "nodes": s1["nodes"]}
+
+
+def inverse_clink(label: str) -> str:
+    """TempEval3TaskC.getInverseClinkLabel (TempEval3TaskC.java:366-370)."""
+    return "CLINK-R" if label == "CLINK" else "CLINK"
+
+
+def taskc_sections(content: str, name: str = "TEXT",
+                   external_clinks: dict = None,
+                   models: CatenaModels = None) -> dict:
+    """The TempEval3TaskC.main per-file merge path
+    (TempEval3TaskC.java:439-556) as the engine runs it: no DCT split
+    (every event-timex pair uses the ET model), anchor reasoning R4,
+    CLINK post-edit R6 from a precomputed clink map, rule-first
+    closure-input assembly — everything up to (and excluding) the
+    closure, mirroring tools/javaref `Driver taskc` row for row.
+
+    Returns {"tt": [(src,tgt,gold,label)], "et": [...], "ee": [...],
+    "graph": [(src,tgt,label)] in exact ttStr+etStr+eeStr order (tt
+    SIMULTANEOUS relabeled IDENTITY, C:455-456)}."""
+    cfg = PipelineConfig(anchor_reasoning=True, clink_postedit=True,
+                         closure=False, causal=False, dct_split=False)
+    if models is None:
+        models = get_models(model_set="reference")
+    s1 = stage1_document(content, name=name, config=cfg)
+    score_stage(s1["pairs"], models)
+    rows = merge_document(s1["pairs"], s1["ttlinks"], models, cfg,
+                          external_clinks=external_clinks)
+    sections = {"tt": [], "et": [], "ee": [], "graph": []}
+    for r in rows:
+        is_tt = r["pair_class"] == PAIR_TT
+        sections["graph"].append(
+            (r["src"], r["tgt"],
+             "IDENTITY" if is_tt and r["label"] == "SIMULTANEOUS"
+             else r["label"]))
+        key = PAIR_TT if is_tt else (
+            "et" if r["pair_class"] in (PAIR_DCT, PAIR_ET) else "ee")
+        gold = r["label"] if is_tt else r["gold"]
+        sections[key].append((r["src"], r["tgt"], gold, r["label"]))
+    return sections

@@ -161,12 +161,9 @@ def test_full_timeml_writer_parity(stem):
     # from the (already exactly parity-checked) engine triples
     rows = extract_document(txp, config=CFG_T, name=stem)["triples"]
     tt = [r for r in rows if r["pair_class"] == "tt"]
-    tt.reverse()        # merge_document's rule-first prepend reversed the
-                        # grid insertion order; restore it for the model
-    from erex.javamap import java_hashmap_order
-    keys = ["%s\t%s" % (r["src"], r["tgt"]) for r in tt]
-    order = {k: i for i, k in enumerate(java_hashmap_order(keys))}
-    tt.sort(key=lambda r: order["%s\t%s" % (r["src"], r["tgt"])])
+    # merge_document returns tt rows in closure-input order; the writer
+    # emits in HashMap keySet order, carried per row as tt_seq
+    tt.sort(key=lambda r: r["tt_seq"])
 
     def sel(pc, stage):
         rs = [r for r in rows
@@ -488,3 +485,71 @@ def test_bulk_marker_parity_example_docs():
                lambda d, a, b: as5(causal_verb_pair(d, a, b)), 5,
                nullify=True)
     assert n == 1490
+
+
+# ---------------------------------------------------------------------------
+# TaskC merge path (R4 anchor reasoning + R6 CLINK post-edit + O4
+# rule-first closure-input ordering) vs the compiled reference
+# (tools/javaref `Driver taskc`, TempEval3TaskC.java:439-556)
+# ---------------------------------------------------------------------------
+def _load_clinks(name_):
+    """Replicates TempEval3TaskC.getCLINKs: both directions, inverse
+    label for the flipped pair."""
+    from erex.extract import inverse_clink
+    clinks = collections.defaultdict(dict)
+    with open(os.path.join(GOLD_DIR, name_)) as f:
+        for line in f:
+            fn, e1, e2, lbl = line.rstrip("\n").split("\t")
+            clinks[fn][(e1, e2)] = lbl
+            clinks[fn][(e2, e1)] = inverse_clink(lbl)
+    return clinks
+
+
+def _load_taskc_gold(name_):
+    gold = collections.defaultdict(
+        lambda: {"tt": [], "et": [], "ee": [], "graph": []})
+    with open(os.path.join(GOLD_DIR, name_)) as f:
+        for line in f:
+            c = line.rstrip("\n").split("\t")
+            if c[1] == "graph":
+                gold[c[0]]["graph"].append((c[3], c[4], c[5]))
+            else:
+                gold[c[0]][c[1]].append((c[2], c[3], c[4], c[5]))
+    return gold
+
+
+def _assert_taskc_doc(content, name, gold, clinks):
+    from erex.extract import taskc_sections
+    mine = taskc_sections(content, name=name,
+                          external_clinks=clinks.get(name))
+    for sec in ("tt", "et", "ee"):
+        assert sorted(mine[sec]) == sorted(gold[name][sec]), (name, sec)
+    # the closure-input sequence is order-exact: rule-first prepends,
+    # tt SIMULTANEOUS->IDENTITY relabel, HashMap keySet iteration
+    assert mine["graph"] == gold[name]["graph"], (name, "graph order")
+
+
+def test_taskc_merge_parity_examples():
+    """Anchor-reasoning + CLINK-post-edit merge on the two reference
+    example docs, with clinks from the reference's own causal output."""
+    if not os.path.exists(EXAMPLE_DIR):
+        pytest.skip("reference example docs not available")
+    gold = _load_taskc_gold("taskc_example.tsv")
+    clinks = _load_clinks("example_causal.tsv")
+    for stem in ("wsj_1014", "bbc_20130322_721"):
+        name = stem + ".tml.txp"
+        with open(os.path.join(EXAMPLE_DIR, name)) as f:
+            _assert_taskc_doc(f.read(), name, gold, clinks)
+
+
+def test_taskc_merge_parity_synthetic_corpus():
+    """200 synthetic docs: 9,362 closure-input rows in the reference's
+    exact order plus set-equal tt/et/ee prediction sections."""
+    gold = _load_taskc_gold("taskc_synth.tsv")
+    clinks = _load_clinks("synth_causal.tsv")
+    total = 0
+    for i in range(200):
+        name = f"doc_{i}.txp"
+        _assert_taskc_doc(generate_txp(i), name, gold, clinks)
+        total += len(gold[name]["graph"])
+    assert total > 9000

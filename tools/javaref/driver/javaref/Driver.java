@@ -111,6 +111,21 @@ public class Driver {
                     tmlParser, tmlPath, tt, et, ee, outDir);
             return;
         }
+        if (mode.equals("taskc")) {
+            // taskc <clinkFile|-> <txpFile...> — TempEval3TaskC.main's
+            // per-file merge path (R4 anchor reasoning + R6 CLINK
+            // post-edit), pinned up to the (jython-absent) closure; see
+            // task.JavarefTaskCBridge.
+            String[] paths = new String[args.length - 2];
+            System.arraycopy(args, 2, paths, 0, paths.length);
+            task.JavarefTaskCBridge.run(args[1], paths,
+                    new task.JavarefTaskCBridge.FieldsResolver() {
+                        public Field[] fieldsFor(String p) throws Exception {
+                            return Driver.fieldsFor(p);
+                        }
+                    });
+            return;
+        }
         for (int i = 1; i < args.length; i++) {
             String path = args[i];
             String name = new File(path).getName();
