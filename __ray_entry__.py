@@ -34,23 +34,29 @@ def _corpus_for(sf_dir: str) -> str:
 # ---------------------------------------------------------------------------
 # CATENA pipeline queries (rows-only checks: extraction is not SQL)
 # ---------------------------------------------------------------------------
-def _edges_dir(sf_dir: str) -> str:
-    """Streaming contract shape: the extraction runs ONCE per sf_dir,
-    consumed by write_parquet (no driver materialization of the
-    pipeline), and every downstream catena_* query re-reads the
-    partitioned parquet. A done-marker makes reruns free."""
+def _edges_dir(sf_dir: str, dense: bool = False) -> str:
+    """Streaming contract shape: the extraction runs ONCE per sf_dir
+    (and once per model flavor), consumed by write_parquet (no driver
+    materialization of the pipeline), and every downstream catena_*
+    query re-reads the partitioned parquet. A done-marker makes reruns
+    free."""
     import erex
     path = _corpus_for(sf_dir)
     # keyed by engine version so cached edges from an older engine build
     # under /tmp are never served after semantics change
-    out = "%s.edges-%s" % (path, erex.__version__)
+    out = "%s.edges%s-%s" % (path, "-dense" if dense else "",
+                             erex.__version__)
     marker = out + ".done"      # outside the dir: read_parquet scans it
     if not os.path.exists(marker):
         import shutil
         from erex.pipeline import run_extraction
+        kw = {}
+        if dense:
+            from erex.extract import PipelineConfig
+            kw["config"] = PipelineConfig(dense=True)
         if os.path.isdir(out):
             shutil.rmtree(out)
-        run_extraction(path).write_parquet(out)
+        run_extraction(path, **kw).write_parquet(out)
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -115,11 +121,13 @@ def _catena_stage_counts(sf_dir: str):
 
 
 def _catena_edges_dense(sf_dir: str):
-    """TimeBank-Dense 6-label classifier heads (predictDense parity)."""
-    from erex.extract import PipelineConfig
-    from erex.pipeline import run_extraction
-    cfg = PipelineConfig(dense=True)
-    df = run_extraction(_corpus_for(sf_dir), config=cfg).to_pandas()
+    """TimeBank-Dense 6-label classifier heads (predictDense parity) —
+    served from the cached dense extraction sink (no re-run)."""
+    import ray.data as rd
+    df = rd.read_parquet(_edges_dir(sf_dir, dense=True)).to_pandas()
+    for c in df.columns:
+        if str(df[c].dtype) == "category":
+            df[c] = df[c].astype(str)
     df = df[df["kind"] == "edge"][
         ["doc_sha", "subj", "pred", "obj", "pair_class", "stage"]]
     return df.sort_values(["doc_sha", "subj", "obj", "pred"])\
