@@ -27,15 +27,17 @@ BEGIN / AFTER / BEGIN-BETWEEN), same priority offsets (+100/+200/+300/+400),
 same longest-match-first ordering; distances are word distances (the
 reference counts spaces in substrings, which is the same number).
 
-wnSim (F11): ws4j Lin(NictWordNet) is not reproducible without the ws4j
-lexical DB; we use a deterministic hash-based stand-in with the same
-discretization buckets (EventEventFeatureVector.java:52-66), identical
-across the Ray pipeline and the oracle by construction (SURVEY.md §7.5).
+wnSim (F11): the REAL ws4j Lin algorithm (max over noun/verb synset
+pairs of 2*IC(lcs)/(IC1+IC2)) over the vendored erex/resources/wnlin
+lexical database (the ws4j WordNet data itself does not exist in this
+sandbox — see tools/build_wnlin.py), discretized exactly like
+getDiscreteDoubleWordSimilarity (EventEventFeatureVector.java:52-66).
+The compiled-reference parity stub reads the same database and runs the
+same algorithm, so goldens exercise a genuinely shared Lin.
 """
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 
@@ -784,14 +786,16 @@ def sentence_contains_causal_verb(doc: Doc, sid: str) -> bool:
 # wnSim stand-in (F11)
 # ---------------------------------------------------------------------------
 def wn_sim_bucket(lemma1: str, lemma2: str) -> float:
-    """Deterministic Lin-similarity stand-in, discretized exactly like
+    """ws4j Lin similarity over the vendored wnlin database (see
+    erex/wnlin.py), discretized exactly like
     getDiscreteDoubleWordSimilarity (EventEventFeatureVector.java:60-66):
-    >1 -> 1.0, (0.5,1] -> 0.75, (0,0.5] -> 0.25, <=0 -> 0.0."""
-    if lemma1 == lemma2:
-        return 1.0      # Lin(w,w) > 1 in ws4j
-    a, b = sorted((lemma1, lemma2))
-    h = hashlib.md5((a + "|" + b).encode()).digest()
-    sim = (h[0] / 255.0) * 0.9   # in [0, 0.9]
+    >1 -> 1.0, (0.5,1] -> 0.75, (0,0.5] -> 0.25, <=0 -> 0.0.
+    (Lin's max is 1.0, so the >1 bucket never fires — the reference's
+    defensive first branch.)"""
+    from .wnlin import lin
+    sim = lin(lemma1, lemma2)
+    if sim > 1.0:
+        return 1.0
     if sim > 0.5:
         return 0.75
     if sim > 0.0:

@@ -553,3 +553,55 @@ def test_taskc_merge_parity_synthetic_corpus():
         _assert_taskc_doc(generate_txp(i), name, gold, clinks)
         total += len(gold[name]["graph"])
     assert total > 9000
+
+
+# ---------------------------------------------------------------------------
+# wnlin Lin similarity (F11/ST6) vs a live JVM running the shared stub
+# ---------------------------------------------------------------------------
+def test_wnlin_matches_real_jvm_bit_exact():
+    """The engine's Lin (erex/wnlin.py) and the compiled-reference stub
+    (tools/javaref/stubs/edu/cmu/lti/...) read the same vendored
+    database and must produce BIT-identical doubles for every vocabulary
+    pair (plus OOV and case probes) — the guarantee that makes the
+    parity goldens exercise a genuinely shared wnSim."""
+    import itertools
+    import shutil
+    import struct
+    import subprocess
+    import tempfile
+
+    from erex.wnlin import _db, lin
+
+    javac, java = shutil.which("javac"), shutil.which("java")
+    if not (javac and java):
+        pytest.skip("JVM not available")
+    here = os.path.dirname(__file__)
+    jroot = os.path.join(here, "..", "tools", "javaref")
+    src = os.path.join(jroot, "driver", "javaref", "LinCheck.java")
+    stubs = os.path.join(jroot, "stubs")
+    wndir = os.path.join(here, "..", "erex", "resources", "wnlin")
+
+    words, _anc, _ic = _db()
+    vocab = sorted({w for (w, _p) in words})
+    pairs = list(itertools.product(vocab, vocab))
+    pairs += [("rise", "rise"), ("rise", "surge"), ("RISE", "Surge"),
+              ("zzz-oov", "rise"), ("zzz-oov", "zzz-oov"),
+              ("price-cutting", "cut")]
+    with tempfile.TemporaryDirectory() as td:
+        subprocess.run([javac, "-d", td, "-sourcepath", stubs, src],
+                       check=True)
+        stdin = "".join(f"{a}\t{b}\n" for a, b in pairs)
+        res = subprocess.run(
+            [java, f"-Derex.wnlin.dir={wndir}", "-cp", td,
+             "javaref.LinCheck"],
+            input=stdin, capture_output=True, text=True, check=True)
+        got = res.stdout.split()
+        assert len(got) == len(pairs)
+        n_nonzero = 0
+        for (a, b), jbits in zip(pairs, got):
+            mine = struct.pack(">d", lin(a, b)).hex().lstrip("0") or "0"
+            assert mine == jbits, (a, b)
+            if jbits != "0":
+                n_nonzero += 1
+        # the check is vacuous if everything is OOV-zero
+        assert n_nonzero > 1000

@@ -339,10 +339,13 @@ def test_coref_flag_and_wnsim_determinism():
     ])
     assert is_coreference(doc, doc.entities["e1"], doc.entities["e2"])
     assert not is_coreference(doc, doc.entities["e2"], doc.entities["e1"])
-    # wnSim stand-in: deterministic, symmetric, bucketed
-    assert wn_sim_bucket("sale", "sale") == 1.0
+    # real ws4j Lin over the vendored wnlin DB, discretized per
+    # getDiscreteDoubleWordSimilarity: identical word -> Lin 1.0 ->
+    # bucket 0.75 (the reference's >1 branch never fires)
+    assert wn_sim_bucket("sale", "sale") == 0.75
     assert wn_sim_bucket("sale", "deal") == wn_sim_bucket("deal", "sale")
     assert wn_sim_bucket("sale", "deal") in (0.0, 0.25, 0.75)
+    assert wn_sim_bucket("zzz-oov", "sale") == 0.0
 
 
 def test_resumable_reprocesses_missing_fragment(tmp_path):
