@@ -52,8 +52,8 @@ def _edges_dir(sf_dir: str, dense: bool = False) -> str:
         from erex.pipeline import run_extraction
         kw = {}
         if dense:
-            from erex.extract import PipelineConfig
-            kw["config"] = PipelineConfig(dense=True)
+            from erex.extract import DENSE_CONFIG
+            kw["config"] = DENSE_CONFIG
         if os.path.isdir(out):
             shutil.rmtree(out)
         run_extraction(path, **kw).write_parquet(out)
@@ -132,6 +132,65 @@ def _catena_edges_dense(sf_dir: str):
         ["doc_sha", "subj", "pred", "obj", "pair_class", "stage"]]
     return df.sort_values(["doc_sha", "subj", "obj", "pred"])\
         .reset_index(drop=True)
+
+
+_PARSE_STATS_INPUT = "/tmp/erex_corpus/parse_stats_input.parquet"
+
+
+def _parse_stats_input(sf_dir: str) -> str:
+    """Consolidate the sf's TXP corpus into ONE canonical parquet at a
+    FIXED path so the DuckDB oracle (which registers only the sf views
+    and cannot know the size-keyed corpus dir name) can read the same
+    raw content. Test-scale fixture only — at production scale the
+    structural check reads the corpus in place."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    corpus = _corpus_for(sf_dir)
+    marker = _PARSE_STATS_INPUT + ".src"
+    if (not os.path.exists(_PARSE_STATS_INPUT)
+            or not os.path.exists(marker)
+            or open(marker).read() != corpus):
+        t = pds.dataset(corpus).to_table(columns=["path", "content"])
+        pq.write_table(t, _PARSE_STATS_INPUT)
+        with open(marker, "w") as f:
+            f.write(corpus)
+    return corpus
+
+
+def _catena_parse_stats(sf_dir: str):
+    """S1/S2 structural hard-check (TXPParser.java parse stage): per-doc
+    totals from the REAL parser — token/sentence counts, distinct
+    event/timex entities, tlink/clink cell items — while the DuckDB
+    oracle recomputes the same totals structurally from the raw
+    tab-separated content with string functions. A parser bug (dropped
+    token line, missed entity, miscounted tlink cell) breaks the hash."""
+    import pyarrow as pa
+    import ray.data as rd
+    corpus = _parse_stats_input(sf_dir)
+
+    def stats(batch: "pa.Table") -> "pa.Table":
+        from erex.txp import parse_txp
+        paths = batch.column("path").to_pylist()
+        cols = {k: [] for k in ("n_tokens", "n_sents", "n_events",
+                                "n_timexes", "n_tlinks", "n_clinks")}
+        for path, content in zip(paths,
+                                 batch.column("content").to_pylist()):
+            d = parse_txp(content, name=path)
+            cols["n_tokens"].append(len(d.tokens))
+            cols["n_sents"].append(len(d.sentences))
+            cols["n_events"].append(sum(
+                1 for e in d.entities.values() if e.kind == "EVENT"))
+            cols["n_timexes"].append(sum(
+                1 for e in d.entities.values() if e.kind == "TIMEX"))
+            cols["n_tlinks"].append(len(d.tlinks))
+            cols["n_clinks"].append(len(d.clinks))
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         **{k: pa.array(v, pa.int64())
+                            for k, v in cols.items()}})
+
+    return (rd.read_parquet(corpus, columns=["path", "content"])
+            .map_batches(stats, batch_format="pyarrow")
+            .sort("path").to_pandas())
 
 
 def _catena_confusion_collapsed(sf_dir: str):
@@ -300,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_collapse_variants": _label_collapse_variants,
         "label_inverse_map": _label_inverse_map,
         "catena_stage_counts": _catena_stage_counts,
+        "catena_parse_stats": _catena_parse_stats,
         "catena_edges_dense": _catena_edges_dense,
         "catena_timeml": _catena_timeml,
         "catena_triples_tsv": _catena_triples_tsv,
@@ -592,6 +652,41 @@ def oracle_sql() -> dict[str, str]:
     return {
         "label_collapse_variants": collapse_sql,
         "label_inverse_map": _label_inverse_sql(),
+        # S1/S2 parse-stage structural check: recompute per-doc totals
+        # from the raw tab-separated TXP content (fixed-path fixture
+        # written by the query callable) with string functions only —
+        # independent of the engine's parser. Column positions are the
+        # TXP layout: 2=token_id, 3=sent_id, 7=tmx_id, 12=ev_id,
+        # 19=tlink cell, 20=clink cell (1-indexed).
+        "catena_parse_stats": """
+            WITH lines AS (
+              SELECT path,
+                     unnest(string_split(content, chr(10))) AS line
+              FROM read_parquet('%s')
+            ),
+            f AS (
+              SELECT path, string_split(line, chr(9)) AS c FROM lines
+              WHERE line <> '' AND NOT starts_with(line, '#')
+            )
+            SELECT path,
+              CAST(count(*) FILTER (len(c) >= 19
+                   AND regexp_matches(c[2], '^t[0-9]+$'))
+                   AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT c[3]) FILTER (len(c) >= 19
+                   AND regexp_matches(c[2], '^t[0-9]+$'))
+                   AS BIGINT) AS n_sents,
+              CAST(count(DISTINCT c[12]) FILTER (len(c) >= 19
+                   AND c[12] <> 'O') AS BIGINT) AS n_events,
+              CAST(count(DISTINCT c[7]) FILTER (len(c) >= 19
+                   AND c[7] <> 'O') AS BIGINT) AS n_timexes,
+              CAST(coalesce(sum(len(string_split(c[19], '||')))
+                   FILTER (len(c) >= 19 AND c[19] <> 'O'), 0)
+                   AS BIGINT) AS n_tlinks,
+              CAST(coalesce(sum(len(string_split(c[20], '||')))
+                   FILTER (len(c) >= 21 AND c[20] <> 'O'), 0)
+                   AS BIGINT) AS n_clinks
+            FROM f GROUP BY path ORDER BY path
+        """ % _PARSE_STATS_INPUT,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity*1000+0.5) AS BIGINT))

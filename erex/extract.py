@@ -34,9 +34,10 @@ import numpy as np
 
 from .doc import Doc
 from .deppath import ee_dependency_path, et_dependency_path
-from .features import (ET_DIM, EE_DIM, CAUSAL_DIM, causal_signal_pair,
-                       causal_vector,
-                       causal_verb_pair, ee_vector, et_vector,
+from .features import (ET_DIM, EE_DIM, CAUSAL_DIM, DCT_DENSE_DIM,
+                       causal_signal_pair, causal_vector,
+                       causal_verb_pair, dct_dense_vector, ee_vector,
+                       et_vector,
                        sentence_contains_causal_signal,
                        sentence_contains_causal_verb)
 from .labels import TLINK_LABELS, CLINK_LABELS, inverse_tlink
@@ -76,6 +77,15 @@ class PipelineConfig:
 
 DEFAULT_CONFIG = PipelineConfig()
 
+# The TimeBank-Dense flow as shipped (TimeBankDenseExperiments.java:
+# 965-990): rules only for timex-timex, every E-DCT/E-T/E-E candidate
+# classified with predictDense; no anchor reasoning, no CLINK
+# post-editing (clinkPostEditing=false), no closure (postTimeGraph=
+# false), no causal stage.
+DENSE_CONFIG = PipelineConfig(dense=True, anchor_reasoning=False,
+                              clink_postedit=False, closure=False,
+                              causal=False)
+
 PAIR_TT = "tt"
 PAIR_DCT = "dct"
 PAIR_ET = "et"
@@ -84,6 +94,8 @@ PAIR_CAUSAL = "causal"
 
 FEAT_DIM = {PAIR_DCT: ET_DIM, PAIR_ET: ET_DIM, PAIR_EE: EE_DIM,
             PAIR_CAUSAL: CAUSAL_DIM}
+# dense flow: E-DCT uses the 167-dim EventDctRelationClassifier layout
+DENSE_FEAT_DIM = {**FEAT_DIM, PAIR_DCT: DCT_DENSE_DIM}
 
 
 class CatenaModels:
@@ -104,7 +116,9 @@ class CatenaModels:
         java = False
         if model_dir is None:
             sub = "models"
-            if model_set == "reference" and not dense:
+            if model_set == "reference":
+                # dense=True loads the reference's shipped
+                # tbdense-{dct,et,ee}.model (vendored as *_dense.model)
                 sub, java = "models_ref", True
             base = _res.files("erex") / "resources" / sub
             path = lambda stem, s=suffix: str(base / (stem + s))
@@ -245,7 +259,10 @@ def process_pair(doc, src, tgt, gold, pair_class,
             e1, e2 = e2, e1
             gold = inverse_tlink(gold)
         dep = ee_dependency_path(doc, e1, e2)
-        rule = event_event_rule(doc, e1, e2, dep)
+        # dense (TimeBank-Dense) flow: no rule sieve — every candidate
+        # goes to predictDense (TimeBankDenseExperiments.java:975-977
+        # tlinkFrom*Rules all false, :1286-1380 classifiers on all)
+        rule = "O" if config.dense else event_event_rule(doc, e1, e2, dep)
         feats = ee_vector(doc, e1, e2, dep) if rule == "O" else None
         return {"src": e1.eid, "tgt": e2.eid, "pair_class": PAIR_EE,
                 "rule_label": rule, "gold": gold, "dep_path": dep,
@@ -255,8 +272,17 @@ def process_pair(doc, src, tgt, gold, pair_class,
             e1, e2 = e2, e1
             gold = inverse_tlink(gold)
         dep = et_dependency_path(doc, e1, e2)
-        rule = event_timex_rule(doc, e1, e2, dep)
-        feats = et_vector(doc, e1, e2) if rule == "O" else None
+        rule = "O" if config.dense else event_timex_rule(doc, e1, e2, dep)
+        if rule != "O":
+            feats = None
+        elif config.dense and pair_class == PAIR_DCT:
+            # the dense flow builds E-DCT vectors from the 167-dim
+            # EventDctRelationClassifier featureList, not the 19-dim
+            # EventTimexRelationClassifier one (TimeBankDenseExperiments
+            # .java:1015 'new EventDctRelationClassifier("te3","logit")')
+            feats = dct_dense_vector(doc, e1, e2)
+        else:
+            feats = et_vector(doc, e1, e2)
         return {"src": e1.eid, "tgt": e2.eid, "pair_class": pair_class,
                 "rule_label": rule, "gold": gold, "dep_path": dep,
                 "feats": feats}

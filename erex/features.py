@@ -835,6 +835,42 @@ def et_vector(doc: Doc, ev: Entity, tmx: Entity) -> np.ndarray:
     return v
 
 
+DCT_DENSE_DIM = (2 * len(POS_VOCAB) + 2 * len(CHUNK_VOCAB)
+                 + len(EV_CLASS) + len(EV_TENSE) + len(EV_ASPECT) + 3)
+
+
+def dct_dense_vector(doc: Doc, ev: Entity, tmx: Entity) -> np.ndarray:
+    """Event-DCT features of the TimeBank-Dense flow: the
+    EventDctRelationClassifier liblinear/logit featureList
+    (EventDctRelationClassifier.java:74-97) — pos/chunk contains-blocks
+    for BOTH entities (the DCT side is all-zero because
+    getTokenAttribute returns 'O' for a DCT timex,
+    PairFeatureVector.java:264-265), then
+    eventClass/tense/aspect/polarity/mainVerb/hasModal of the event.
+    167 dims vs tbdense-dct.model nr_feature 166: the last index hits
+    the bias row — the same liblinear-java call-site quirk as the
+    269-dim EE vector (see erex/liblinear.py)."""
+    v = np.zeros(DCT_DENSE_DIM, dtype=np.float32)
+    p = 0
+    p = _onehot(v, p, POS_VOCAB, doc.entity_token_attr(ev, "pos"),
+                contains=True)
+    p = _onehot(v, p, POS_VOCAB, doc.entity_token_attr(tmx, "pos"),
+                contains=True)
+    p = _onehot(v, p, CHUNK_VOCAB, doc.entity_token_attr(ev, "chunk"),
+                contains=True)
+    p = _onehot(v, p, CHUNK_VOCAB, doc.entity_token_attr(tmx, "chunk"),
+                contains=True)
+    p = _onehot(v, p, EV_CLASS, entity_attr(doc, ev, "eventClass"))
+    p = _onehot(v, p, EV_TENSE, entity_attr(doc, ev, "tense"))
+    p = _onehot(v, p, EV_ASPECT, entity_attr(doc, ev, "aspect"))
+    v[p] = 0.0 if entity_attr(doc, ev, "polarity") == "neg" else 1.0
+    p += 1
+    v[p] = 1.0 if mate_main_verb(doc, ev) else 0.0
+    p += 1
+    v[p] = 1.0 if doc.mate_modal_verb(ev.start_tok) != "O" else 0.0
+    return v
+
+
 def _ee_common(doc: Doc, e1: Entity, e2: Entity, dep_path: str,
                v: np.ndarray) -> int:
     pos1 = doc.entity_token_attr(e1, "pos")

@@ -37,7 +37,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from ._env import remote_args
-from .extract import (FEAT_DIM, PAIR_CAUSAL, PAIR_DCT, PAIR_EE, PAIR_ET,
+from .extract import (DENSE_FEAT_DIM, FEAT_DIM, PAIR_CAUSAL, PAIR_DCT,
+                      PAIR_EE, PAIR_ET,
                       DEFAULT_CONFIG, PipelineConfig, attach_gold_tlink,
                       enumerate_pairs, get_models, merge_document,
                       process_pair, stage1_document)
@@ -402,8 +403,9 @@ class LinearScorer:
             if idx.size == 0:
                 continue
             sub = feats.take(pa.array(idx))
+            dims = DENSE_FEAT_DIM if self.models.dense else FEAT_DIM
             X = np.asarray(sub.flatten(), dtype=np.float32).reshape(
-                idx.size, FEAT_DIM[pc])
+                idx.size, dims[pc])
             labels = self.models.for_class(pc).predict_labels(
                 X, self.models.temporal_vocab)
             cls_label[idx] = labels

@@ -143,6 +143,84 @@ def test_feature_vector_parity():
     assert checked >= 40
 
 
+def _dense_rows(content, name):
+    from erex.extract import DENSE_CONFIG
+    rows = extract_document(content, config=DENSE_CONFIG, name=name)["triples"]
+    return {(r["src"], r["tgt"], r["label"]) for r in rows
+            if r["pair_class"] in ("dct", "et", "ee")}
+
+
+def _load_dense_gold(fname):
+    gold = collections.defaultdict(set)
+    with open(os.path.join(GOLD_DIR, fname)) as f:
+        for line in f:
+            doc, _cat, s, t, _g, l = line.rstrip("\n").split("\t")
+            gold[doc].add((s, t, l))
+    return gold
+
+
+def test_synth_dense_exact_parity():
+    """ST4 dense heads vs the compiled reference running the shipped
+    TimeBank-Dense flow (Driver dense mode; tbdense-{dct,et,ee}.model,
+    predictDense labelDense decode, 167-dim E-DCT vectors, no rule
+    sieve — TimeBankDenseExperiments.java:965-990,1286-1380)."""
+    gold = _load_dense_gold("dense_synth.tsv")
+    total = 0
+    bad = []
+    for i in range(200):
+        name = f"doc_{i}.txp"
+        mine = _dense_rows(generate_txp(i), name)
+        total += len(gold[name])
+        if mine != gold[name]:
+            bad.append(name)
+    assert total > 5000
+    assert bad == []
+
+
+@pytest.mark.parametrize("fn", ["bbc_20130322_721.tml.txp",
+                                "wsj_1014.tml.txp"])
+def test_example_doc_dense_exact_parity(fn):
+    if not os.path.exists(EXAMPLE_DIR):
+        pytest.skip("reference example docs not available")
+    gold = _load_dense_gold("dense_example.tsv")
+    with open(os.path.join(EXAMPLE_DIR, fn)) as f:
+        content = f.read()
+    mine = _dense_rows(content, fn)
+    assert mine == gold[fn]
+    assert len(mine) >= 50
+
+
+def test_dense_dct_feature_vector_parity():
+    """The 167-dim EventDctRelationClassifier vector, bit-identical to
+    the reference featurizer's CSV dump (Driver densefeat mode)."""
+    import numpy as np
+    from erex.extract import DENSE_CONFIG, PAIR_DCT, stage1_document
+
+    gold = {}
+    with open(os.path.join(GOLD_DIR, "densefeat_synth.tsv")) as f:
+        for line in f:
+            doc, _cat, e1, e2, csv = line.rstrip("\n").split("\t")
+            gold[(doc, e1, e2)] = [float(x) for x in csv.split(",")]
+
+    checked = 0
+    for i in (0, 1):
+        name = f"doc_{i}.txp"
+        s1 = stage1_document(generate_txp(i), name=name,
+                             config=DENSE_CONFIG)
+        for p in s1["pairs"]:
+            if p["pair_class"] != PAIR_DCT or p["feats"] is None:
+                continue
+            key = (name, p["src"], p["tgt"])
+            if key not in gold:
+                continue
+            g = np.array(gold[key][:-1])        # drop trailing label col
+            m = np.array(p["feats"], dtype=float)
+            assert g.shape == m.shape == (167,), key
+            assert (g == m).all(), (key, list((g != m).nonzero()[0] + 1))
+            checked += 1
+    assert checked >= 15
+
+
 @pytest.mark.parametrize("stem", ["bbc_20130322_721", "wsj_1014"])
 def test_full_timeml_writer_parity(stem):
     """S5 full-document writer vs the reference's own writeTimeMLFile

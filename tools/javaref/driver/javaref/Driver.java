@@ -111,6 +111,20 @@ public class Driver {
                     tmlParser, tmlPath, tt, et, ee, outDir);
             return;
         }
+        if (mode.equals("dense") || mode.equals("densefeat")) {
+            // dense|densefeat <txpFile...> — the TimeBank-Dense
+            // classifier flow (tbdense models, predictDense, 167-dim
+            // E-DCT vectors); see task.JavarefDenseBridge.
+            String[] paths = new String[args.length - 1];
+            System.arraycopy(args, 1, paths, 0, paths.length);
+            task.JavarefDenseBridge.run(mode, paths,
+                    new task.JavarefDenseBridge.FieldsResolver() {
+                        public Field[] fieldsFor(String p) throws Exception {
+                            return Driver.fieldsFor(p);
+                        }
+                    });
+            return;
+        }
         if (mode.equals("taskc")) {
             // taskc <clinkFile|-> <txpFile...> — TempEval3TaskC.main's
             // per-file merge path (R4 anchor reasoning + R6 CLINK

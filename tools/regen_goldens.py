@@ -8,7 +8,7 @@ are the reference's own stdout, so they move together with the stubs.
 
 Usage:  python tools/regen_goldens.py [--only MODE[,MODE...]]
 
-Modes: temprel causal features taskc writetml tempmark causmark
+Modes: temprel causal features taskc dense writetml tempmark causmark
        connmark entmark verbmark adv
 """
 import os
@@ -95,6 +95,10 @@ def main():
             save("taskc_example.tsv", run_driver(
                 "taskc", EXAMPLES,
                 extra_pre=[os.path.join(GOLD, "example_causal.tsv")]))
+        if want("dense"):
+            save("dense_synth.tsv", run_driver("dense", docs200))
+            save("dense_example.tsv", run_driver("dense", EXAMPLES))
+            save("densefeat_synth.tsv", run_driver("densefeat", docs2))
         if want("writetml"):
             outdir = os.path.join(GOLD, "systml")
             os.makedirs(outdir, exist_ok=True)
