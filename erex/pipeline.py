@@ -271,8 +271,13 @@ def extract_salted_batch(batch: pa.Table, salt_threshold: int,
         else:
             n_blocks = (len(cands) + salt_threshold - 1) // salt_threshold
             for b in range(n_blocks):
+                # doc_rows=-1 marks "split by design": these rows are
+                # only mergeable via the regroup shuffle, and the fused
+                # merge_batch rejects them outright (not just when a
+                # count happens to mismatch).
                 emit(doc_sha=doc_sha, doc_shard=shard, doc_path=dpath,
-                     kind="salt", salt_block=b, content=content)
+                     kind="salt", salt_block=b, content=content,
+                     doc_rows=-1)
         for (src, tgt), rel in ttlinks.items():
             sk, sf = forms.get(src, ("TIMEX", "?"))
             tk, tf = forms.get(tgt, ("TIMEX", "?"))
@@ -328,7 +333,8 @@ def expand_salt_batch(batch: pa.Table, salt_threshold: int,
             sk, sf = forms[p["src"]]
             tk, tf = forms[p["tgt"]]
             emit(doc_sha=r["doc_sha"], doc_shard=r["doc_shard"],
-                 doc_path=r["doc_path"], kind="pair", src=p["src"],
+                 doc_path=r["doc_path"], kind="pair", doc_rows=-1,
+                 src=p["src"],
                  tgt=p["tgt"], pair_class=p["pair_class"],
                  rule_label=p["rule_label"], gold=p["gold"],
                  gold_tlink=p.get("gold_tlink"),
@@ -442,6 +448,13 @@ def merge_batch(batch: pa.Table,
         counts[sha] = counts.get(sha, 0) + 1
     shas = batch.column("doc_sha").to_pylist()
     expected = batch.column("doc_rows").to_pylist()
+    if any(e == -1 for e in expected):
+        raise RuntimeError(
+            "fused merge received salted rows (doc_rows=-1): the salted "
+            "topology splits documents by design, so its output is only "
+            "mergeable through the groupby(doc_shard) regroup shuffle "
+            "(run_extraction_salted does this; or run_extraction(..., "
+            "regroup=True)).")
     bad = {}
     for sha, exp in zip(shas, expected):
         if exp is not None and counts[sha] != exp:

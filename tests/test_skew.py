@@ -82,6 +82,61 @@ def test_salted_path_matches_default(skewed_corpus):
         list(b["consistent"].astype(bool))
 
 
+def test_salted_extreme_threshold_matches_default(ray_session):
+    """Boundary: salt_threshold=1 splits EVERY multi-pair document into
+    one block per candidate pair — the most hostile topology (causal
+    pairs and closure spread across maximal block count) — and the
+    output must still be identical to the unsalted pipeline."""
+    from erex.corpus import corpus_parquet
+    from erex.pipeline import run_extraction, run_extraction_salted
+    corpus = corpus_parquet(12, seed=77)
+    key = ["doc_sha", "subj", "pred", "obj", "pair_class", "stage"]
+
+    def norm(df):
+        df = df[df["kind"] == "edge"].copy()
+        for c in df.columns:
+            if str(df[c].dtype) == "category":
+                df[c] = df[c].astype(str)
+        return df.sort_values(key).reset_index(drop=True)
+
+    a = norm(run_extraction(corpus).to_pandas())
+    b = norm(run_extraction_salted(corpus, salt_threshold=1).to_pandas())
+    assert len(a) == len(b) > 0
+    assert a[key].equals(b[key])
+    assert list(a["consistent"].astype(bool)) == \
+        list(b["consistent"].astype(bool))
+    # the fixture is only meaningful if closure-bearing causal pairs
+    # actually crossed block boundaries
+    assert (a["pair_class"].astype(str) == "causal").any()
+
+
+def test_fused_merge_rejects_salted_rows():
+    """The guard's structural negative path: salted stage-1 rows are
+    stamped doc_rows=-1 and the fused merge must refuse them OUTRIGHT —
+    even a lucky batch containing every block of a salted document is
+    rejected, because salt rows carry no per-doc completeness stamp."""
+    import pyarrow as _pa
+    import pytest as _pytest
+    from erex.corpus import generate_txp
+    from erex.extract import DEFAULT_CONFIG
+    from erex.pipeline import (LinearScorer, expand_salt_batch,
+                               extract_salted_batch, merge_batch,
+                               merge_shard)
+
+    batch = _pa.table({"content": [generate_txp(5)],
+                       "path": ["doc_5.txp"]})
+    salted = extract_salted_batch(batch, 3, DEFAULT_CONFIG)
+    assert (salted.column("kind").to_pylist().count("salt") >= 2), \
+        "fixture doc must actually salt"
+    expanded = expand_salt_batch(salted, 3, DEFAULT_CONFIG)
+    scored = LinearScorer()(expanded)
+    with _pytest.raises(RuntimeError, match="salted rows"):
+        merge_batch(scored, DEFAULT_CONFIG)
+    # the regroup-style merge handles the same rows fine
+    merged = merge_shard(scored, DEFAULT_CONFIG)
+    assert merged.num_rows > 0
+
+
 def test_salted_dense_regroup_combo(ray_session):
     """Config combinations compose: dense labels + salted topology."""
     from erex.corpus import corpus_parquet
