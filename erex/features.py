@@ -825,13 +825,20 @@ def _sign(x: int) -> float:
 
 def et_vector(doc: Doc, ev: Entity, tmx: Entity) -> np.ndarray:
     """ET/DCT liblinear features: eventClass(7) tense(7) aspect(4)
-    polarity(1)."""
+    polarity(1). Depends only on the event side, so memoized per
+    (doc, event) — the same event is paired with every candidate timex
+    (pure function; the shared array is never mutated downstream)."""
+    ck = ("etvec", ev.eid)
+    hit = doc.sig_cache.get(ck)
+    if hit is not None:
+        return hit
     v = np.zeros(ET_DIM, dtype=np.float32)
     p = 0
     p = _onehot(v, p, EV_CLASS, entity_attr(doc, ev, "eventClass"))
     p = _onehot(v, p, EV_TENSE, entity_attr(doc, ev, "tense"))
     p = _onehot(v, p, EV_ASPECT, entity_attr(doc, ev, "aspect"))
     v[p] = 0.0 if entity_attr(doc, ev, "polarity") == "neg" else 1.0
+    doc.sig_cache[ck] = v
     return v
 
 
@@ -850,6 +857,10 @@ def dct_dense_vector(doc: Doc, ev: Entity, tmx: Entity) -> np.ndarray:
     167 dims vs tbdense-dct.model nr_feature 166: the last index hits
     the bias row — the same liblinear-java call-site quirk as the
     269-dim EE vector (see erex/liblinear.py)."""
+    ck = ("dctdense", ev.eid, tmx.eid)
+    hit = doc.sig_cache.get(ck)
+    if hit is not None:
+        return hit
     v = np.zeros(DCT_DENSE_DIM, dtype=np.float32)
     p = 0
     p = _onehot(v, p, POS_VOCAB, doc.entity_token_attr(ev, "pos"),
@@ -868,58 +879,122 @@ def dct_dense_vector(doc: Doc, ev: Entity, tmx: Entity) -> np.ndarray:
     v[p] = 1.0 if mate_main_verb(doc, ev) else 0.0
     p += 1
     v[p] = 1.0 if doc.mate_modal_verb(ev.start_tok) != "O" else 0.0
+    doc.sig_cache[ck] = v
     return v
+
+
+# exact-match one-hot index tables (vocab entries are unique)
+_EVC_IDX = {s: i for i, s in enumerate(EV_CLASS)}
+_EVT_IDX = {s: i for i, s in enumerate(EV_TENSE)}
+_EVA_IDX = {s: i for i, s in enumerate(EV_ASPECT)}
+_DEP_IDX = {s: i for i, s in enumerate(DEP_EVENT_PATH)}
+_NPOS = len(POS_VOCAB)
+_NCHK = len(CHUNK_VOCAB)
+_NEVC = len(EV_CLASS)
+_NEVT = len(EV_TENSE)
+_NEVA = len(EV_ASPECT)
+_NDEP = len(DEP_EVENT_PATH)
+
+
+def _ee_profile(doc: Doc, e: Entity) -> tuple:
+    """Per-entity feature slice of the EE/causal common block, memoized
+    per (doc, entity): every entity appears in many pairs, and all of
+    these are pure functions of (doc, entity)."""
+    ck = ("eeprof", e.eid)
+    hit = doc.sig_cache.get(ck)
+    if hit is not None:
+        return hit
+    pos = doc.entity_token_attr(e, "pos")
+    chunk = doc.entity_token_attr(e, "chunk")
+    cls = entity_attr(doc, e, "eventClass")
+    tense = entity_attr(doc, e, "tense")
+    aspect = entity_attr(doc, e, "aspect")
+    pol = entity_attr(doc, e, "polarity")
+    prof = (
+        pos,
+        tuple(i for i, s in enumerate(POS_VOCAB) if s in pos),
+        tuple(i for i, s in enumerate(CHUNK_VOCAB) if s in chunk),
+        cls, _EVC_IDX.get(cls, -1),
+        tense, _EVT_IDX.get(tense, -1),
+        aspect, _EVA_IDX.get(aspect, -1),
+        pol,
+        1.0 if mate_main_verb(doc, e) else 0.0,
+        1.0 if doc.mate_modal_verb(e.start_tok) != "O" else 0.0,
+    )
+    doc.sig_cache[ck] = prof
+    return prof
 
 
 def _ee_common(doc: Doc, e1: Entity, e2: Entity, dep_path: str,
                v: np.ndarray) -> int:
-    pos1 = doc.entity_token_attr(e1, "pos")
-    pos2 = doc.entity_token_attr(e2, "pos")
-    p = 0
-    p = _onehot(v, p, POS_VOCAB, pos1, contains=True)
-    p = _onehot(v, p, POS_VOCAB, pos2, contains=True)
-    v[p] = 1.0 if pos1 == pos2 else 0.0
+    """Same layout as the former scan-the-vocab implementation (kept
+    bit-identical; pinned by the javaref feature-vector goldens), built
+    from the memoized per-entity profiles."""
+    (pos1, posi1, chki1, c1, ci1, t1, ti1, a1, ai1, pol1,
+     mv1, md1) = _ee_profile(doc, e1)
+    (pos2, posi2, chki2, c2, ci2, t2, ti2, a2, ai2, pol2,
+     mv2, md2) = _ee_profile(doc, e2)
+    for i in posi1:
+        v[i] = 1.0
+    p = _NPOS
+    for i in posi2:
+        v[p + i] = 1.0
+    p += _NPOS
+    if pos1 == pos2:
+        v[p] = 1.0
     p += 1
-    p = _onehot(v, p, CHUNK_VOCAB, doc.entity_token_attr(e1, "chunk"),
-                contains=True)
-    p = _onehot(v, p, CHUNK_VOCAB, doc.entity_token_attr(e2, "chunk"),
-                contains=True)
+    for i in chki1:
+        v[p + i] = 1.0
+    p += _NCHK
+    for i in chki2:
+        v[p + i] = 1.0
+    p += _NCHK
     v[p] = _sign(doc.entity_distance(e1, e2))
     p += 1
     v[p] = _sign(doc.sentence_distance(e1, e2))
     p += 1
-    c1 = entity_attr(doc, e1, "eventClass")
-    c2 = entity_attr(doc, e2, "eventClass")
-    t1 = entity_attr(doc, e1, "tense")
-    t2 = entity_attr(doc, e2, "tense")
-    a1 = entity_attr(doc, e1, "aspect")
-    a2 = entity_attr(doc, e2, "aspect")
-    pol1 = entity_attr(doc, e1, "polarity")
-    pol2 = entity_attr(doc, e2, "polarity")
-    p = _onehot(v, p, EV_CLASS, c1)
-    p = _onehot(v, p, EV_CLASS, c2)
-    p = _onehot(v, p, EV_TENSE, t1)
-    p = _onehot(v, p, EV_TENSE, t2)
-    p = _onehot(v, p, EV_ASPECT, a1)
-    p = _onehot(v, p, EV_ASPECT, a2)
+    if ci1 >= 0:
+        v[p + ci1] = 1.0
+    p += _NEVC
+    if ci2 >= 0:
+        v[p + ci2] = 1.0
+    p += _NEVC
+    if ti1 >= 0:
+        v[p + ti1] = 1.0
+    p += _NEVT
+    if ti2 >= 0:
+        v[p + ti2] = 1.0
+    p += _NEVT
+    if ai1 >= 0:
+        v[p + ai1] = 1.0
+    p += _NEVA
+    if ai2 >= 0:
+        v[p + ai2] = 1.0
+    p += _NEVA
     v[p] = 0.0 if pol1 == "neg" else 1.0
     p += 1
     v[p] = 0.0 if pol2 == "neg" else 1.0
     p += 1
-    v[p] = 1.0 if c1 == c2 else 0.0
+    if c1 == c2:
+        v[p] = 1.0
     p += 1
-    v[p] = 1.0 if (t1 == t2 and a1 == a2) else 0.0
+    if t1 == t2 and a1 == a2:
+        v[p] = 1.0
     p += 1
-    v[p] = 1.0 if pol1 == pol2 else 0.0
+    if pol1 == pol2:
+        v[p] = 1.0
     p += 1
-    p = _onehot(v, p, DEP_EVENT_PATH, dep_path)
-    v[p] = 1.0 if mate_main_verb(doc, e1) else 0.0
+    di = _DEP_IDX.get(dep_path, -1)
+    if di >= 0:
+        v[p + di] = 1.0
+    p += _NDEP
+    v[p] = mv1
     p += 1
-    v[p] = 1.0 if mate_main_verb(doc, e2) else 0.0
+    v[p] = mv2
     p += 1
-    v[p] = 1.0 if doc.mate_modal_verb(e1.start_tok) != "O" else 0.0
+    v[p] = md1
     p += 1
-    v[p] = 1.0 if doc.mate_modal_verb(e2.start_tok) != "O" else 0.0
+    v[p] = md2
     p += 1
     return p
 

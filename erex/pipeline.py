@@ -149,46 +149,82 @@ def extract_pairs_batch(batch: pa.Table,
     cols = {name: [] for name in STAGE_SCHEMA.names}
     contents = batch.column("content").to_pylist()
     paths = batch.column("path").to_pylist()
-
-    def emit(**kw):
-        for name in STAGE_SCHEMA.names:
-            cols[name].append(kw.get(name))
-
+    # column-wise assembly (list comprehensions per field) — the former
+    # per-row kwargs emit scanned all 20 schema names per row and was
+    # ~16% of stage-1 CPU
+    c_sha, c_shard, c_path = cols["doc_sha"], cols["doc_shard"], \
+        cols["doc_path"]
+    c_kind, c_src, c_tgt = cols["kind"], cols["src"], cols["tgt"]
+    c_pc, c_rule, c_gold = cols["pair_class"], cols["rule_label"], \
+        cols["gold"]
+    c_gtl, c_feats = cols["gold_tlink"], cols["feats"]
+    c_sk, c_tk = cols["src_kind"], cols["tgt_kind"]
+    c_sf, c_tf = cols["src_form"], cols["tgt_form"]
+    c_surface, c_attr = cols["surface"], cols["attr"]
+    c_docrows = cols["doc_rows"]
+    Q = ("?", "?")
+    QT = ("TIMEX", "?")
     for content, dpath in zip(contents, paths):
         doc_sha = hashlib.sha256(content.encode()).hexdigest()
         shard = int(doc_sha[:4], 16) % N_DOC_SHARDS
         s1 = stage1_document(content, name=dpath, config=config)
-        doc_start = len(cols["doc_sha"])
         forms = {n["mention_id"]: (n["kind"], n["surface"])
                  for n in s1["nodes"]}
-        for p in s1["pairs"]:
-            sk, sf = forms.get(p["src"], ("?", "?"))
-            tk, tf = forms.get(p["tgt"], ("?", "?"))
-            emit(doc_sha=doc_sha, doc_shard=shard, doc_path=dpath,
-                 kind="pair",
-                 src=p["src"], tgt=p["tgt"], pair_class=p["pair_class"],
-                 rule_label=p["rule_label"], gold=p["gold"],
-                 gold_tlink=p.get("gold_tlink"), feats=p["feats"],
-                 src_kind=sk, tgt_kind=tk,
-                 src_form=_canon_form(sk, sf), tgt_form=_canon_form(tk, tf))
-        for (src, tgt), rel in s1["ttlinks"].items():
-            sk, sf = forms.get(src, ("TIMEX", "?"))
-            tk, tf = forms.get(tgt, ("TIMEX", "?"))
-            emit(doc_sha=doc_sha, doc_shard=shard, doc_path=dpath,
-                 kind="pair",
-                 src=src, tgt=tgt, pair_class="tt", rule_label=rel,
-                 gold="NONE", src_kind=sk, tgt_kind=tk,
-                 src_form=_canon_form(sk, sf), tgt_form=_canon_form(tk, tf))
-        for n in s1["nodes"]:
-            emit(doc_sha=doc_sha, doc_shard=shard, doc_path=dpath,
-                 kind="node",
-                 src=n["mention_id"], src_kind=n["kind"],
-                 surface=n["surface"], attr=n["attr"],
-                 src_form=_canon_form(n["kind"], n["surface"]))
+        ps = s1["pairs"]
+        tts = list(s1["ttlinks"].items())
+        nds = s1["nodes"]
+        np_, nt, nn = len(ps), len(tts), len(nds)
+        n_rows = np_ + nt + nn
+        sforms = [forms.get(p["src"], Q) for p in ps]
+        tforms = [forms.get(p["tgt"], Q) for p in ps]
+        c_src += [p["src"] for p in ps]
+        c_tgt += [p["tgt"] for p in ps]
+        c_pc += [p["pair_class"] for p in ps]
+        c_rule += [p["rule_label"] for p in ps]
+        c_gold += [p["gold"] for p in ps]
+        c_gtl += [p.get("gold_tlink") for p in ps]
+        c_feats += [p["feats"] for p in ps]
+        c_sk += [k for k, _ in sforms]
+        c_tk += [k for k, _ in tforms]
+        c_sf += ["%s|%s" % f for f in sforms]
+        c_tf += ["%s|%s" % f for f in tforms]
+        sforms = [forms.get(s, QT) for (s, _t), _ in tts]
+        tforms = [forms.get(t, QT) for (_s, t), _ in tts]
+        c_src += [s for (s, _t), _ in tts]
+        c_tgt += [t for (_s, t), _ in tts]
+        c_pc += ["tt"] * nt
+        c_rule += [rel for _, rel in tts]
+        c_gold += ["NONE"] * nt
+        c_gtl += [None] * nt
+        c_feats += [None] * nt
+        c_sk += [k for k, _ in sforms]
+        c_tk += [k for k, _ in tforms]
+        c_sf += ["%s|%s" % f for f in sforms]
+        c_tf += ["%s|%s" % f for f in tforms]
+        c_src += [n["mention_id"] for n in nds]
+        c_tgt += [None] * nn
+        c_pc += [None] * nn
+        c_rule += [None] * nn
+        c_gold += [None] * nn
+        c_gtl += [None] * nn
+        c_feats += [None] * nn
+        c_sk += [n["kind"] for n in nds]
+        c_tk += [None] * nn
+        c_sf += ["%s|%s" % (n["kind"], n["surface"]) for n in nds]
+        c_tf += [None] * nn
+        c_kind += ["pair"] * (np_ + nt) + ["node"] * nn
+        c_surface += [None] * (np_ + nt) + [n["surface"] for n in nds]
+        c_attr += [None] * (np_ + nt) + [n["attr"] for n in nds]
+        c_sha += [doc_sha] * n_rows
+        c_shard += [shard] * n_rows
+        c_path += [dpath] * n_rows
         # stamp every row of this document with the doc's total row
         # count — the fused merge's completeness guard
-        n_rows = len(cols["doc_sha"]) - doc_start
-        cols["doc_rows"][doc_start:] = [n_rows] * n_rows
+        c_docrows += [n_rows] * n_rows
+    n_total = len(c_sha)
+    cols["cls_label"] = [None] * n_total
+    cols["salt_block"] = [None] * n_total
+    cols["content"] = [None] * n_total
     return _stage_table(cols)
 
 
@@ -480,22 +516,93 @@ def merge_shard(shard: pa.Table,
     feats list column stays a zero-copy numpy view sliced per row —
     Table.to_pylist() materialized every feature float as a Python
     object (~40% of merge wall-time)."""
-    names = [n for n in shard.schema.names if n != "feats"]
-    data = {n: shard.column(n).to_pylist() for n in names}
+    cols = {n: shard.column(n).to_pylist() for n in _MERGE_COLS}
     feats = shard.column("feats").combine_chunks()
     flat = np.asarray(feats.values, dtype=np.float32)
     offs = np.asarray(feats.offsets)
     valid = np.asarray(feats.is_valid())
-    n_rows = shard.num_rows
     by_doc: dict = {}
-    shas = data["doc_sha"]
-    for i in range(n_rows):
-        r = {n: data[n][i] for n in names}
-        r["feats"] = flat[offs[i]:offs[i + 1]] if valid[i] else None
-        by_doc.setdefault(shas[i], []).append(r)
-    out_tables = [merge_group_rows(rows, config)
-                  for rows in by_doc.values()]
+    for i, sha in enumerate(cols["doc_sha"]):
+        lst = by_doc.get(sha)
+        if lst is None:
+            by_doc[sha] = lst = []
+        lst.append(i)
+    out_tables = [_merge_doc_columnar(cols, idxs, flat, offs, valid, config)
+                  for idxs in by_doc.values()]
     return pa.concat_tables(out_tables)
+
+
+# the only stage-schema columns the merge actually consumes; skipping
+# the rest (content, doc_rows, doc_shard, salt_block) avoids
+# materializing them as Python objects
+_MERGE_COLS = ("doc_sha", "doc_path", "kind", "src", "tgt", "pair_class",
+               "rule_label", "cls_label", "gold", "gold_tlink",
+               "src_form", "tgt_form", "surface", "attr", "src_kind")
+
+
+def _merge_doc_columnar(cols: dict, idxs: list, flat, offs, valid,
+                        config: PipelineConfig) -> pa.Table:
+    """One document's merge from columnar inputs: per-pair dicts are
+    built only for the rows merge_document needs, and the output table
+    is assembled column-by-column (list comprehensions) instead of a
+    per-row kwargs emit — both measured hot spots of the fused merge."""
+    models = get_models(dense=config.dense, model_set=config.model_set)
+    i0 = idxs[0]
+    doc_sha = cols["doc_sha"][i0]
+    doc_path = cols["doc_path"][i0]
+    kind = cols["kind"]
+    src = cols["src"]
+    tgt = cols["tgt"]
+    pclass = cols["pair_class"]
+    rule = cols["rule_label"]
+    cls_l = cols["cls_label"]
+    gold_c = cols["gold"]
+    gold_t = cols["gold_tlink"]
+    sform = cols["src_form"]
+    tform = cols["tgt_form"]
+    forms: dict = {}
+    pairs, ttlinks, node_idx = [], {}, []
+    for i in idxs:
+        if kind[i] == "node":
+            node_idx.append(i)
+            forms[src[i]] = sform[i]
+            continue
+        forms[src[i]] = sform[i]
+        forms[tgt[i]] = tform[i]
+        if pclass[i] == "tt":
+            ttlinks[(src[i], tgt[i])] = rule[i]
+        else:
+            pairs.append({
+                "src": src[i], "tgt": tgt[i], "pair_class": pclass[i],
+                "rule_label": rule[i], "cls_label": cls_l[i],
+                "gold": gold_c[i], "gold_tlink": gold_t[i],
+                "feats": flat[offs[i]:offs[i + 1]] if valid[i] else None})
+    triples = merge_document(pairs, ttlinks, models, config)
+    ne, nn = len(triples), len(node_idx)
+    n = ne + nn
+    none_e = [None] * ne
+    none_n = [None] * nn
+    out = {
+        "doc_sha": [doc_sha] * n,
+        "doc_path": [doc_path] * n,
+        "kind": ["edge"] * ne + ["node"] * nn,
+        "subj": [t["src"] for t in triples] + [src[i] for i in node_idx],
+        "pred": [t["label"] for t in triples] + none_n,
+        "obj": [t["tgt"] for t in triples] + none_n,
+        "pair_class": [t["pair_class"] for t in triples] + none_n,
+        "stage": [t["stage"] for t in triples] + none_n,
+        "consistent": [t["consistent"] for t in triples] + none_n,
+        "gold": [t["gold"] for t in triples] + none_n,
+        "subj_key": [_canon_key(forms.get(t["src"], t["src"]))
+                     for t in triples]
+                    + [_canon_key(sform[i]) for i in node_idx],
+        "obj_key": [_canon_key(forms.get(t["tgt"], t["tgt"]))
+                    for t in triples] + none_n,
+        "surface": none_e + [cols["surface"][i] for i in node_idx],
+        "attr": none_e + [cols["attr"][i] for i in node_idx],
+        "node_kind": none_e + [cols["src_kind"][i] for i in node_idx],
+    }
+    return pa.Table.from_pydict(out, schema=EDGE_SCHEMA)
 
 
 def merge_group(group: pa.Table,
