@@ -102,7 +102,10 @@ def _canon_form(kind: str, surface: str) -> str:
     return f"{kind}|{surface}"
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def _canon_key(form: str) -> str:
+    """Canonical forms repeat heavily (lemma/value vocabulary is small
+    relative to edge count) — memoized per worker process."""
     return hashlib.sha1(form.encode()).hexdigest()[:16]
 
 
