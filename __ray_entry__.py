@@ -246,11 +246,11 @@ def _label_inverse_map(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from erex._env import remote_args
-    from erex.labels import (TLINK_LABELS, inverse_clink, inverse_tlink,
+    from erex.labels import (TLINK_TYPES_FULL, inverse_clink, inverse_tlink,
                              tlink_label_num)
 
-    labels = list(TLINK_LABELS) + ["NONE", "END", "VAGUE", "O",
-                                   "CLINK", "CLINK-R"]
+    labels = list(TLINK_TYPES_FULL) + ["NONE", "END", "VAGUE", "O",
+                                       "CLINK", "CLINK-R"]
     ds = rd.from_items([{"label_in": l} for l in labels])
 
     def apply(t: pa.Table) -> pa.Table:
@@ -271,9 +271,9 @@ def _label_inverse_map(sf_dir: str):
 
 
 def _label_inverse_sql() -> str:
-    from erex.labels import _INVERSE, TLINK_LABELS
-    labels = list(TLINK_LABELS) + ["NONE", "END", "VAGUE", "O",
-                                   "CLINK", "CLINK-R"]
+    from erex.labels import _INVERSE, TLINK_LABELS, TLINK_TYPES_FULL
+    labels = list(TLINK_TYPES_FULL) + ["NONE", "END", "VAGUE", "O",
+                                       "CLINK", "CLINK-R"]
     vals = ", ".join("('%s')" % l for l in labels)
     inv_t = " ".join("WHEN label_in = '%s' THEN '%s'" % (k, v)
                      for k, v in _INVERSE.items())

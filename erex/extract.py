@@ -73,6 +73,13 @@ class PipelineConfig:
                                       # the ET model
                                       # (TempEval3TaskC.java:467-470 has
                                       # no DCT split)
+    measure_rel: bool = False         # DURATION timexes -> MEASURE rule
+                                      # label (EventTimexRelationRule.java
+                                      # :35-37; unreachable in the
+                                      # reference because the 5-arg ctor
+                                      # sets the flag only AFTER the 4-arg
+                                      # ctor has read it — opt-in here
+                                      # implements the evident intent)
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -272,7 +279,8 @@ def process_pair(doc, src, tgt, gold, pair_class,
             e1, e2 = e2, e1
             gold = inverse_tlink(gold)
         dep = et_dependency_path(doc, e1, e2)
-        rule = "O" if config.dense else event_timex_rule(doc, e1, e2, dep)
+        rule = "O" if config.dense else event_timex_rule(
+            doc, e1, e2, dep, measure_rel=config.measure_rel)
         if rule != "O":
             feats = None
         elif config.dense and pair_class == PAIR_DCT:

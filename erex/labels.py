@@ -21,6 +21,11 @@ TLINK_LABELS = (
 )
 TLINK_DENSE_LABELS = ("BEFORE", "AFTER", "SIMULTANEOUS", "INCLUDES",
                       "IS_INCLUDED", "VAGUE")
+# the full EntityEnum.TlinkType vocabulary (EntityEnum.java:9-16): the
+# classifier one-hots above stay 14-label, but MEASURE exists as a rule
+# label (EventTimexRelationRule.java:35-37, emitted only under the
+# opt-in measure_rel config — see erex/rules/event_timex.py)
+TLINK_TYPES_FULL = TLINK_LABELS + ("MEASURE",)
 CLINK_LABELS = ("CLINK", "CLINK-R", "NONE")
 
 # TemporalRelation.getInverseRelation: pairs at even/odd indices.

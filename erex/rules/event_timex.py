@@ -9,6 +9,9 @@ Deliberate reference quirks kept:
   preposition-derived label (lines 28-34);
 - the MEASURE post-check reads the field before setMeasureRel runs, so
   it never fires from the production entry points (lines 17-21, 35-37);
+  `measure_rel=True` here implements the 5-arg constructor's evident
+  intent (DURATION timexes labeled MEASURE, EntityEnum.java:15) as an
+  opt-in, applied AFTER every other branch exactly where line 35 sits;
 - `until/till` requires event polarity POS (upper-case attr from the
   entity, line 133-135);
 - the preposition context is the single lemma before the timex span
@@ -30,8 +33,13 @@ def _lemma_before(doc: Doc, tok_index: int) -> str:
     return doc.tokens[doc.token_arr[tok_index - 1]].lemma.lower()
 
 
-def event_timex_rule(doc: Doc, ev: Entity, tmx: Entity, dep_path: str) -> str:
+def event_timex_rule(doc: Doc, ev: Entity, tmx: Entity, dep_path: str,
+                     measure_rel: bool = False) -> str:
     """Label for an (event, timex) pair (already event-first) or 'O'."""
+    if measure_rel and tmx.ttype == "DURATION":
+        # unconditional last-step override (EventTimexRelationRule.java:35-37
+        # — no DCT/empty gate, wins over every rule branch below)
+        return "MEASURE"
     rel = "O"
     if not tmx.is_dct and not tmx.is_empty:
         if ev.sent_id != tmx.sent_id:

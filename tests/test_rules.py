@@ -82,6 +82,77 @@ def test_et_preposition_branches():
     assert et_with_prep("until", "DATE", "1989-03", pol="POS") == "ENDED_BY"
 
 
+def test_et_measure_rel_optin():
+    # EventTimexRelationRule.java:35-37: with measureRel set, DURATION
+    # timexes get MEASURE unconditionally, overriding every rule branch;
+    # the reference's 5-arg ctor sets the flag only after the 4-arg ctor
+    # has read it, so it is an opt-in here and defaults off.
+    doc = make_doc([
+        tok("The", "t1", 1, "AT0"),
+        tok("company", "t2", 1, "NN1"),
+        tok("increased", "t3", 1, "VVD", "increase",
+            deps="t1:SBJ||t4:TMP||t6:P", ev_class="OCCURRENCE", ev_id="e1",
+            chunk="B-VP", tense_aspect_pol="PAST+NONE+pos"),
+        tok("during", "t4", 1, "PRP", deps="t5:PMOD", chunk="B-PP"),
+        tok("March", "t5", 1, "NP0", "march", tmx_id="tmx1",
+            tmx_type="B-DURATION", tmx_value="P3D"),
+        tok(".", "t6", 1, "PUN"),
+    ])
+    e1, tmx = doc.entities["e1"], doc.entities["tmx1"]
+    dep = et_dependency_path(doc, e1, tmx)
+    assert event_timex_rule(doc, e1, tmx, dep) == "DURING"
+    assert event_timex_rule(doc, e1, tmx, dep, measure_rel=True) == "MEASURE"
+    # fires even when the base rule yields 'O' (no TMP dep path)
+    assert event_timex_rule(doc, e1, tmx, "SBJ", measure_rel=True) == "MEASURE"
+    # non-DURATION timexes are untouched by the flag
+    doc2 = pp_doc()
+    e1b, tmxb = doc2.entities["e1"], doc2.entities["tmx1"]
+    assert event_timex_rule(doc2, e1b, tmxb, "TMP-PMOD",
+                            measure_rel=True) == "IS_INCLUDED"
+
+
+def test_measure_config_and_vocab():
+    from erex.extract import DEFAULT_CONFIG, PipelineConfig
+    from erex.labels import (TLINK_LABELS, TLINK_TYPES_FULL, inverse_tlink,
+                             tlink_label_num)
+    assert DEFAULT_CONFIG.measure_rel is False
+    assert PipelineConfig(measure_rel=True).measure_rel
+    # EntityEnum.java:9-16 full vocabulary; MEASURE is outside the
+    # 14-label classifier array -> self-inverse, label number 0
+    assert TLINK_TYPES_FULL == TLINK_LABELS + ("MEASURE",)
+    assert inverse_tlink("MEASURE") == "MEASURE"
+    assert tlink_label_num("MEASURE") == 0
+
+
+def test_measure_end_to_end_extraction():
+    from erex.extract import PipelineConfig, extract_document
+    lines = [DCT] + [
+        tok("The", "t1", 1, "AT0"),
+        tok("company", "t2", 1, "NN1"),
+        tok("increased", "t3", 1, "VVD", "increase",
+            deps="t1:SBJ||t4:TMP||t6:P", ev_class="OCCURRENCE", ev_id="e1",
+            chunk="B-VP", tense_aspect_pol="PAST+NONE+pos",
+            tlink="e1:tmx1:NONE"),
+        tok("during", "t4", 1, "PRP", deps="t5:PMOD", chunk="B-PP"),
+        tok("March", "t5", 1, "NP0", "march", tmx_id="tmx1",
+            tmx_type="B-DURATION", tmx_value="P3D"),
+        tok(".", "t6", 1, "PUN"),
+    ]
+    content = "\n".join(["# h"] * 4 + lines)
+    base = {(t["src"], t["tgt"]): t for t in
+            extract_document(content)["triples"]}
+    meas = {(t["src"], t["tgt"]): t for t in
+            extract_document(content,
+                             config=PipelineConfig(measure_rel=True))
+            ["triples"]}
+    assert base[("e1", "tmx1")]["label"] == "DURING"
+    assert meas[("e1", "tmx1")]["label"] == "MEASURE"
+    assert meas[("e1", "tmx1")]["stage"] == "rule"
+    # MEASURE has no point-algebra constraints: the closure keeps it
+    # final without touching the timegraph
+    assert meas[("e1", "tmx1")]["consistent"] is True
+
+
 def test_et_dct_tense_rules():
     doc = make_doc([
         tok("The", "t1", 1, "AT0"),
