@@ -193,6 +193,77 @@ def _catena_parse_stats(sf_dir: str):
             .sort("path").to_pandas())
 
 
+_TIMEML_COLS_INPUT = "/tmp/erex_corpus/timeml_cols_input.parquet"
+
+
+def _timeml_cols_input(sf_dir: str) -> str:
+    """S11 fixture: the sf's TXP corpus rendered as gold TimeML XML at
+    a FIXED path so the DuckDB oracle can recount structure from the
+    raw XML (same fixture contract as _parse_stats_input). Rendering is
+    distributed; only the small (path, tml) fixture lands driver-side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    corpus = _corpus_for(sf_dir)
+    marker = _TIMEML_COLS_INPUT + ".src"
+    if (os.path.exists(_TIMEML_COLS_INPUT) and os.path.exists(marker)
+            and open(marker).read() == corpus):
+        return corpus
+
+    def render(batch: "pa.Table") -> "pa.Table":
+        from erex.timeml_cols import render_gold_timeml
+        paths = batch.column("path").to_pylist()
+        tmls = [render_gold_timeml(c, p) for p, c in
+                zip(paths, batch.column("content").to_pylist())]
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "tml": pa.array(tmls, pa.string())})
+
+    df = (rd.read_parquet(corpus, columns=["path", "content"])
+          .map_batches(render, batch_format="pyarrow")
+          .sort("path").to_pandas())
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   _TIMEML_COLS_INPUT)
+    with open(marker, "w") as f:
+        f.write(corpus)
+    return corpus
+
+
+def _timeml_to_columns_stats(sf_dir: str):
+    """S11 hard-check: TimeML -> columns (timeml_to_columns) -> TXP
+    parse (S2), per-doc structural totals; the DuckDB oracle recomputes
+    the same totals from the raw XML with the IDENTICAL RE2-safe token
+    regex (TOKEN_PATTERN) and tag/entity counting — independent of both
+    the converter and the parser. A dropped token, lost entity span, or
+    misplaced tlink/clink cell breaks the hash."""
+    import pyarrow as pa
+    import ray.data as rd
+    _timeml_cols_input(sf_dir)
+
+    def stats(batch: "pa.Table") -> "pa.Table":
+        from erex.timeml_cols import timeml_to_columns
+        from erex.txp import parse_txp
+        paths = batch.column("path").to_pylist()
+        cols = {k: [] for k in ("n_tokens", "n_sents", "n_events",
+                                "n_timexes", "n_tlinks", "n_clinks")}
+        for path, tml in zip(paths, batch.column("tml").to_pylist()):
+            d = parse_txp(timeml_to_columns(tml, path), name=path)
+            cols["n_tokens"].append(len(d.tokens))
+            cols["n_sents"].append(len(d.sentences))
+            cols["n_events"].append(sum(
+                1 for e in d.entities.values() if e.kind == "EVENT"))
+            cols["n_timexes"].append(sum(
+                1 for e in d.entities.values() if e.kind == "TIMEX"))
+            cols["n_tlinks"].append(len(d.tlinks))
+            cols["n_clinks"].append(len(d.clinks))
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         **{k: pa.array(v, pa.int64())
+                            for k, v in cols.items()}})
+
+    return (rd.read_parquet(_TIMEML_COLS_INPUT, columns=["path", "tml"])
+            .map_batches(stats, batch_format="pyarrow")
+            .sort("path").to_pandas())
+
+
 def _catena_confusion_collapsed(sf_dir: str):
     """Confusion counts in the collapsed label space (M13)."""
     import pandas as pd
@@ -360,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_inverse_map": _label_inverse_map,
         "catena_stage_counts": _catena_stage_counts,
         "catena_parse_stats": _catena_parse_stats,
+        "timeml_to_columns_stats": _timeml_to_columns_stats,
         "catena_edges_dense": _catena_edges_dense,
         "catena_timeml": _catena_timeml,
         "catena_triples_tsv": _catena_triples_tsv,
@@ -614,6 +686,8 @@ def _fingerprint_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from erex.ops.text import LANG_STOPWORDS
+    from erex.timeml_cols import TOKEN_PATTERN
+    _tml_token_pat = TOKEN_PATTERN.replace("'", "''")
     lang_counts = ", ".join(
         "len(regexp_extract_all(lower(text), '\\b(%s)\\b')) AS c_%s"
         % ("|".join(words), lang) for lang, words in LANG_STOPWORDS)
@@ -687,6 +761,42 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS n_clinks
             FROM f GROUP BY path ORDER BY path
         """ % _PARSE_STATS_INPUT,
+        # S11 TimeML->columns structural check: recount tokens /
+        # sentences / entities / links from the RAW TimeML XML (fixture
+        # written by the query callable) — tokenizer is the converter's
+        # own RE2-safe TOKEN_PATTERN, entities/links are tag counts, the
+        # sentence rule (every ./!/? token terminates, trailing run adds
+        # one) is replayed on the token list.
+        "timeml_to_columns_stats": """
+            WITH d AS (
+              SELECT path,
+                regexp_extract_all(
+                  replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_extract(tml, '(?s)<TEXT>(.*)</TEXT>', 1),
+                      '<[^>]*>', '', 'g'),
+                    '&lt;','<'), '&gt;','>'), '&quot;','"'),
+                    '&apos;',''''), '&amp;','&'),
+                  '%s') AS toks,
+                tml
+              FROM read_parquet('%s')
+            )
+            SELECT path,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(toks, x -> x IN ('.','!','?')))
+                   + CASE WHEN len(toks) > 0
+                          AND NOT toks[-1] IN ('.','!','?')
+                          THEN 1 ELSE 0 END AS BIGINT) AS n_sents,
+              CAST(len(regexp_extract_all(tml, '<EVENT '))
+                   AS BIGINT) AS n_events,
+              CAST(len(regexp_extract_all(tml, '<TIMEX3 '))
+                   AS BIGINT) AS n_timexes,
+              CAST(len(regexp_extract_all(tml, '<TLINK '))
+                   AS BIGINT) AS n_tlinks,
+              CAST(len(regexp_extract_all(tml, '<CLINK '))
+                   AS BIGINT) AS n_clinks
+            FROM d ORDER BY path
+        """ % (_tml_token_pat, _TIMEML_COLS_INPUT),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity*1000+0.5) AS BIGINT))
