@@ -53,6 +53,10 @@ def run_bench() -> None:
     # aggregate (no driver materialization). Best-of-3: sandbox timing
     # variance is up to 4x (see BASELINE.md), so the shipped number is
     # the reproducible minimum, not a single noisy draw.
+    # one untimed warm-up first: Ray worker import + actor spin-up is a
+    # fixed per-session cost (~5-8 s here), already amortized away on
+    # any long-lived cluster; the scaling children warm identically.
+    run_extraction(corpus).count()
     runs = []
     n_edges = 0
     for _ in range(3):

@@ -43,11 +43,17 @@ def _load_matrix(sf_dir: str):
     return ids, M
 
 
-def _load_queries(ds: "rd.Dataset", n_queries: int):
-    """Pruned, filtered read of just the query rows — the corpus never
-    reaches the driver (predicate pushes into the parquet scan)."""
-    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
-    qdf = qdf.sort_values("vec_id")
+def _load_queries(sf_dir: str, n_queries: int):
+    """Pruned, filtered read of just the query rows — predicate pushes
+    into the parquet scan (row-group statistics pruning), so only the
+    matching row groups are decoded and only `n_queries` rows reach the
+    driver. A direct pyarrow read beats a Ray job here: the result is a
+    handful of rows, not a dataset."""
+    import pyarrow.dataset as pds
+    t = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pds.field("vec_id") < n_queries)
+    qdf = t.to_pandas().sort_values("vec_id")
     q_ids = qdf["vec_id"].to_numpy()
     Q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
     return q_ids, Q
@@ -67,7 +73,7 @@ def ann_cosine_topk(sf_dir: str, n_queries: int = 8,
     Ties broken by (cos_micro desc, vec_id asc)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    q_ids, Q = _load_queries(ds, n_queries)
+    q_ids, Q = _load_queries(sf_dir, n_queries)
     q_ref = ray.put((q_ids, Q))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -133,7 +139,7 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
                          columns=["vec_id", "embedding"])
 
     # queries: pruned read + filter (n_queries rows reach the driver)
-    q_ids, Q = _load_queries(ds, n_queries)
+    q_ids, Q = _load_queries(sf_dir, n_queries)
     planes = _hyperplanes(Q.shape[1])
     q_buckets = _lsh_bucket(Q, planes)
     # multi-probe: the query's bucket plus all Hamming-1 neighbours
@@ -258,7 +264,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
     C = _kmeans_centroids(sf_dir, k=n_lists)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    q_ids, Q = _load_queries(ds, n_queries)
+    q_ids, Q = _load_queries(sf_dir, n_queries)
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
     ref = ray.put((q_ids, Q, probes, C))
 
