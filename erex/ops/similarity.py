@@ -217,7 +217,10 @@ def _kmeans_centroids(sf_dir: str, k: int = 16, iters: int = 3):
     batch) merged on the driver — the corpus itself streams."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    init = ds.filter(expr=f"vec_id < {k}").to_pandas()
+    import pyarrow.dataset as pds
+    init = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pds.field("vec_id") < k).to_pandas()
     C = _normalize(np.stack(
         init.sort_values("vec_id")["embedding"].to_numpy()
     ).astype(np.float64))
