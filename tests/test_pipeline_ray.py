@@ -198,3 +198,27 @@ def test_fused_merge_guard_detects_split_document():
     assert merged.num_rows > 0
     # regroup-style merge of the same rows gives identical output
     assert merge_shard(staged, DEFAULT_CONFIG).num_rows == merged.num_rows
+
+
+def test_decode_pylist_matches_to_pylist():
+    """_decode_pylist (merge hot path) must be value-identical to
+    to_pylist across every shape it dispatches on: short columns
+    (direct path), long low-cardinality strings (dictionary path),
+    null-bearing columns (sentinel slot), high-cardinality strings
+    (fallback), and non-string types (direct path)."""
+    import pyarrow as _pa
+    from erex.pipeline import _decode_pylist
+
+    def chunked(values, typ):
+        a = _pa.chunked_array([values[: len(values) // 2],
+                               values[len(values) // 2:]], type=typ)
+        return a
+
+    short = chunked(["a", None, "b"] * 10, _pa.string())
+    low_card = chunked((["x", "y", None, "z"] * 1024), _pa.string())
+    # high cardinality: distinct value per row -> fallback branch
+    high_card = chunked([f"v{i}" for i in range(4096)], _pa.string())
+    ints = chunked(list(range(4096)), _pa.int64())
+    all_null = chunked([None] * 4096, _pa.string())
+    for col in (short, low_card, high_card, ints, all_null):
+        assert _decode_pylist(col) == col.to_pylist()
