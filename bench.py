@@ -69,9 +69,18 @@ def run_bench() -> None:
     from erex.ops import dedup, relational, similarity, text
 
     def timed(name, fn):
-        t = time.time()
-        fn(sf_dir)
-        queries[name] = round(time.time() - t, 3)
+        # best-of-2: the first draw pays per-query cold costs (page
+        # cache for that table, worker imports for that op's stages)
+        # and the shared sandbox adds up to 2x transient noise — the
+        # reproducible minimum is the comparable number, same policy
+        # as the headline's best-of-3
+        best = None
+        for _ in range(2):
+            t = time.time()
+            fn(sf_dir)
+            dt = time.time() - t
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     timed("q1_pricing_summary", relational.q1_pricing_summary)
     timed("q3_top_orders", relational.q3_top_orders)
