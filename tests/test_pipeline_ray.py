@@ -222,3 +222,36 @@ def test_decode_pylist_matches_to_pylist():
     all_null = chunked([None] * 4096, _pa.string())
     for col in (short, low_card, high_card, ints, all_null):
         assert _decode_pylist(col) == col.to_pylist()
+
+
+def test_merge_invariant_under_doc_aligned_splits():
+    """The fused merge assumes only that blocks are document-aligned:
+    ANY partition of the scored rows along document boundaries must
+    produce exactly the rows of the whole-batch merge (order-free).
+    This is the positive counterpart of the split-document guard test."""
+    import pyarrow as _pa
+    from erex.corpus import generate_txp
+    from erex.extract import DEFAULT_CONFIG
+    from erex.pipeline import (extract_pairs_batch, merge_batch,
+                               _score_batch_task)
+
+    batch = _pa.table({"content": [generate_txp(s) for s in (3, 5, 8, 13)],
+                       "path": [f"doc_{s}.txp" for s in (3, 5, 8, 13)]})
+    scored = _score_batch_task(extract_pairs_batch(batch, DEFAULT_CONFIG))
+    whole = merge_batch(scored, DEFAULT_CONFIG).to_pandas()
+
+    shas = scored.column("doc_sha").to_pylist()
+    bounds = [0] + [i for i in range(1, len(shas)) if shas[i] != shas[i - 1]]
+    # several distinct doc-aligned chunkings: per-doc, pairs, 1+rest
+    for split_at in ([1, 2, 3], [2], [1], [3]):
+        cuts = [bounds[i] for i in split_at if i < len(bounds)]
+        parts, prev = [], 0
+        for c in cuts + [scored.num_rows]:
+            parts.append(scored.slice(prev, c - prev))
+            prev = c
+        got = _pa.concat_tables(
+            [merge_batch(p, DEFAULT_CONFIG) for p in parts]).to_pandas()
+        key = sorted(whole.columns)
+        a = whole[key].sort_values(key).reset_index(drop=True)
+        b = got[key].sort_values(key).reset_index(drop=True)
+        assert a.equals(b), f"split {split_at} diverged"
