@@ -763,6 +763,19 @@ def _verb_marker(doc: Doc, e1: Entity, e2: Entity, text: str, tid: str,
 # ---------------------------------------------------------------------------
 # candidate gating for CLINKs (M10; CauseRelPro.java:61-95)
 # ---------------------------------------------------------------------------
+def _contains_key(words, single: frozenset, multi: tuple) -> bool:
+    """`" k " in " w1 w2 ... "` for a space-free key k is exactly
+    whole-token membership, so the 66/94-key substring scans reduce to
+    one set intersection; multiword keys (none in the shipped lists)
+    keep the literal padded-substring semantics."""
+    if not single.isdisjoint(words):
+        return True
+    if multi:
+        text = " " + " ".join(words) + " "
+        return any(f" {k} " in text for k in multi)
+    return False
+
+
 def sentence_contains_causal_signal(doc: Doc, sid: str) -> bool:
     """Reference quirk (CauseRelPro.java:61-74): the gate matches the
     causal-signal MAP KEYS — which are the list file's numeric line
@@ -770,16 +783,16 @@ def sentence_contains_causal_signal(doc: Doc, sid: str) -> bool:
     a sentence contains a bare small number.  Verified against the
     compiled reference (tools/javaref causmark mode)."""
     s = doc.sentences[sid]
-    text = " " + " ".join(doc.tokens[t].text.lower() for t in
-                          doc.token_ids_between(s.start_tok, s.end_tok)) + " "
-    return any(f" {k} " in text for k in signals.causal_signal_keys())
+    words = [doc.tokens[t].text.lower() for t in
+             doc.token_ids_between(s.start_tok, s.end_tok)]
+    return _contains_key(words, *signals.causal_signal_key_split())
 
 
 def sentence_contains_causal_verb(doc: Doc, sid: str) -> bool:
     s = doc.sentences[sid]
-    text = " " + " ".join(doc.tokens[t].lemma.lower() for t in
-                          doc.token_ids_between(s.start_tok, s.end_tok)) + " "
-    return any(" " + v + " " in text for v in signals.causal_verbs())
+    words = [doc.tokens[t].lemma.lower() for t in
+             doc.token_ids_between(s.start_tok, s.end_tok)]
+    return _contains_key(words, *signals.causal_verb_key_split())
 
 
 # ---------------------------------------------------------------------------

@@ -123,8 +123,24 @@ def causal_signal_keys() -> tuple:
 
 
 @lru_cache(maxsize=None)
+def causal_signal_key_split() -> tuple:
+    """(frozenset of single-word keys, tuple of multiword keys) for the
+    gate's set-membership fast path (features._contains_key)."""
+    ks = causal_signal_keys()
+    return (frozenset(k for k in ks if " " not in k),
+            tuple(k for k in ks if " " in k))
+
+
+@lru_cache(maxsize=None)
 def causal_verbs() -> dict:
     return dict(_load_tsv("causal_verb.tsv"))
+
+
+@lru_cache(maxsize=None)
+def causal_verb_key_split() -> tuple:
+    vs = tuple(causal_verbs())
+    return (frozenset(v for v in vs if " " not in v),
+            tuple(v for v in vs if " " in v))
 
 
 @lru_cache(maxsize=None)
