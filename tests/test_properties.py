@@ -117,3 +117,57 @@ def test_before_chain_acyclic(pairs):
         for y in "ABCDE":
             if x != y and tg.infer(x, y) == "BEFORE":
                 assert tg.infer(y, x) == "AFTER"
+
+
+# ---------------------------------------------------------------------------
+# web-scale robustness: extraction must be total over arbitrary bytes-ish
+# input — a 100 TB crawl WILL contain truncated, binary-ish and
+# half-TXP-shaped documents, and one raising task kills a whole block
+# ---------------------------------------------------------------------------
+_txpish = st.text(
+    alphabet=st.sampled_from(list(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n|:._-/#\"'()é€中")),
+    max_size=800)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_txpish)
+def test_extract_document_total_over_garbage(content):
+    """extract_document never raises and always returns the full result
+    contract (triples/nodes lists, stage counts) for ANY input text —
+    including tab/newline soup that reaches deep into the TXP column
+    parser and tlink/clink cell handling."""
+    from erex.extract import extract_document
+    out = extract_document(content, name="fuzz")
+    assert isinstance(out["triples"], list)
+    assert isinstance(out["nodes"], list)
+    for tr in out["triples"]:
+        assert tr["src"] and tr["tgt"] and tr["label"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1), st.data())
+def test_extract_document_total_over_corrupted_real_docs(seed, data):
+    """A REAL generated document with random line-level corruption
+    (truncation, cell deletion, duplicated lines) still extracts
+    without raising — the malformed-shard story at crawl scale."""
+    from erex.corpus import generate_txp
+    from erex.extract import extract_document
+    lines = generate_txp(seed % 500).split("\n")
+    n = len(lines)
+    k = data.draw(st.integers(min_value=1, max_value=5))
+    for _ in range(k):
+        mode = data.draw(st.integers(min_value=0, max_value=3))
+        i = data.draw(st.integers(min_value=0, max_value=max(0, n - 1)))
+        if mode == 0:
+            lines[i] = lines[i][: len(lines[i]) // 2]      # truncate
+        elif mode == 1:
+            lines[i] = lines[i].replace("\t", " ", 3)      # break cells
+        elif mode == 2:
+            lines.insert(i, lines[i])                      # duplicate
+        else:
+            lines[i] = ""                                  # blank out
+        n = len(lines)
+    out = extract_document("\n".join(lines), name="corrupt")
+    assert isinstance(out["triples"], list)
