@@ -264,6 +264,134 @@ def _timeml_to_columns_stats(sf_dir: str):
             .sort("path").to_pandas())
 
 
+def _phrase_embed_feats(sf_dir: str):
+    """F14 driver query (rows-only: the md5-seeded encoder seam and
+    the B-/I- chunk walk are not SQL): PhraseFeatureStage (actor pool)
+    over the first EE pair of every document, reduced to one
+    micro-checksum per phrase-feature block so the driver sees a
+    small stable frame instead of 128 embedding columns."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from erex._env import pool_size, remote_args
+    from erex.phrase_embed import PhraseFeatureStage
+
+    def first_pair(batch: "pa.Table") -> "pa.Table":
+        from erex.txp import parse_txp
+        rows = {"doc_path": [], "content": [], "subj": [], "obj": [],
+                "pair_class": []}
+        for path, content in zip(batch.column("path").to_pylist(),
+                                 batch.column("content").to_pylist()):
+            d = parse_txp(content, name=path)
+            evs = sorted((e for e in d.entities.values()
+                          if e.kind == "EVENT"), key=lambda e: e.index)
+            if len(evs) < 2:
+                continue
+            rows["doc_path"].append(path)
+            rows["content"].append(content)
+            rows["subj"].append(evs[0].eid)
+            rows["obj"].append(evs[1].eid)
+            rows["pair_class"].append("ee")
+        return pa.table({k: pa.array(v, pa.string())
+                         for k, v in rows.items()})
+
+    def checksums(batch: "pa.Table") -> "pa.Table":
+        out = {"doc_path": batch.column("doc_path"),
+               "subj": batch.column("subj"),
+               "obj": batch.column("obj")}
+        for pref, name in (("tempmark_embed_", "tempmark_micro"),
+                           ("causmark_embed_", "causmark_micro"),
+                           ("tokenchunk_embed_", "tokenchunk_micro")):
+            cols = [c for c in batch.column_names if c.startswith(pref)]
+            m = np.stack([batch.column(c).to_numpy() for c in cols])
+            out[name] = pa.array(
+                np.rint(m.sum(axis=0) * 1e6).astype(np.int64))
+        return pa.table(out)
+
+    return (rd.read_parquet(_corpus_for(sf_dir),
+                            columns=["path", "content"])
+            .map_batches(first_pair, batch_format="pyarrow",
+                         **remote_args())
+            .map_batches(PhraseFeatureStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=pool_size(),
+                         **remote_args())
+            .map_batches(checksums, batch_format="pyarrow",
+                         **remote_args())
+            .sort("doc_path").to_pandas())
+
+
+_MLN_SAMPLE = (
+    '0.97\tRelEE("e1", "e3", "BEGINS")\n'
+    '0.81\tRelET("e2", "tmx0", "ENDED_BY")\n'
+    '0.40\tRelEE("e2", "e4", "AFTER")\n'
+    '0.66\tRelEE("e90", "e91", "IBEFORE")\n')
+
+
+def _mln_merge_stats(sf_dir: str):
+    """J5 driver query (rows-only: HashMap-ordered leftover routing is
+    not SQL): the inferred-TLINK merge applied over the cached edge
+    rows with a deterministic synthetic reasoner output for half the
+    documents (the reasoner binary is external; the file format is the
+    contract). Broadcast-small-side shape: the {doc: inferred} dict
+    rides the object store once, edge rows stream through map_batches;
+    the output is per-(pred, source) counts."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+    import ray.data as rd
+    from erex._env import remote_args
+    from erex.mln import merge_batch as mln_merge, parse_inferred_mln
+
+    ds = rd.read_parquet(_edges_dir(sf_dir)).filter(expr='kind == "edge"')
+
+    # the inferred side is keyed by doc_sha prefix — deterministic, no
+    # driver pass over the data needed; a real deployment would read
+    # the reasoner-output files here instead
+    ref = _ray.put(parse_inferred_mln(_MLN_SAMPLE))
+
+    # leftover inferred rows are emitted once PER DOCUMENT, so a doc's
+    # rows must be co-located: shard by doc_sha hash (64 shards, the
+    # _pair_agg pattern), merge per doc inside the shard group
+    def add_shard(batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+        sh = [int(s[:4], 16) % 64
+              for s in batch.column("doc_sha").to_pylist()]
+        return batch.append_column(
+            "mln_shard", pa.array(np.asarray(sh, dtype=np.int32)))
+
+    def shard_apply(g: "pd.DataFrame") -> "pd.DataFrame":
+        inf = _ray.get(ref)
+        counts: dict = {}
+        for sha, sub in g.groupby("doc_sha", observed=True):
+            inferred = inf if int(sha[:2], 16) < 128 else {}
+            rows = sub[["doc_sha", "subj", "obj", "pred",
+                        "pair_class"]].astype(str).to_dict("records")
+            merged = mln_merge(pa.Table.from_pylist(rows),
+                               {sha: inferred}, doc_col="doc_sha")
+            if "pred" not in merged.column_names:
+                continue        # precision_only dropped the whole doc
+            preds = merged.column("pred").to_pylist()
+            srcs = (merged.column("source").to_pylist()
+                    if "source" in merged.column_names
+                    else [None] * len(preds))
+            for p, s in zip(preds, srcs):
+                k = (p, s or "classifier")
+                counts[k] = counts.get(k, 0) + 1
+        ks = sorted(counts)
+        return pd.DataFrame({"pred": [k[0] for k in ks],
+                             "source": [k[1] for k in ks],
+                             "n": [counts[k] for k in ks]})
+
+    part = (ds.map_batches(add_shard, batch_format="pyarrow",
+                           **remote_args())
+            .groupby("mln_shard")
+            .map_groups(shard_apply, batch_format="pandas",
+                        **remote_args())
+            .to_pandas())
+    return (part.groupby(["pred", "source"], as_index=False)["n"].sum()
+            .sort_values(["pred", "source"]).reset_index(drop=True))
+
+
 def _catena_confusion_collapsed(sf_dir: str):
     """Confusion counts in the collapsed label space (M13)."""
     import pandas as pd
@@ -432,6 +560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catena_stage_counts": _catena_stage_counts,
         "catena_parse_stats": _catena_parse_stats,
         "timeml_to_columns_stats": _timeml_to_columns_stats,
+        "phrase_embed_feats": _phrase_embed_feats,
+        "mln_merge_stats": _mln_merge_stats,
         "catena_edges_dense": _catena_edges_dense,
         "catena_timeml": _catena_timeml,
         "catena_triples_tsv": _catena_triples_tsv,

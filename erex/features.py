@@ -158,7 +158,14 @@ def mate_main_verb(doc: Doc, e: Entity) -> bool:
 def _tid_entity_before_after(doc: Doc, e: Entity) -> tuple:
     s = doc.sentences[e.sent_id]
     arr = s.entity_arr
-    eidx = arr.index(e.eid)
+    try:
+        eidx = arr.index(e.eid)
+    except ValueError:
+        # corrupted input can re-open a sentence id later in the file,
+        # replacing the Sentence object that listed this entity (same
+        # guard as the rule modules; well-formed TXP never hits it —
+        # found by the corruption fuzzer)
+        return s.start_tok, s.end_tok
     if eidx == 0:
         before = s.start_tok
     else:
