@@ -192,3 +192,39 @@ def test_ann_ivf_recall(ray_session):
     for r in approx.itertuples(index=False):
         if (r.query_id, r.vec_id) in em:
             assert em[(r.query_id, r.vec_id)] == r.cos_micro
+
+
+def test_phrase_embed_feats_query(ray_session):
+    """F14 driver query: one row per document with >=2 events, three
+    deterministic micro-checksums; tokenChunk always embeds (no zero
+    branch) so its checksum is almost surely nonzero."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    q = m.queries()["phrase_embed_feats"]
+    df = q(SF)
+    assert list(df.columns) == ["doc_path", "subj", "obj",
+                                "tempmark_micro", "causmark_micro",
+                                "tokenchunk_micro"]
+    assert len(df) > 0
+    assert (df["tokenchunk_micro"] != 0).any()
+    assert df.equals(q(SF))    # deterministic
+
+
+def test_mln_merge_stats_query(ray_session):
+    """J5 driver query: per-(pred, source) counts; the synthetic
+    inferred side must produce mln-sourced rows, and the output must
+    be independent of batching (doc-hash sharding)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    q = m.queries()["mln_merge_stats"]
+    df = q(SF)
+    assert set(df.columns) == {"pred", "source", "n"}
+    assert (df["source"] == "mln").any()
+    assert (df["source"] == "classifier").any()
+    assert df.equals(q(SF))    # deterministic
