@@ -259,23 +259,32 @@ class MinHasher:
         self.n = n
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, bands, keys, nshs = [], [], [], []
-        for d, x in zip(t.column("doc_id").to_pylist(),
-                        t.column("text").to_pylist()):
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        nd = len(texts)
+        sigs = np.empty((nd, N_PERM), dtype=np.uint64)
+        nsh = np.empty(nd, dtype=np.int64)
+        for i, x in enumerate(texts):
             ss = shingle_set(x, self.n)
-            sig = _signature_from_set(ss)
-            for b in range(N_BANDS):
-                chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-                key = hashlib.md5(
-                    chunk.tobytes() + bytes([b])).hexdigest()[:16]
-                ids.append(d)
-                bands.append(b)
-                keys.append(key)
-                nshs.append(len(ss))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "bucket": pa.array(keys, pa.string()),
-                         "nsh": pa.array(nshs, pa.int64())})
+            sigs[i] = _signature_from_set(ss).astype(np.uint64)
+            nsh[i] = len(ss)
+        # 64-bit polynomial hash of each band's minima, vectorized over
+        # (doc, band) — same 64-bit collision budget as the previous
+        # truncated-md5 hex key, but no per-band Python/md5 calls and an
+        # 8-byte int rides the shuffle instead of a 16-char string.
+        # (The DuckDB oracle groups by the exact minima, so the bucket
+        # representation is internal.)
+        chunks = sigs.reshape(nd, N_BANDS, ROWS_PER_BAND)
+        key = np.zeros((nd, N_BANDS), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)       # odd -> invertible
+        for r in range(ROWS_PER_BAND):
+            key = key * mult + chunks[:, :, r]     # wraps mod 2^64
+        bands = np.tile(np.arange(N_BANDS, dtype=np.int32), nd)
+        return pa.table({"doc_id": pa.array(np.repeat(docs, N_BANDS)),
+                         "band": pa.array(bands),
+                         "bucket": pa.array(
+                             key.reshape(-1).view(np.int64)),
+                         "nsh": pa.array(np.repeat(nsh, N_BANDS))})
 
 
 def minhash_lsh_pairs(sf_dir: str, n: int = 3,
@@ -291,8 +300,9 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
     # shuffle but avoids per-tiny-group task overhead (32k band-buckets
     # -> 64 shards, each doing a vectorized pandas groupby locally)
     def add_shard(t: pa.Table) -> pa.Table:
-        sh = [int(b[:4], 16) % 64 for b in t.column("bucket").to_pylist()]
-        return t.append_column("shard", pa.array(sh, pa.int32()))
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        sh = (b & 63).astype(np.int32)
+        return t.append_column("shard", pa.array(sh))
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b, na, nb = [], [], [], []
