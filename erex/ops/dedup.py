@@ -426,11 +426,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                      dtype=np.uint8)
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # Hamming-verify INSIDE the bucket group so only true near-dups
-        # enter the cross-band dedup shuffle; the pairwise hamming is a
-        # vectorized byte-popcount over the XOR matrix (an
-        # exact-duplicate cluster of k docs makes C(k,2) pairs per band,
-        # which a Python pair loop cannot keep up with)
+        # Hamming-verify INSIDE the bucket group; the pairwise hamming
+        # is a vectorized byte-popcount over the XOR matrix (an
+        # exact-duplicate cluster of k docs makes C(k,2) pairs per
+        # band, which a Python pair loop cannot keep up with). Both
+        # full hashes are in hand, so each pair is emitted ONLY by its
+        # LOWEST matching band (the quarters of the XOR tell us every
+        # band the pair collides in) — cross-band duplicates never
+        # exist and the former pair-dedup exchange is gone.
         out_a, out_b, out_h = [], [], []
         for (_b, _k), sub in g.groupby(["band", "key"]):
             recs = sorted(set(zip(sub["doc_id"], sub["simhash"])))
@@ -443,25 +446,24 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             x = (hs[iu] ^ hs[ju]).view(np.uint64)
             ham = _POP8[x.view(np.uint8).reshape(len(x), 8)]\
                 .sum(axis=1).astype(np.int64)
-            keep = ham <= max_hamming
+            minband = np.full(len(x), 3, dtype=np.int64)
+            for b in (2, 1, 0):
+                q = (x >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+                minband[q == 0] = b
+            keep = (ham <= max_hamming) & (minband == _b)
             out_a.extend(int(v) for v in ids[iu[keep]])
             out_b.extend(int(v) for v in ids[ju[keep]])
             out_h.extend(int(v) for v in ham[keep])
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
                              "hamming": out_h})
 
-    # distributed dedup: duplicate (pair) rows from different bands
-    # carry the same hamming, so a per-shard drop_duplicates collapses
-    # them; only the final near-dup pairs reach the driver
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[
-            ["doc_a", "doc_b", "hamming"]]
-
-    cand = _pair_agg(
-        buckets.map_batches(add_shard, batch_format="pyarrow",
-                            **remote_args())
-        .groupby("shard")
-        .map_groups(shard_pairs, batch_format="pandas", **remote_args()),
-        pair_dedup)
+    # lowest-matching-band ownership makes the pair stream
+    # duplicate-free by construction; the final near-dup pairs (output
+    # scale) flow straight to the driver
+    cand = (buckets.map_batches(add_shard, batch_format="pyarrow",
+                                **remote_args())
+            .groupby("shard")
+            .map_groups(shard_pairs, batch_format="pandas",
+                        **remote_args()))
     return cand.to_pandas().sort_values(["doc_a", "doc_b"])\
         .reset_index(drop=True)
