@@ -318,8 +318,6 @@ def embedding_dup_pairs_lsh(sf_dir: str,
     broadcast matrix).  Exact cosine verification happens inside the
     band-bucket groups; duplicate hits from different bands collapse in
     a distributed groupby.  Same schema as embedding_dup_pairs."""
-    from ray.data.aggregate import Max as _Max
-
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
@@ -329,7 +327,14 @@ def embedding_dup_pairs_lsh(sf_dir: str,
         planes = np.random.RandomState(97531).normal(
             size=(_DUP_BANDS * _DUP_PLANES_PER_BAND, X.shape[1]))
         bits = (X @ planes.T) > 0                  # (n, 16)
-        out = {"band": [], "bucket": [], "vec_id": [], "embedding": []}
+        # the full 16-bit signature rides on every bucket row so the
+        # verify stage can decide pair ownership (lowest matching band)
+        # without recomputing plane signs — a near-zero plane dot could
+        # flip under a different BLAS blocking
+        sig = (bits * (1 << np.arange(_DUP_BANDS
+                                      * _DUP_PLANES_PER_BAND))).sum(axis=1)
+        out = {"band": [], "bucket": [], "vec_id": [], "embedding": [],
+               "sig": []}
         vids = t.column("vec_id").to_pylist()
         embs = t.column("embedding").to_pylist()
         for b in range(_DUP_BANDS):
@@ -340,24 +345,38 @@ def embedding_dup_pairs_lsh(sf_dir: str,
             out["bucket"].extend(int(k) for k in keys)
             out["vec_id"].extend(vids)
             out["embedding"].extend(embs)
+            out["sig"].extend(int(s) for s in sig)
         return pa.table({"band": pa.array(out["band"], pa.int32()),
                          "bucket": pa.array(out["bucket"], pa.int32()),
                          "vec_id": pa.array(out["vec_id"], pa.int64()),
-                         "embedding": pa.array(out["embedding"])})
+                         "embedding": pa.array(out["embedding"]),
+                         "sig": pa.array(out["sig"], pa.int32())})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # exact-cosine verify inside the bucket; each pair is emitted
+        # ONLY by its lowest matching band (nibbles of sig_a ^ sig_b),
+        # so the stream is duplicate-free and the former
+        # groupby(vec_a, vec_b).Max exchange is gone — cos_micro is
+        # identical from every band by construction
         rows = {"vec_a": [], "vec_b": [], "cos_micro": []}
         for (_b, _k), sub in g.groupby(["band", "bucket"]):
             sub = sub.drop_duplicates("vec_id").sort_values("vec_id")
             if len(sub) < 2:
                 continue
             ids = sub["vec_id"].to_numpy()
+            sigs = sub["sig"].to_numpy().astype(np.int64)
             X = _normalize(np.stack(sub["embedding"].to_numpy())
                            .astype(np.float64))
             sims = X @ X.T
             iu, ju = np.triu_indices(len(ids), k=1)
             cm = np.floor(sims[iu, ju] * 1_000_000 + 0.5).astype(np.int64)
-            keep = cm >= threshold_micro
+            x = sigs[iu] ^ sigs[ju]
+            minband = np.full(len(x), _DUP_BANDS - 1, dtype=np.int64)
+            for b in range(_DUP_BANDS - 2, -1, -1):
+                q = (x >> (_DUP_PLANES_PER_BAND * b)) \
+                    & ((1 << _DUP_PLANES_PER_BAND) - 1)
+                minband[q == 0] = b
+            keep = (cm >= threshold_micro) & (minband == _b)
             rows["vec_a"].extend(int(v) for v in ids[iu[keep]])
             rows["vec_b"].extend(int(v) for v in ids[ju[keep]])
             rows["cos_micro"].extend(int(v) for v in cm[keep])
@@ -373,9 +392,7 @@ def embedding_dup_pairs_lsh(sf_dir: str,
              .map_batches(add_shard, batch_format="pyarrow", **remote_args())
              .groupby("shard")
              .map_groups(bucket_pairs, batch_format="pandas",
-                         **remote_args())
-             .groupby(["vec_a", "vec_b"])
-             .aggregate(_Max("cos_micro", alias_name="cos_micro")))
+                         **remote_args()))
     df = out.to_pandas()
     if df.empty:
         return pd.DataFrame(columns=["vec_a", "vec_b", "cos_micro"])
