@@ -600,6 +600,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
+        "repetition_stats": text.repetition_stats,
+        "topk_ngrams": text.topk_ngrams,
+        "hash_sample": text.hash_sample,
+        "dedup_components": dedup.dedup_components,
         # multimodal plumbing
         "mm_image_meta": multimodal.image_meta,
         "mm_frame_sample": multimodal.frame_sample,
@@ -1205,5 +1209,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, f AS frame_idx
             FROM documents, UNNEST(range(0, 8 + doc_id % 32, 4)) AS t(f)
             ORDER BY doc_id, frame_idx
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            base AS (
+                SELECT doc_id, len(ws) AS n_tokens,
+                       len(list_distinct(ws)) AS n_distinct_tokens
+                FROM toks),
+            bg AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+                FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2),
+            bgc AS (SELECT doc_id, b, COUNT(*) AS c
+                    FROM bg GROUP BY doc_id, b),
+            tb AS (SELECT doc_id, MAX(c) AS topc FROM bgc GROUP BY doc_id)
+            SELECT base.doc_id, n_tokens, n_distinct_tokens,
+                   CAST(1000 * (n_tokens - n_distinct_tokens)
+                        // GREATEST(1, n_tokens) AS BIGINT)
+                       AS dup_token_milli,
+                   CAST(CASE WHEN n_tokens >= 2
+                        THEN 1000 * COALESCE(tb.topc, 0) // (n_tokens - 1)
+                        ELSE 0 END AS BIGINT) AS top_bigram_milli
+            FROM base LEFT JOIN tb ON tb.doc_id = base.doc_id
+            ORDER BY base.doc_id
+        """,
+        "topk_ngrams": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            bg AS (
+                SELECT ws[i] || ' ' || ws[i+1] AS ngram
+                FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2)
+            SELECT ngram, COUNT(*) AS cnt FROM bg GROUP BY ngram
+            ORDER BY cnt DESC, ngram LIMIT 20
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8)) AS UBIGINT) < 644245094
+            ORDER BY doc_id
+        """,
+        # component id = min doc_id reachable over the verified
+        # jaccard dup-pair graph (same pair CTE as dedup_ngram_jaccard;
+        # the recursive walk enumerates reachability, MIN collapses it)
+        "dedup_components": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 3
+                UNION
+                SELECT DISTINCT doc_id, array_to_string(ws, ' ')
+                FROM toks WHERE len(ws) < 3 AND len(ws) > 0),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+                SELECT da, db FROM inter
+                JOIN sizes sa ON sa.doc_id = da
+                JOIN sizes sb ON sb.doc_id = db
+                WHERE CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+                      >= 200),
+            edges AS (SELECT da AS u, db AS v FROM pairs
+                      UNION SELECT db, da FROM pairs),
+            walk(u, lab) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, w.lab FROM edges e JOIN walk w ON w.u = e.v),
+            comp AS (SELECT u AS doc_id, MIN(lab) AS component_id
+                     FROM walk GROUP BY u)
+            SELECT d.doc_id,
+                   COALESCE(c.component_id, d.doc_id) AS component_id
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
     }

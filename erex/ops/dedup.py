@@ -467,3 +467,121 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                         **remote_args()))
     return cand.to_pandas().sort_values(["doc_a", "doc_b"])\
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate connected components (dedup clustering)
+# ---------------------------------------------------------------------------
+def union_find_components(pairs: pd.DataFrame,
+                          max_pairs: int = 50_000_000) -> dict:
+    """Union-find over a verified dup-pair list -> {node: min node id of
+    its component}. Runs on the driver by design: dup pairs are the
+    OUTPUT of the LSH verify stage (a tiny fraction of corpus size), so
+    this is O(|pairs| alpha) on output-scale data — the same accepted
+    contract as the minhash verify's candidate collection. The guard
+    makes the contract explicit; past it, switch to cc_hash_min_labels
+    (the shuffle-based scale path, proven equivalent in tests)."""
+    if len(pairs) > max_pairs:
+        raise ValueError(
+            f"{len(pairs)} dup pairs exceeds the driver union-find "
+            f"contract ({max_pairs}); use cc_hash_min_labels")
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:      # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller id so the root IS the component min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in list(parent)}
+
+
+def cc_hash_min_labels(edges: pd.DataFrame,
+                       num_partitions: int = 8,
+                       max_iters: int = 64) -> pd.DataFrame:
+    """Distributed connected components by hash-min label propagation:
+    labels(node) <- min(labels(node), min over neighbors labels(u)),
+    iterated to fixpoint. Each round is one hash join (edges x labels)
+    plus one groupby-min — both hash-partitioned exchanges that scale
+    with edge count, never with corpus size. Convergence is detected
+    by the (monotone non-increasing) sum of labels going flat — an
+    O(1)-result aggregate instead of a diff join. Returns
+    (node, label=component min id) for every node with >= 1 edge."""
+    import ray.data as _rd
+    from ray.data.aggregate import Min, Sum
+
+    a = edges["doc_a"].astype("int64")
+    b = edges["doc_b"].astype("int64")
+    sym = pd.DataFrame({"u": pd.concat([a, b], ignore_index=True),
+                        "v": pd.concat([b, a], ignore_index=True)})
+    edges_ds = _rd.from_pandas(sym)
+
+    # initial labels: label(node) = min(node, min direct neighbor)
+    labels = (edges_ds.groupby("u").aggregate(Min("v", alias_name="label"))
+              .map_batches(_init_label, batch_format="pyarrow",
+                           **remote_args())
+              .select_columns(["node", "label"]).materialize())
+    prev = None
+    for _ in range(max_iters):
+        msgs = (edges_ds.join(labels.rename_columns({"node": "u"}),
+                              "inner", num_partitions, on=("u",))
+                .select_columns(["v", "label"])
+                .rename_columns({"v": "node"}))
+        labels = (labels.union(msgs).groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if total == prev:
+            break
+        prev = total
+    return labels.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def _init_label(t: pa.Table) -> pa.Table:
+    u = np.asarray(t.column("u").to_pylist(), dtype=np.int64)
+    m = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+    return pa.table({"node": pa.array(u, pa.int64()),
+                     "label": pa.array(np.minimum(u, m), pa.int64())})
+
+
+def dedup_components(sf_dir: str, n: int = 3, threshold_milli: int = 200,
+                     distributed: bool = False) -> pd.DataFrame:
+    """Near-duplicate clustering: every document labeled with its
+    connected-component id (min doc_id reachable) in the graph whose
+    edges are the verified n-gram-Jaccard dup pairs. The keep-one-per-
+    cluster decision of every production dedup pipeline is a trivial
+    filter over this table (keep iff doc_id == component_id).
+
+    Pair generation + verification are the fully distributed
+    ngram_jaccard_pairs pipeline; component labeling runs union-find
+    on the output-scale pair list (or the shuffle-based hash-min
+    iteration when distributed=True — identical output, tested);
+    the final assignment is a broadcast-map over the corpus, never a
+    shuffle."""
+    pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold_milli=threshold_milli)
+    if distributed and len(pairs):
+        lab = cc_hash_min_labels(pairs)
+        comp = dict(zip(lab["node"].astype(int), lab["label"].astype(int)))
+    else:
+        comp = union_find_components(pairs)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "component_id": pa.array(
+                             [comp.get(d, d) for d in ids], pa.int64())})
+
+    return ds.map_batches(attach, batch_format="pyarrow", **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -158,6 +158,98 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals per document:
+    (doc_id, n_tokens, n_distinct_tokens, dup_token_milli,
+    top_bigram_milli) where dup_token_milli is the fraction of token
+    occurrences that are repeats and top_bigram_milli the fraction of
+    bigram occurrences claimed by the single most frequent bigram —
+    the two strongest template/boilerplate detectors in published
+    pretraining-data quality stacks (cf. Gopher Rule filters). Integer
+    milli arithmetic for exact oracle compare; tokens are the dedup
+    family's lowercase [a-z0-9]+ runs."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+
+    def f(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        nt, nd, dupm, topm = [], [], [], []
+        for x in t.column("text").to_pylist():
+            ws = tok.findall(x.lower())
+            n = len(ws)
+            d = len(set(ws))
+            nt.append(n)
+            nd.append(d)
+            dupm.append(1000 * (n - d) // max(1, n))
+            if n >= 2:
+                c = Counter(zip(ws, ws[1:]))
+                topm.append(1000 * max(c.values()) // (n - 1))
+            else:
+                topm.append(0)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "n_distinct_tokens": pa.array(nd, pa.int64()),
+                         "dup_token_milli": pa.array(dupm, pa.int64()),
+                         "top_bigram_milli": pa.array(topm, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def topk_ngrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide top-k most frequent word bigrams — the vocabulary /
+    boilerplate census a pretraining pipeline runs before writing
+    filters. Shape for scale: each batch pre-aggregates its bigram
+    counts into a local Counter (the combiner), so the global
+    groupby(ngram).sum shuffle moves per-batch partial counts, not one
+    row per bigram occurrence. Ties at the cut break by ngram text."""
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    tok = re.compile(r"[a-z0-9]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            ws = tok.findall(x.lower())
+            c.update(a + " " + b for a, b in zip(ws, ws[1:]))
+        return pa.table({"ngram": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", **remote_args())
+             .groupby("ngram")
+             .aggregate(Sum("cnt", alias_name="cnt"))
+             .sort(["cnt", "ngram"], descending=[True, False])
+             .limit(k))
+    return out.to_pandas().reset_index(drop=True)
+
+
+# keep-threshold = floor(0.15 * 2^32): a document survives when the
+# first 8 hex digits of md5(str(doc_id)) fall below it
+SAMPLE_THRESHOLD_32 = 644245094
+
+
+def hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ~15% corpus sample: keep doc_id iff
+    int(md5(str(doc_id))[:8], 16) < floor(0.15 * 2^32). Hash-based
+    sampling (not random_shuffle + limit) is the scale pattern — a
+    pure stateless filter that needs no shuffle, is reproducible
+    across runs/machines, and composes with resumable partitioned
+    output."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                < SAMPLE_THRESHOLD_32 for d in ids]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 MOD = (1 << 61) - 1
 BASE = 1_000_003
 

@@ -228,3 +228,112 @@ def test_mln_merge_stats_query(ray_session):
     assert (df["source"] == "mln").any()
     assert (df["source"] == "classifier").any()
     assert df.equals(q(SF))    # deterministic
+
+
+def test_repetition_stats_matches_pandas(ray_session):
+    from erex.ops.text import repetition_stats
+    from collections import Counter
+    out = repetition_stats(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    for _, r in docs.sample(10, random_state=7).iterrows():
+        ws = tok.findall(r["text"].lower())
+        row = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert row["n_tokens"] == len(ws)
+        assert row["n_distinct_tokens"] == len(set(ws))
+        assert row["dup_token_milli"] == \
+            1000 * (len(ws) - len(set(ws))) // max(1, len(ws))
+        if len(ws) >= 2:
+            top = max(Counter(zip(ws, ws[1:])).values())
+            assert row["top_bigram_milli"] == 1000 * top // (len(ws) - 1)
+        else:
+            assert row["top_bigram_milli"] == 0
+
+
+def test_topk_ngrams_matches_serial_count(ray_session):
+    from erex.ops.text import topk_ngrams
+    from collections import Counter
+    out = topk_ngrams(SF, k=10)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    tok = re.compile(r"[a-z0-9]+")
+    c: Counter = Counter()
+    for x in docs["text"]:
+        ws = tok.findall(x.lower())
+        c.update(a + " " + b for a, b in zip(ws, ws[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(out["ngram"], out["cnt"]))
+    assert got == want
+
+
+def test_hash_sample_is_deterministic_rule(ray_session):
+    from erex.ops.text import hash_sample, SAMPLE_THRESHOLD_32
+    out = hash_sample(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    want = sorted(
+        int(d) for d in docs["doc_id"]
+        if int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+        < SAMPLE_THRESHOLD_32)
+    assert list(out["doc_id"]) == want
+    assert 0 < len(out) < len(docs)          # non-trivial sample
+    assert out.equals(hash_sample(SF))       # reproducible
+
+
+def _uf_reference(pairs, nodes):
+    # brute-force components by BFS for the test oracle
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    comp = {}
+    for n in nodes:
+        if n in comp:
+            continue
+        seen, stack = {n}, [n]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(seen)
+        for x in seen:
+            comp[x] = m
+    return comp
+
+
+def test_union_find_and_hash_min_agree_on_random_graphs(ray_session):
+    from erex.ops.dedup import union_find_components, cc_hash_min_labels
+    rng = np.random.RandomState(42)
+    for trial in range(3):
+        n_nodes = 40
+        edges = rng.randint(0, n_nodes, size=(30, 2))
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        a = np.minimum(edges[:, 0], edges[:, 1])
+        b = np.maximum(edges[:, 0], edges[:, 1])
+        pairs = pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates()
+        nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+        want = _uf_reference(list(zip(pairs["doc_a"], pairs["doc_b"])),
+                             nodes)
+        uf = union_find_components(pairs)
+        assert {n: uf.get(n, n) for n in nodes} == want
+        lab = cc_hash_min_labels(pairs, num_partitions=4)
+        got = dict(zip(lab["node"].astype(int), lab["label"].astype(int)))
+        assert got == want
+
+
+def test_union_find_pair_guard():
+    from erex.ops.dedup import union_find_components
+    pairs = pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
+    with pytest.raises(ValueError):
+        union_find_components(pairs, max_pairs=1)
+
+
+def test_dedup_components_distributed_matches_driver(ray_session):
+    from erex.ops.dedup import dedup_components
+    base = dedup_components(SF)
+    dist = dedup_components(SF, distributed=True)
+    assert base.equals(dist)
+    # every component id is a member of its own component (the min)
+    comp = dict(zip(base["doc_id"], base["component_id"]))
+    assert all(comp[c] == c for c in set(base["component_id"]))
