@@ -607,6 +607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "mm_image_meta": multimodal.image_meta,
         "mm_frame_sample": multimodal.frame_sample,
+        "mm_audio_chunks": multimodal.audio_chunks,
+        "q_range_join_orders": relational.q_range_join_orders,
+        "quality_filter": text.quality_filter,
     }
 
 
@@ -1209,6 +1212,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, f AS frame_idx
             FROM documents, UNNEST(range(0, 8 + doc_id % 32, 4)) AS t(f)
             ORDER BY doc_id, frame_idx
+        """,
+        # fake-audio metadata is a pure function of doc_id (the codec
+        # seam), so chunking is SQL-expressible end-to-end
+        "mm_audio_chunks": """
+            WITH meta AS (
+                SELECT doc_id,
+                       8000 + (doc_id % 3) * 4000 AS sr,
+                       (8000 + (doc_id % 3) * 4000) * (1 + doc_id % 5)
+                           + (doc_id * 37) % (8000 + (doc_id % 3) * 4000)
+                           AS total
+                FROM documents)
+            SELECT doc_id, s // sr AS chunk_idx, s AS start_sample,
+                   LEAST(sr, total - s) AS n_samples
+            FROM meta, UNNEST(range(0, total, sr)) AS t(s)
+            ORDER BY doc_id, chunk_idx
+        """,
+        "q_range_join_orders": """
+            SELECT e.event_id,
+                   (SELECT COUNT(*) FROM orders o
+                     WHERE o.o_custkey = e.user_id
+                       AND o.o_orderdate <= e.ts
+                       AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
+                       AS n_orders
+            FROM events e WHERE e.user_id < 50 ORDER BY e.event_id
+        """,
+        "quality_filter": """
+            WITH sig AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS n,
+                       len(list_filter(
+                           regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w IN ('the','a','an','and','or','of','to',
+                                      'in','is','it','that','for','on',
+                                      'with','as','at','by','from')))
+                           AS n_stop,
+                       len(list_distinct(regexp_extract_all(lower(text),
+                                                            '[a-z0-9]+')))
+                           AS n_dist
+                FROM documents),
+            r AS (
+                SELECT doc_id,
+                       CASE WHEN n < 20 THEN 'short'
+                            WHEN 1000 * n_stop // GREATEST(1, n) < 10
+                                THEN 'low_stopword'
+                            WHEN 1000 * (n - n_dist) // GREATEST(1, n)
+                                 > 900 THEN 'repetitive'
+                            ELSE '' END AS reject_reason
+                FROM sig)
+            SELECT doc_id, reject_reason = '' AS keep, reject_reason
+            FROM r ORDER BY doc_id
         """,
         "repetition_stats": """
             WITH toks AS (

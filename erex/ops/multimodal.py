@@ -110,3 +110,71 @@ def frame_sample(sf_dir: str, stride: int = 4) -> pd.DataFrame:
 
     return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
         .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+_AMAGIC = b"ERXA"
+_AHEADER = struct.Struct("<4sIQ")  # magic, sample_rate, n_samples
+
+
+def synth_audio_payload(doc_id: int) -> bytes:
+    """Deterministic fake audio blob: header + tiny seeded body.
+    sample_rate in {8k, 12k, 16k}; duration 1-6 s, non-integral."""
+    sr = 8000 + (doc_id % 3) * 4000
+    n = sr * (1 + doc_id % 5) + (doc_id * 37) % sr
+    rng = np.random.RandomState((doc_id * 31 + 7) % (2 ** 31))
+    return _AHEADER.pack(_AMAGIC, sr, n) + rng.bytes(64)
+
+
+class FakeAudioCodec:
+    """Actor-pool audio prober (REAL-CODEC SEAM: swap `probe` for
+    soundfile/ffprobe; the pipeline shape is unchanged)."""
+
+    def __init__(self):
+        self.header = _AHEADER
+
+    def probe(self, blob: bytes) -> tuple:
+        if len(blob) < self.header.size:
+            raise ValueError("truncated payload")
+        magic, sr, n = self.header.unpack_from(blob)
+        if magic != _AMAGIC:
+            raise ValueError("bad magic")
+        return sr, n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, chunks, starts, lens = [], [], [], []
+        for d, blob in zip(t.column("doc_id").to_pylist(),
+                           t.column("payload").to_pylist()):
+            sr, total = self.probe(blob)
+            for ci, start in enumerate(range(0, total, sr)):
+                ids.append(d)
+                chunks.append(ci)
+                starts.append(start)
+                lens.append(min(sr, total - start))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_idx": pa.array(chunks, pa.int64()),
+                         "start_sample": pa.array(starts, pa.int64()),
+                         "n_samples": pa.array(lens, pa.int64())})
+
+
+def audio_chunks(sf_dir: str) -> pd.DataFrame:
+    """documents -> binary audio payload -> actor-pool probe ->
+    1-second chunk windows (doc_id, chunk_idx, start_sample,
+    n_samples) — the segmentation step ahead of any batched audio
+    model. Chunk fan-out happens INSIDE the decode actor so payload
+    bytes never cross a second stage boundary."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "payload": pa.array(
+                             [synth_audio_payload(d) for d in ids],
+                             pa.binary())})
+
+    out = (ds.map_batches(attach, batch_format="pyarrow", batch_size=256,
+                          **remote_args())
+             .map_batches(FakeAudioCodec, batch_format="pyarrow",
+                          batch_size=256, concurrency=pool_size(),
+                          **remote_args()))
+    return out.to_pandas()\
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)

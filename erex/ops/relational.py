@@ -302,3 +302,45 @@ def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
                          columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pd.DataFrame({"event_type": vals})
+
+
+def q_range_join_orders(sf_dir: str, n_users: int = 50,
+                        window_days: int = 30) -> pd.DataFrame:
+    """Range join (the other join Ray Data lacks natively, next to
+    as-of): for each event of the first `n_users` users, how many
+    orders that customer placed in the trailing `window_days` window
+    (o_orderdate in [ts - window, ts]). Shape: broadcast the filtered
+    small side once (ray.put), hash-shard events by user, count per
+    shard with one vectorized merge — never an all-to-all exchange."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    orders = orders[orders["o_custkey"] < n_users]
+    oref = ray.put(orders)
+    win = pd.Timedelta(days=window_days)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("user_id"), pa.scalar(n_users)))
+        sh = pc.cast(pc.bit_wise_and(t.column("user_id"),
+                                     _N_SHARDS - 1), pa.int32())
+        return t.append_column("ushard", sh)
+
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(oref)
+        m = g.merge(od, left_on="user_id", right_on="o_custkey",
+                    how="left")
+        hit = (m["o_orderdate"].notna()
+               & (m["o_orderdate"] <= m["ts"])
+               & (m["o_orderdate"] >= m["ts"] - win))
+        n = hit.groupby(m["event_id"]).sum()
+        out = g[["event_id"]].drop_duplicates().copy()
+        out["n_orders"] = out["event_id"].map(n).fillna(0).astype("int64")
+        return out
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby("ushard")
+             .map_groups(count_shard, batch_format="pandas",
+                         **remote_args()))
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)

@@ -291,3 +291,48 @@ def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
         .sort_values("doc_id").reset_index(drop=True)
+
+
+# deterministic production-filter thresholds (integer milli units)
+QF_MIN_TOKENS = 20
+QF_MIN_STOPWORD_MILLI = 10
+QF_MAX_DUP_MILLI = 900
+
+
+def quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Composite keep/drop decision — the operator a pretraining
+    pipeline actually runs, composing the individual signals: reject
+    'short' (< QF_MIN_TOKENS tokens), then 'low_stopword'
+    (stopword_milli < QF_MIN_STOPWORD_MILLI; non-prose), then
+    'repetitive' (dup_token_milli > QF_MAX_DUP_MILLI; boilerplate).
+    First matching rule wins; one pruned-read map_batches computes all
+    signals per batch — composition happens inside the stage, not as
+    three dataset passes."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sw = frozenset(STOPWORDS)
+    tok = re.compile(r"[a-z0-9]+")
+
+    def f(t: pa.Table) -> pa.Table:
+        reasons, keeps = [], []
+        for x in t.column("text").to_pylist():
+            ws = tok.findall(x.lower())
+            n = len(ws)
+            stop_m = 1000 * sum(1 for w in ws if w in sw) // max(1, n)
+            dup_m = 1000 * (n - len(set(ws))) // max(1, n)
+            if n < QF_MIN_TOKENS:
+                r = "short"
+            elif stop_m < QF_MIN_STOPWORD_MILLI:
+                r = "low_stopword"
+            elif dup_m > QF_MAX_DUP_MILLI:
+                r = "repetitive"
+            else:
+                r = ""
+            reasons.append(r)
+            keeps.append(r == "")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "keep": pa.array(keeps, pa.bool_()),
+                         "reject_reason": pa.array(reasons, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)

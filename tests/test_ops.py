@@ -337,3 +337,56 @@ def test_dedup_components_distributed_matches_driver(ray_session):
     # every component id is a member of its own component (the min)
     comp = dict(zip(base["doc_id"], base["component_id"]))
     assert all(comp[c] == c for c in set(base["component_id"]))
+
+
+def test_audio_chunks_cover_payload_exactly(ray_session):
+    from erex.ops.multimodal import audio_chunks, FakeAudioCodec, \
+        synth_audio_payload
+    out = audio_chunks(SF)
+    codec = FakeAudioCodec()
+    for d in out["doc_id"].unique()[:10]:
+        sr, total = codec.probe(synth_audio_payload(int(d)))
+        sub = out[out["doc_id"] == d].sort_values("chunk_idx")
+        assert list(sub["chunk_idx"]) == list(range(len(sub)))
+        assert list(sub["start_sample"]) == [i * sr for i in range(len(sub))]
+        assert sub["n_samples"].sum() == total        # exact coverage
+        assert (sub["n_samples"].iloc[:-1] == sr).all()   # full chunks
+
+
+def test_range_join_matches_pandas(ray_session):
+    from erex.ops.relational import q_range_join_orders
+    out = q_range_join_orders(SF, n_users=50, window_days=30)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+    ev = ev[ev["user_id"] < 50]
+    win = pd.Timedelta(days=30)
+    for _, r in ev.sample(min(20, len(ev)), random_state=3).iterrows():
+        mine = od[(od["o_custkey"] == r["user_id"])
+                  & (od["o_orderdate"] <= r["ts"])
+                  & (od["o_orderdate"] >= r["ts"] - win)]
+        got = out[out["event_id"] == r["event_id"]]["n_orders"].iloc[0]
+        assert got == len(mine)
+    assert len(out) == len(ev)
+
+
+def test_quality_filter_composes_signals(ray_session):
+    from erex.ops.text import (quality_filter, stopword_ratio,
+                               repetition_stats, QF_MIN_TOKENS,
+                               QF_MIN_STOPWORD_MILLI, QF_MAX_DUP_MILLI)
+    qf = quality_filter(SF).set_index("doc_id")
+    sw = stopword_ratio(SF).set_index("doc_id")
+    rep = repetition_stats(SF).set_index("doc_id")
+    for d in qf.index[:50]:
+        n = rep.loc[d, "n_tokens"]
+        if n < QF_MIN_TOKENS:
+            want = "short"
+        elif sw.loc[d, "stopword_milli"] < QF_MIN_STOPWORD_MILLI:
+            want = "low_stopword"
+        elif rep.loc[d, "dup_token_milli"] > QF_MAX_DUP_MILLI:
+            want = "repetitive"
+        else:
+            want = ""
+        assert qf.loc[d, "reject_reason"] == want
+        assert qf.loc[d, "keep"] == (want == "")
