@@ -545,7 +545,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from erex.ops import dedup, multimodal, relational, similarity, text
+    from erex.ops import (dedup, multimodal, relational, similarity,
+                          sketch, text)
 
     return {
         # CATENA flagship (SURVEY.md §2/§3; rows-only)
@@ -608,6 +609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_meta": multimodal.image_meta,
         "mm_frame_sample": multimodal.frame_sample,
         "mm_audio_chunks": multimodal.audio_chunks,
+        "distinct_shingles": sketch.distinct_shingles,
+        "distinct_shingles_hll": sketch.distinct_shingles_hll,
+        "heavy_hitter_ngrams": sketch.heavy_hitter_ngrams,
         "q_range_join_orders": relational.q_range_join_orders,
         "quality_filter": text.quality_filter,
     }
@@ -1212,6 +1216,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, f AS frame_idx
             FROM documents, UNNEST(range(0, 8 + doc_id % 32, 4)) AS t(f)
             ORDER BY doc_id, frame_idx
+        """,
+        "distinct_shingles": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            sh AS (
+                SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 3)
+            SELECT COUNT(DISTINCT s) AS n_distinct FROM sh
+        """,
+        # full integer replica of the HLL sketch: same md5-derived
+        # 64-bit hash, bucket = top 10 bits, rho = first set bit of
+        # the 54-bit suffix, and the pure-integer raw estimator
+        # (erex/ops/sketch.py) — the sketch itself is hash-checked
+        "distinct_shingles_hll": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       AS s
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 3),
+            h AS (SELECT CAST(concat('0x', substr(md5(s), 1, 16))
+                              AS UBIGINT) AS h FROM sh),
+            reg AS (
+                SELECT CAST(h >> 54 AS BIGINT) AS bucket,
+                       CASE WHEN (h & ((CAST(1 AS UBIGINT) << 54) - 1)) = 0
+                            THEN 55
+                            ELSE strpos(lpad(bin(h &
+                                ((CAST(1 AS UBIGINT) << 54) - 1)),
+                                54, '0'), '1') END AS rho
+                FROM h),
+            mx AS (SELECT bucket, MAX(rho) AS r FROM reg GROUP BY bucket),
+            agg AS (SELECT COUNT(*) AS nz,
+                           SUM(CAST(1 AS HUGEINT) << (55 - r)) AS s_nz
+                    FROM mx)
+            SELECT CAST(1024 AS BIGINT) AS m,
+                   CAST(1024 - nz AS BIGINT) AS zero_buckets,
+                   CAST((CAST(72054 AS HUGEINT) * 1024 * 1024
+                         * (CAST(1 AS HUGEINT) << 55))
+                        // (100000 * (s_nz + (1024 - nz)
+                            * (CAST(1 AS HUGEINT) << 55))) AS BIGINT)
+                       AS est_distinct
+            FROM agg
+        """,
+        # full integer replica of the count-min sketch: same hash
+        # family ((a*h+b) mod p mod W), same cell sums, same min-over-
+        # rows estimate and total//600 threshold
+        "heavy_hitter_ngrams": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            bgo AS (
+                SELECT ws[i] || ' ' || ws[i+1] AS g
+                FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2),
+            cnt AS (SELECT g, COUNT(*) AS c FROM bgo GROUP BY g),
+            tot AS (SELECT SUM(c) AS total FROM cnt),
+            h AS (SELECT g, c,
+                         CAST(concat('0x', substr(md5(g), 1, 16))
+                              AS UBIGINT) % 2147483647 AS hv
+                  FROM cnt),
+            params AS (SELECT * FROM (VALUES
+                (0, 1000003, 12345), (1, 999983, 67891),
+                (2, 1299709, 3141592), (3, 15485863, 2718281))
+                AS p(i, a, b)),
+            cells AS (
+                SELECT h.g, h.c, p.i,
+                       CAST(((CAST(p.a AS UBIGINT) * hv + p.b)
+                             % 2147483647) % 8192 AS BIGINT) AS col
+                FROM h CROSS JOIN params p),
+            sk AS (SELECT i, col, SUM(c) AS s FROM cells GROUP BY i, col),
+            est AS (SELECT c2.g, MIN(sk.s) AS e
+                    FROM cells c2 JOIN sk
+                      ON sk.i = c2.i AND sk.col = c2.col
+                    GROUP BY c2.g)
+            SELECT g AS ngram, CAST(e AS BIGINT) AS est_count
+            FROM est, tot WHERE e >= GREATEST(1, total // 600)
+            ORDER BY est_count DESC, ngram
         """,
         # fake-audio metadata is a pure function of doc_id (the codec
         # seam), so chunking is SQL-expressible end-to-end

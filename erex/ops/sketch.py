@@ -1,0 +1,193 @@
+"""Sketch operators — the approximate, fixed-memory scale path for
+corpus statistics that would otherwise need an all-to-all exchange
+over every distinct value:
+
+- HyperLogLog distinct counting (register merge is a tiny
+  groupby().max over <= m rows, independent of corpus size), and
+- count-min-sketch heavy hitters (two streaming passes + one
+  constant-size sketch broadcast, never a full-vocabulary shuffle).
+
+Both are defined over md5-derived integer hashes and pure integer
+estimator arithmetic, so — unusually for sketches — their outputs are
+EXACTLY reproducible by a DuckDB oracle (__ray_entry__ registers full
+SQL replicas): the sketch math itself is hash-checked, not just
+bounded by a recall test.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from .._env import remote_args
+from .dedup import _h64
+
+_TOK = re.compile(r"[a-z0-9]+")
+
+# --- HyperLogLog parameters (m = 2^P registers) -------------------------
+HLL_P = 10
+HLL_M = 1 << HLL_P                 # 1024 registers
+_SUFFIX_BITS = 64 - HLL_P          # 54
+_SUFFIX_MASK = (1 << _SUFFIX_BITS) - 1
+_RHO_EMPTY = _SUFFIX_BITS + 1      # 55: suffix is all zeros
+# alpha_m = 0.7213 / (1 + 1.079/m) for m=1024, as an exact rational so
+# the estimate is integer-reproducible (no float in the estimator)
+_ALPHA_NUM = 72054
+_ALPHA_DEN = 100000
+
+
+def _shingles(text: str, n: int = 3):
+    ws = _TOK.findall(text.lower())
+    return (" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+
+
+def distinct_shingles(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Exact corpus-wide distinct 3-gram shingle count: per-batch
+    distinct explode -> groupby(shingle) -> group count. This is the
+    operator HLL replaces at scale — the groupby key cardinality IS
+    the answer, so the exchange grows with the vocabulary."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        seen = set()
+        for x in t.column("text").to_pylist():
+            seen.update(_shingles(x, n))
+        return pa.table({"shingle": pa.array(sorted(seen), pa.string())})
+
+    n_distinct = (ds.map_batches(explode, batch_format="pyarrow",
+                                 **remote_args())
+                  .groupby("shingle").count().count())
+    return pd.DataFrame({"n_distinct": pd.array([n_distinct],
+                                                dtype="int64")})
+
+
+def hll_register(value: str) -> tuple:
+    """(bucket, rho) for one value: bucket = top HLL_P hash bits, rho =
+    1-based position of the first set bit in the remaining suffix."""
+    h = _h64(value)
+    suffix = h & _SUFFIX_MASK
+    rho = _RHO_EMPTY if suffix == 0 else _SUFFIX_BITS - suffix.bit_length() + 1
+    return h >> _SUFFIX_BITS, rho
+
+
+def distinct_shingles_hll(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """HLL distinct-shingle estimate. Distributed shape: each batch
+    folds its shingles into <= m (bucket, rho) rows; one
+    groupby(bucket).max(rho) merges every batch's registers (<= m
+    groups regardless of corpus size); the m-row register table plus
+    the integer estimator produce (m, zero_buckets, est_distinct).
+    Register max-merge is associative/commutative, so the result is
+    independent of batching."""
+    from ray.data.aggregate import Max
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        reg: dict = {}
+        for x in t.column("text").to_pylist():
+            for s in _shingles(x, n):
+                b, r = hll_register(s)
+                if r > reg.get(b, 0):
+                    reg[b] = r
+        return pa.table({"bucket": pa.array(list(reg.keys()), pa.int64()),
+                         "rho": pa.array(list(reg.values()), pa.int64())})
+
+    merged = (ds.map_batches(fold, batch_format="pyarrow", **remote_args())
+              .groupby("bucket").aggregate(Max("rho", alias_name="rho"))
+              .to_pandas())
+    s_pow = _RHO_EMPTY
+    nz = len(merged)
+    total = int(sum(1 << (s_pow - int(r)) for r in merged["rho"])) \
+        + (HLL_M - nz) * (1 << s_pow)
+    est = (_ALPHA_NUM * HLL_M * HLL_M * (1 << s_pow)) // (_ALPHA_DEN * total)
+    return pd.DataFrame({"m": pd.array([HLL_M], dtype="int64"),
+                         "zero_buckets": pd.array([HLL_M - nz],
+                                                  dtype="int64"),
+                         "est_distinct": pd.array([est], dtype="int64")})
+
+
+# --- count-min sketch parameters ----------------------------------------
+CMS_D = 4
+CMS_W = 8192
+_CMS_P = 2147483647                       # 2^31 - 1
+CMS_A = (1000003, 999983, 1299709, 15485863)
+CMS_B = (12345, 67891, 3141592, 2718281)
+# heavy-hitter threshold = max(1, total_occurrences // HH_FRAC)
+HH_FRAC = 600
+
+
+def _cms_cols(value: str) -> list:
+    hv = _h64(value) % _CMS_P
+    return [((CMS_A[i] * hv + CMS_B[i]) % _CMS_P) % CMS_W
+            for i in range(CMS_D)]
+
+
+def heavy_hitter_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Heavy-hitter bigrams via count-min sketch, the fixed-memory
+    alternative to topk_ngrams' full-vocabulary groupby. Pass 1: each
+    batch folds its bigram counts into sketch cells (<= D*W rows per
+    batch); groupby(cell).sum merges them into ONE constant-size
+    sketch, collected driver-side (32k rows however big the corpus).
+    Pass 2: the merged sketch is broadcast back; each batch estimates
+    its distinct bigrams (min over the D hashed cells — the classic
+    overestimate-only bound) and emits those above threshold
+    T = max(1, total // HH_FRAC). Estimates are a pure function of the
+    merged sketch, so duplicates across batches are identical rows and
+    the final dedup is output-scale. Deterministic under any batching;
+    exact SQL replica registered in __ray_entry__."""
+    import ray
+    from ray.data.aggregate import Sum
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["text"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            ws = _TOK.findall(x.lower())
+            c.update(a + " " + b for a, b in zip(ws, ws[1:]))
+        cells: dict = {}
+        for g, k in c.items():
+            for i, col in enumerate(_cms_cols(g)):
+                cell = i * CMS_W + col
+                cells[cell] = cells.get(cell, 0) + k
+        return pa.table({"cell": pa.array(list(cells.keys()), pa.int64()),
+                         "cnt": pa.array(list(cells.values()), pa.int64())})
+
+    sk_rows = (ds.map_batches(fold, batch_format="pyarrow", **remote_args())
+               .groupby("cell").aggregate(Sum("cnt", alias_name="cnt"))
+               .to_pandas())
+    sketch = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    sketch[sk_rows["cell"].to_numpy()] = sk_rows["cnt"].to_numpy()
+    # every occurrence lands once in every row: row 0's sum = total
+    total = int(sketch[:CMS_W].sum())
+    threshold = max(1, total // HH_FRAC)
+    sk_ref = ray.put(sketch)
+
+    def probe(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        sk = _ray.get(sk_ref)
+        seen = set()
+        for x in t.column("text").to_pylist():
+            ws = _TOK.findall(x.lower())
+            seen.update(a + " " + b for a, b in zip(ws, ws[1:]))
+        out_g, out_e = [], []
+        for g in seen:
+            est = min(int(sk[i * CMS_W + col])
+                      for i, col in enumerate(_cms_cols(g)))
+            if est >= threshold:
+                out_g.append(g)
+                out_e.append(est)
+        return pa.table({"ngram": pa.array(out_g, pa.string()),
+                         "est_count": pa.array(out_e, pa.int64())})
+
+    cand = rd.read_parquet(path, columns=["text"])\
+        .map_batches(probe, batch_format="pyarrow", **remote_args())\
+        .to_pandas()
+    return cand.drop_duplicates()\
+        .sort_values(["est_count", "ngram"], ascending=[False, True])\
+        .reset_index(drop=True)

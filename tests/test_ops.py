@@ -390,3 +390,37 @@ def test_quality_filter_composes_signals(ray_session):
             want = ""
         assert qf.loc[d, "reject_reason"] == want
         assert qf.loc[d, "keep"] == (want == "")
+
+
+def test_hll_estimate_close_to_exact(ray_session):
+    from erex.ops.sketch import distinct_shingles, distinct_shingles_hll
+    exact = int(distinct_shingles(SF)["n_distinct"].iloc[0])
+    hll = distinct_shingles_hll(SF)
+    est = int(hll["est_distinct"].iloc[0])
+    assert exact > 100                      # corpus is non-degenerate
+    # raw HLL with m=1024: ~3.2% typical error; allow 12%
+    assert abs(est - exact) / exact < 0.12
+    assert hll.equals(distinct_shingles_hll(SF))   # deterministic
+
+
+def test_cms_heavy_hitters_overestimate_and_cover(ray_session):
+    from erex.ops.sketch import heavy_hitter_ngrams, HH_FRAC
+    from collections import Counter
+    out = heavy_hitter_ngrams(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    tok = re.compile(r"[a-z0-9]+")
+    c: Counter = Counter()
+    for x in docs["text"]:
+        ws = tok.findall(x.lower())
+        c.update(a + " " + b for a, b in zip(ws, ws[1:]))
+    total = sum(c.values())
+    threshold = max(1, total // HH_FRAC)
+    got = dict(zip(out["ngram"], out["est_count"]))
+    # CMS never underestimates, so every TRUE heavy hitter is found
+    for g, k in c.items():
+        if k >= threshold:
+            assert g in got and got[g] >= k
+    # and every reported estimate bounds the true count from above
+    for g, e in got.items():
+        assert e >= c[g]
+    assert out.equals(heavy_hitter_ngrams(SF))     # deterministic
