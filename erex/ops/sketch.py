@@ -188,6 +188,11 @@ def heavy_hitter_ngrams(sf_dir: str) -> pd.DataFrame:
     cand = rd.read_parquet(path, columns=["text"])\
         .map_batches(probe, batch_format="pyarrow", **remote_args())\
         .to_pandas()
+    if cand.empty:
+        # no bigram clears the threshold (a legitimate outcome on a
+        # flat distribution) — keep the schema for the oracle compare
+        return pd.DataFrame({"ngram": pd.Series([], dtype=object),
+                             "est_count": pd.Series([], dtype="int64")})
     return cand.drop_duplicates()\
         .sort_values(["est_count", "ngram"], ascending=[False, True])\
         .reset_index(drop=True)

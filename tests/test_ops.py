@@ -424,3 +424,11 @@ def test_cms_heavy_hitters_overestimate_and_cover(ray_session):
     for g, e in got.items():
         assert e >= c[g]
     assert out.equals(heavy_hitter_ngrams(SF))     # deterministic
+
+
+def test_cms_empty_result_keeps_schema(ray_session, monkeypatch):
+    import erex.ops.sketch as sk
+    monkeypatch.setattr(sk, "HH_FRAC", 1)   # threshold = total: nothing passes
+    out = sk.heavy_hitter_ngrams(SF)
+    assert len(out) == 0
+    assert list(out.columns) == ["ngram", "est_count"]
