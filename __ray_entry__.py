@@ -545,8 +545,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from erex.ops import (dedup, multimodal, relational, similarity,
-                          sketch, text)
+    from erex.ops import (dedup, graph, multimodal, relational,
+                          similarity, sketch, text)
 
     return {
         # CATENA flagship (SURVEY.md §2/§3; rows-only)
@@ -609,6 +609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_meta": multimodal.image_meta,
         "mm_frame_sample": multimodal.frame_sample,
         "mm_audio_chunks": multimodal.audio_chunks,
+        "copurchase_degree": graph.copurchase_degree,
+        "copurchase_pagerank": graph.copurchase_pagerank,
         "distinct_shingles": sketch.distinct_shingles,
         "distinct_shingles_hll": sketch.distinct_shingles_hll,
         "heavy_hitter_ngrams": sketch.heavy_hitter_ngrams,
@@ -697,6 +699,37 @@ def _ann_lsh_sql() -> str:
         SELECT qid AS query_id, rn AS rank, vid AS vec_id, cm AS cos_micro
         FROM r WHERE rn <= 5 ORDER BY query_id, rank
     """
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Exact replica of erex/ops/graph.py::copurchase_pagerank: the
+    fixed-point integer update unrolled into one CTE per iteration
+    (recursive CTEs cannot aggregate in the recursive term)."""
+    pre = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nodes AS (SELECT DISTINCT l_partkey AS part FROM lineitem),
+    e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS p, COUNT(*) AS d FROM e GROUP BY u),
+    pr0 AS (SELECT part, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    pr{k} AS (
+        SELECT n.part,
+               CAST(150000 + 850000
+                    * COALESCE(SUM(pr{k-1}.r // deg.d), 0)
+                    // 1000000 AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN e ON e.v = n.part
+        LEFT JOIN pr{k-1} ON pr{k-1}.part = e.u
+        LEFT JOIN deg ON deg.p = e.u
+        GROUP BY n.part)""")
+    return pre + "".join(steps) + f"""
+    SELECT part, r AS rank_micro FROM pr{iters} ORDER BY part"""
 
 
 def _minhash_sql() -> str:
@@ -1217,6 +1250,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, UNNEST(range(0, 8 + doc_id % 32, 4)) AS t(f)
             ORDER BY doc_id, frame_idx
         """,
+        "copurchase_degree": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                   FROM li a JOIN li b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey),
+            e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)
+            SELECT u AS part, COUNT(*) AS degree FROM e
+            GROUP BY u ORDER BY part
+        """,
+        "copurchase_pagerank": _pagerank_sql(),
         "distinct_shingles": """
             WITH toks AS (
                 SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws

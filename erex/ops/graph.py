@@ -1,0 +1,226 @@
+"""Graph operators over the TPC-H-ish tables — the knowledge-graph
+side of the engine exercised on a natural graph: parts connected when
+they co-occur in an order (`lineitem` co-purchase).
+
+PageRank is defined in pure integer fixed-point arithmetic (micro
+units, floor divisions, fixed iteration count), so the iterative
+algorithm — normally the textbook example of a non-SQL-expressible
+operator — gets an exact DuckDB oracle (an unrolled-CTE replica in
+__ray_entry__).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .._env import remote_args
+
+_N_SHARDS = 64
+
+PR_DAMP_MICRO = 850_000          # d = 0.85
+PR_BASE_MICRO = 150_000          # 1 - d
+PR_INIT_MICRO = 1_000_000        # r_0 = 1.0
+PR_ITERS = 5
+
+
+def _copurchase_edges(sf_dir: str) -> "rd.Dataset":
+    """Distinct undirected co-purchase pairs (u < v): shard orders by
+    key hash, form per-order part pairs inside one vectorized pandas
+    pass per shard (orders are small, bounded groups — the per-group
+    map_groups pathology does not apply to the SHARD groups), then
+    shard-local distinct (same pattern as dedup._pair_agg)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        sh = pc.cast(pc.bit_wise_and(t.column("l_orderkey"),
+                                     _N_SHARDS - 1), pa.int32())
+        return t.append_column("oshard", sh)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v = [], []
+        for _o, parts in g.groupby("l_orderkey")["l_partkey"]:
+            ps = sorted(set(parts))
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    out_u.append(ps[i])
+                    out_v.append(ps[j])
+        df = pd.DataFrame({"u": pd.Series(out_u, dtype="int64"),
+                           "v": pd.Series(out_v, dtype="int64")})
+        # orders sharing a pair usually land in different order-shards,
+        # so dedup locally and once more by pair shard below
+        return df.drop_duplicates()
+
+    def pair_shard(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("u").to_pylist(), dtype=np.int64)
+        b = np.asarray(t.column("v").to_pylist(), dtype=np.int64)
+        sh = ((a * 1_000_003 + b) % _N_SHARDS).astype(np.int32)
+        return t.append_column("pshard", pa.array(sh))
+
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["u", "v"]].drop_duplicates()
+
+    # shard-then-local dedup: a global groupby((u,v)) would make one
+    # group per edge (the tiny-group pathology); the coarse pair-hash
+    # shard co-locates every copy of an edge for one bulk
+    # drop_duplicates per shard
+    return (ds.map_batches(shard, batch_format="pyarrow", **remote_args())
+            .groupby("oshard")
+            .map_groups(pairs, batch_format="pandas", **remote_args())
+            .map_batches(pair_shard, batch_format="pyarrow",
+                         **remote_args())
+            .groupby("pshard")
+            .map_groups(dedup_shard, batch_format="pandas",
+                        **remote_args()))
+
+
+def copurchase_degree(sf_dir: str) -> pd.DataFrame:
+    """(part, degree) over the distinct co-purchase graph — the edge
+    builder exercised standalone."""
+    from ray.data.aggregate import Count
+    e = _copurchase_edges(sf_dir)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({"p": pa.concat_arrays(
+            [t.column("u").combine_chunks(),
+             t.column("v").combine_chunks()])})
+
+    deg = (e.map_batches(both_dirs, batch_format="pyarrow",
+                         **remote_args())
+           .groupby("p").aggregate(Count(alias_name="degree")))
+    return deg.to_pandas().rename(columns={"p": "part"})\
+        .sort_values("part").reset_index(drop=True)
+
+
+PR_BROADCAST_MAX_NODES = 5_000_000
+
+
+def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS,
+                        mode: str = "auto") -> pd.DataFrame:
+    """Distributed PageRank over the co-purchase graph. Update rule in
+    integer micro units (identical in the SQL replica):
+
+        r_{t+1}(v) = 150000 + 850000 * sum_u(r_t(u) // deg(u)) // 1000000
+
+    over the symmetrized edge list; isolated parts receive the base
+    rank. Two execution modes with identical output (tested):
+
+    - 'broadcast' (auto below PR_BROADCAST_MAX_NODES): rank state is a
+      node-sized vector broadcast per round (ray.put); edges stream
+      through one map_batches + one groupby-sum per iteration. The
+      standard power-iteration layout while ranks fit on one node —
+      one exchange per round.
+    - 'join' (auto above the threshold): rank state stays a node-keyed
+      Dataset; per round one hash join (edges x ranks) + one
+      groupby-sum, the same exchange shape as cc_hash_min_labels —
+      nothing node-sized ever lands on the driver."""
+    from ray.data.aggregate import Count, Sum
+    num_partitions = 8
+    e0 = _copurchase_edges(sf_dir).materialize()
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([u, v]),
+                         "dst": pa.concat_arrays([v, u])})
+
+    edges = e0.map_batches(symmetrize, batch_format="pyarrow",
+                           **remote_args()).materialize()
+    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    # (src, dst, deg_src) joined ONCE before the loop
+    e_deg = edges.join(deg, "inner", num_partitions,
+                       on=("src",)).materialize()
+
+    nodes = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey"])
+             .groupby("l_partkey").aggregate(Count(alias_name="_c"))
+             .select_columns(["l_partkey"])
+             .rename_columns({"l_partkey": "part"}).materialize())
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"part": t.column("part"),
+                         "rank_micro": pa.array([PR_INIT_MICRO] * n,
+                                                pa.int64())})
+
+    if mode == "auto":
+        mode = "broadcast" if nodes.count() <= PR_BROADCAST_MAX_NODES \
+            else "join"
+    if mode == "broadcast":
+        return _pagerank_broadcast(e_deg, nodes, iters)
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow",
+                              **remote_args()).materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = np.asarray(t.column("rank_micro").to_pylist(), dtype=np.int64)
+        d = np.asarray(t.column("deg").to_pylist(), dtype=np.int64)
+        return pa.table({"part": t.column("dst"),
+                         "c": pa.array(r // d, pa.int64())})
+
+    def apply_rule(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_pylist()
+        r = [PR_BASE_MICRO
+             + PR_DAMP_MICRO * (int(x) if x is not None else 0)
+             // PR_INIT_MICRO for x in s]
+        return pa.table({"part": t.column("part"),
+                         "rank_micro": pa.array(r, pa.int64())})
+
+    for _ in range(iters):
+        sums = (e_deg.join(ranks.rename_columns({"part": "src"}),
+                           "inner", num_partitions, on=("src",))
+                .map_batches(contrib, batch_format="pyarrow",
+                             **remote_args())
+                .groupby("part").aggregate(Sum("c", alias_name="s")))
+        ranks = (nodes.join(sums, "left_outer", num_partitions,
+                            on=("part",))
+                 .map_batches(apply_rule, batch_format="pyarrow",
+                              **remote_args())
+                 .materialize())
+
+    return ranks.to_pandas().sort_values("part").reset_index(drop=True)
+
+
+def _pagerank_broadcast(e_deg: "rd.Dataset", nodes: "rd.Dataset",
+                        iters: int) -> pd.DataFrame:
+    """Broadcast-state power iteration: ranks live in a node-indexed
+    dict shipped once per round via ray.put; the (src, dst, deg)
+    edge dataset streams through one vectorized map_batches + one
+    groupby(part).sum per round."""
+    import ray
+    from ray.data.aggregate import Sum
+    part_ids = sorted(r["part"] for r in nodes.take_all())
+    ranks = {p: PR_INIT_MICRO for p in part_ids}
+
+    for _ in range(iters):
+        rref = ray.put(ranks)
+
+        def contrib(t: pa.Table, _r=rref) -> pa.Table:
+            import ray as _ray
+            rk = _ray.get(_r)
+            src = t.column("src").to_pylist()
+            dst = t.column("dst").to_pylist()
+            deg = t.column("deg").to_pylist()
+            return pa.table({"part": pa.array(dst, pa.int64()),
+                             "c": pa.array(
+                                 [rk[s] // d for s, d in zip(src, deg)],
+                                 pa.int64())})
+
+        sums = (e_deg.map_batches(contrib, batch_format="pyarrow",
+                                  **remote_args())
+                .groupby("part").aggregate(Sum("c", alias_name="s"))
+                .to_pandas())
+        got = dict(zip(sums["part"].astype(int), sums["s"].astype(int)))
+        ranks = {p: PR_BASE_MICRO
+                 + PR_DAMP_MICRO * got.get(p, 0) // PR_INIT_MICRO
+                 for p in part_ids}
+
+    return pd.DataFrame({"part": pd.Series(part_ids, dtype="int64"),
+                         "rank_micro": pd.Series(
+                             [ranks[p] for p in part_ids],
+                             dtype="int64")})

@@ -432,3 +432,31 @@ def test_cms_empty_result_keeps_schema(ray_session, monkeypatch):
     out = sk.heavy_hitter_ngrams(SF)
     assert len(out) == 0
     assert list(out.columns) == ["ngram", "est_count"]
+
+
+def test_copurchase_degree_matches_pandas(ray_session):
+    from erex.ops.graph import copurchase_degree
+    out = copurchase_degree(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    adj = {}
+    for _o, parts in li.groupby("l_orderkey")["l_partkey"]:
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj.setdefault(ps[i], set()).add(ps[j])
+                adj.setdefault(ps[j], set()).add(ps[i])
+    want = {p: len(ns) for p, ns in adj.items()}
+    got = dict(zip(out["part"].astype(int), out["degree"].astype(int)))
+    assert got == want
+
+
+def test_copurchase_pagerank_modes_agree(ray_session):
+    from erex.ops.graph import copurchase_pagerank
+    bc = copurchase_pagerank(SF, mode="broadcast")
+    jn = copurchase_pagerank(SF, mode="join")
+    assert bc.equals(jn)
+    # the rule gives every node at least the base rank, and a
+    # well-connected node more than an isolated one
+    assert (bc["rank_micro"] >= 150_000).all()
+    assert bc["rank_micro"].max() > 150_000
