@@ -131,10 +131,6 @@ def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS,
 
     edges = e0.map_batches(symmetrize, batch_format="pyarrow",
                            **remote_args()).materialize()
-    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
-    # (src, dst, deg_src) joined ONCE before the loop
-    e_deg = edges.join(deg, "inner", num_partitions,
-                       on=("src",)).materialize()
 
     nodes = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                              columns=["l_partkey"])
@@ -152,7 +148,14 @@ def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS,
         mode = "broadcast" if nodes.count() <= PR_BROADCAST_MAX_NODES \
             else "join"
     if mode == "broadcast":
-        return _pagerank_broadcast(e_deg, nodes, iters)
+        # degree is node-sized too — broadcast it with the ranks
+        # instead of joining it onto every edge
+        return _pagerank_broadcast(edges, nodes, iters)
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    # (src, dst, deg_src) joined ONCE before the loop
+    e_deg = edges.join(deg, "inner", num_partitions,
+                       on=("src",)).materialize()
 
     ranks = nodes.map_batches(init_rank, batch_format="pyarrow",
                               **remote_args()).materialize()
@@ -186,41 +189,72 @@ def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS,
     return ranks.to_pandas().sort_values("part").reset_index(drop=True)
 
 
-def _pagerank_broadcast(e_deg: "rd.Dataset", nodes: "rd.Dataset",
+def _pagerank_broadcast(edges: "rd.Dataset", nodes: "rd.Dataset",
                         iters: int) -> pd.DataFrame:
-    """Broadcast-state power iteration: ranks live in a node-indexed
-    dict shipped once per round via ray.put; the (src, dst, deg)
-    edge dataset streams through one vectorized map_batches + one
-    groupby(part).sum per round."""
+    """Broadcast-state power iteration: ranks AND degrees live in
+    node-indexed vectors shipped via ray.put (degrees once, ranks once
+    per round); the (src, dst) edge dataset streams through one
+    vectorized map_batches + one node-bounded groupby(part).sum per
+    round."""
     import ray
     from ray.data.aggregate import Sum
-    part_ids = sorted(r["part"] for r in nodes.take_all())
-    ranks = {p: PR_INIT_MICRO for p in part_ids}
+    part_ids = np.array(sorted(r["part"] for r in nodes.take_all()),
+                        dtype=np.int64)
+    ids_ref = ray.put(part_ids)           # shipped once, reused per round
+
+    # node-sized degree vector from per-batch partial counts — no join
+    def deg_partial(t: pa.Table, _ids=ids_ref) -> pa.Table:
+        import ray as _ray
+        ids = _ray.get(_ids)
+        pos = np.searchsorted(ids, t.column("src").to_numpy())
+        acc = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(acc, pos, 1)
+        nz = np.nonzero(acc)[0]
+        return pa.table({"part": pa.array(ids[nz], pa.int64()),
+                         "d": pa.array(acc[nz], pa.int64())})
+
+    dsum = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                              **remote_args())
+            .groupby("part").aggregate(Sum("d", alias_name="d"))
+            .to_pandas())
+    deg_arr = np.zeros(len(part_ids), dtype=np.int64)
+    deg_arr[np.searchsorted(part_ids, dsum["part"].to_numpy())] = \
+        dsum["d"].to_numpy()
+    deg_arr[deg_arr == 0] = 1             # isolated nodes never looked up
+    deg_ref = ray.put(deg_arr)
+    ranks = np.full(len(part_ids), PR_INIT_MICRO, dtype=np.int64)
 
     for _ in range(iters):
         rref = ray.put(ranks)
 
-        def contrib(t: pa.Table, _r=rref) -> pa.Table:
+        def contrib(t: pa.Table, _r=rref, _ids=ids_ref,
+                    _d=deg_ref) -> pa.Table:
             import ray as _ray
             rk = _ray.get(_r)
-            src = t.column("src").to_pylist()
-            dst = t.column("dst").to_pylist()
-            deg = t.column("deg").to_pylist()
-            return pa.table({"part": pa.array(dst, pa.int64()),
-                             "c": pa.array(
-                                 [rk[s] // d for s, d in zip(src, deg)],
-                                 pa.int64())})
+            ids = _ray.get(_ids)
+            deg = _ray.get(_d)
+            src = t.column("src").to_numpy()
+            dst = t.column("dst").to_numpy()
+            spos = np.searchsorted(ids, src)
+            c = rk[spos] // deg[spos]
+            # partial combine before the exchange: many edges share a
+            # destination, so the groupby should move node-bounded
+            # partial sums, not one row per edge (exact int64 adds)
+            pos = np.searchsorted(ids, dst)
+            acc = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(acc, pos, c)
+            nz = np.nonzero(acc)[0]
+            return pa.table({"part": pa.array(ids[nz], pa.int64()),
+                             "c": pa.array(acc[nz], pa.int64())})
 
-        sums = (e_deg.map_batches(contrib, batch_format="pyarrow",
+        sums = (edges.map_batches(contrib, batch_format="pyarrow",
                                   **remote_args())
                 .groupby("part").aggregate(Sum("c", alias_name="s"))
                 .to_pandas())
-        got = dict(zip(sums["part"].astype(int), sums["s"].astype(int)))
-        ranks = {p: PR_BASE_MICRO
-                 + PR_DAMP_MICRO * got.get(p, 0) // PR_INIT_MICRO
-                 for p in part_ids}
+        s = np.zeros(len(part_ids), dtype=np.int64)
+        pos = np.searchsorted(part_ids, sums["part"].to_numpy())
+        s[pos] = sums["s"].to_numpy()
+        ranks = PR_BASE_MICRO + PR_DAMP_MICRO * s // PR_INIT_MICRO
 
     return pd.DataFrame({"part": pd.Series(part_ids, dtype="int64"),
-                         "rank_micro": pd.Series(
-                             [ranks[p] for p in part_ids],
-                             dtype="int64")})
+                         "rank_micro": pd.Series(ranks, dtype="int64")})
