@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_chunks": multimodal.audio_chunks,
         "copurchase_degree": graph.copurchase_degree,
         "copurchase_pagerank": graph.copurchase_pagerank,
+        "copurchase_triangles": graph.copurchase_triangles,
         "distinct_shingles": sketch.distinct_shingles,
         "distinct_shingles_hll": sketch.distinct_shingles_hll,
         "heavy_hitter_ngrams": sketch.heavy_hitter_ngrams,
@@ -1262,6 +1263,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY u ORDER BY part
         """,
         "copurchase_pagerank": _pagerank_sql(),
+        # the engine orients by degree (one wedge per triangle at its
+        # lowest-rank corner); the count is orientation-invariant, so
+        # the oracle uses the simpler id-ordered 3-way self-join
+        "copurchase_triangles": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                   FROM li a JOIN li b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey)
+            SELECT COUNT(*) AS n_triangles
+            FROM e0 a
+            JOIN e0 b ON b.u = a.v
+            JOIN e0 c ON c.u = a.u AND c.v = b.v
+        """,
         "distinct_shingles": """
             WITH toks AS (
                 SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws

@@ -258,3 +258,99 @@ def _pagerank_broadcast(edges: "rd.Dataset", nodes: "rd.Dataset",
 
     return pd.DataFrame({"part": pd.Series(part_ids, dtype="int64"),
                          "rank_micro": pd.Series(ranks, dtype="int64")})
+
+
+def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+    """Global triangle count over the co-purchase graph by
+    degree-ordered orientation: orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher, so each node's
+    out-degree is O(sqrt(E)) and each triangle has exactly ONE wedge
+    (two out-edges at its lowest-rank corner). Wedge pairs are
+    generated per source with the out-lists co-located by a coarse
+    source shard, pre-combined into (v, w, multiplicity) rows, and
+    hash-joined against the oriented edge set — never an edge-set
+    broadcast. The count is orientation-invariant, so the SQL oracle
+    uses the simpler id-ordered 3-way self-join."""
+    import ray
+    from ray.data.aggregate import Sum
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    # node-sized degree vector from per-batch partials (both endpoints)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter(t.column("u").to_pylist())
+        c.update(t.column("v").to_pylist())
+        return pa.table({"part": pa.array(list(c.keys()), pa.int64()),
+                         "d": pa.array(list(c.values()), pa.int64())})
+
+    dsum = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                              **remote_args())
+            .groupby("part").aggregate(Sum("d", alias_name="d"))
+            .to_pandas())
+    ids = dsum["part"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    degs = dsum["d"].to_numpy(dtype=np.int64)[order]
+    ids_ref = ray.put(ids)
+    deg_ref = ray.put(degs)
+
+    def rank_key(deg: np.ndarray, node: np.ndarray) -> np.ndarray:
+        # total order: degree first, node id as tie-break (node ids
+        # fit far below 2^32 in these tables)
+        return deg * (1 << 32) + node
+
+    def orient(t: pa.Table, _ids=ids_ref, _deg=deg_ref) -> pa.Table:
+        import ray as _ray
+        idv = _ray.get(_ids)
+        dg = _ray.get(_deg)
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        ku = rank_key(dg[np.searchsorted(idv, u)], u)
+        kv = rank_key(dg[np.searchsorted(idv, v)], v)
+        swap = kv < ku
+        a = np.where(swap, v, u)
+        b = np.where(swap, u, v)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "ashard": pa.array(
+                             (a % _N_SHARDS).astype(np.int32))})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow",
+                                 **remote_args()).materialize()
+
+    def wedges(g: pd.DataFrame, _ids=ids_ref, _deg=deg_ref) -> pd.DataFrame:
+        import ray as _ray
+        idv = _ray.get(_ids)
+        dg = _ray.get(_deg)
+        chunks = []
+        for _a, sub in g.groupby("a"):
+            bs = sub["b"].to_numpy(dtype=np.int64)
+            if len(bs) < 2:
+                continue
+            k = rank_key(dg[np.searchsorted(idv, bs)], bs)
+            bs = bs[np.argsort(k)]
+            # all rank-ordered out-neighbor pairs, packed into one
+            # int64 per pair (node ids are far below 2^31)
+            iu, ju = np.triu_indices(len(bs), k=1)
+            chunks.append((bs[iu] << 32) | bs[ju])
+        if not chunks:
+            return pd.DataFrame({"v": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64"),
+                                 "m": pd.Series([], dtype="int64")})
+        packed = np.concatenate(chunks)
+        uniq, counts = np.unique(packed, return_counts=True)
+        return pd.DataFrame({
+            "v": pd.Series(uniq >> 32, dtype="int64"),
+            "w": pd.Series(uniq & 0xFFFFFFFF, dtype="int64"),
+            "m": pd.Series(counts, dtype="int64")})
+
+    wedge_ds = (oriented.groupby("ashard")
+                .map_groups(wedges, batch_format="pandas",
+                            **remote_args()))
+    closed = wedge_ds.join(
+        oriented.select_columns(["a", "b"]).rename_columns(
+            {"a": "v", "b": "w"}),
+        "inner", 8, on=("v", "w"))
+    total = closed.sum("m") or 0
+    return pd.DataFrame({"n_triangles": pd.Series([int(total)],
+                                                  dtype="int64")})

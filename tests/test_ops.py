@@ -460,3 +460,21 @@ def test_copurchase_pagerank_modes_agree(ray_session):
     # well-connected node more than an isolated one
     assert (bc["rank_micro"] >= 150_000).all()
     assert bc["rank_micro"].max() > 150_000
+
+
+def test_copurchase_triangles_match_bruteforce(ray_session):
+    from erex.ops.graph import copurchase_triangles
+    from itertools import combinations
+    got = int(copurchase_triangles(SF)["n_triangles"].iloc[0])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    edges = set()
+    for _o, parts in li.groupby("l_orderkey")["l_partkey"]:
+        for a, b in combinations(sorted(set(parts)), 2):
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = sum(1 for (a, b) in edges
+               for c in adj.get(b, ()) if c in adj.get(a, ()))
+    assert got == want and got > 0
