@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_centroids": similarity.embedding_centroids,
+        "embedding_quantize": similarity.embedding_quantize,
         # text analysis
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -617,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_ngrams": sketch.heavy_hitter_ngrams,
         "q_range_join_orders": relational.q_range_join_orders,
         "quality_filter": text.quality_filter,
+        "ngram_contamination": text.ngram_contamination,
     }
 
 
@@ -1209,6 +1211,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY label, i ORDER BY label, dim
         """,
+        "embedding_quantize": """
+            WITH x AS (SELECT vec_id, unnest(embedding) AS v,
+                              unnest(range(1, len(embedding) + 1)) AS i
+                       FROM embeddings),
+            m AS (SELECT vec_id, MAX(ABS(CAST(v AS DOUBLE))) AS s
+                  FROM x GROUP BY vec_id)
+            SELECT x.vec_id, i - 1 AS dim,
+                   CASE WHEN m.s = 0 THEN 0
+                        ELSE CAST(FLOOR(127.0 * CAST(v AS DOUBLE) / m.s
+                                        + 0.5) AS BIGINT) END AS q
+            FROM x JOIN m ON m.vec_id = x.vec_id
+            ORDER BY x.vec_id, dim
+        """,
         "token_count": """
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z0-9]+'))
@@ -1382,6 +1397,28 @@ def oracle_sql() -> dict[str, str]:
                        AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
                        AS n_orders
             FROM events e WHERE e.user_id < 50 ORDER BY e.event_id
+        """,
+        "ngram_contamination": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i:i+7], ' ') AS ngram
+                FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
+                WHERE len(ws) >= 8),
+            bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 20),
+            corpus AS (SELECT doc_id, ngram FROM g WHERE doc_id >= 20),
+            hits AS (
+                SELECT c.doc_id, COUNT(*) AS k
+                FROM corpus c JOIN bench b ON b.ngram = c.ngram
+                GROUP BY c.doc_id)
+            SELECT d.doc_id, COALESCE(h.k, 0) AS n_hits,
+                   COALESCE(h.k, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE d.doc_id >= 20
+            ORDER BY d.doc_id
         """,
         "quality_filter": """
             WITH sig AS (

@@ -430,3 +430,33 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
         1_000_000 * df["s"] / df["n"] + 0.5).astype(np.int64)
     return df[["label", "dim", "centroid_micro"]].sort_values(
         ["label", "dim"]).reset_index(drop=True)
+
+
+def embedding_quantize(sf_dir: str) -> pd.DataFrame:
+    """Symmetric int8 quantization per vector — the compression step
+    ahead of shipping an embedding corpus into an ANN index: scale =
+    max |component|, q = floor(127 * v / scale + 0.5). One pruned-read
+    vectorized map_batches; float64 arithmetic ordered identically to
+    the DuckDB oracle so the quantized values hash-match exactly.
+    Returns (vec_id, dim, q)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in t.column("embedding").to_pylist()])
+        d = mat.shape[1]
+        scales = np.abs(mat.astype(np.float64)).max(axis=1)
+        safe = np.where(scales == 0.0, 1.0, scales)
+        q = np.floor(127.0 * mat.astype(np.float64)
+                     / safe[:, None] + 0.5).astype(np.int64)
+        q[scales == 0.0, :] = 0
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(ids)), pa.int64()),
+            "q": pa.array(q.reshape(-1), pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args())\
+        .to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)

@@ -336,3 +336,55 @@ def quality_filter(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
         .sort_values("doc_id").reset_index(drop=True)
+
+
+DECON_N = 8               # benchmark n-gram order
+DECON_BENCH_MAX_ID = 20   # doc_id < 20 plays the held-out benchmark
+
+
+def ngram_contamination(sf_dir: str, n: int = DECON_N,
+                        bench_max_id: int = DECON_BENCH_MAX_ID
+                        ) -> pd.DataFrame:
+    """Train/benchmark decontamination — the overlap check every LLM
+    pretraining pipeline runs before training: flag corpus documents
+    sharing any word n-gram with a held-out benchmark set (here: the
+    docs with doc_id < bench_max_id). Shape for scale: the benchmark
+    side is small BY DEFINITION, so its n-gram set is read with a
+    pushed-down predicate and broadcast once (ray.put); the corpus
+    streams through one map_batches computing per-doc distinct-overlap
+    counts — no shuffle at all."""
+    import ray
+    tok = re.compile(r"[a-z0-9]+")
+    path = f"{sf_dir}/documents.parquet"
+
+    def grams(text: str) -> set:
+        ws = tok.findall(text.lower())
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    bench = rd.read_parquet(path, columns=["doc_id", "text"])\
+        .filter(expr=f"doc_id < {bench_max_id}").take_all()
+    bench_set = set()
+    for row in bench:
+        bench_set.update(grams(row["text"]))
+    bref = ray.put(bench_set)
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def check(t: pa.Table, _b=bref) -> pa.Table:
+        import ray as _ray
+        bs = _ray.get(_b)
+        ids, hits, flag = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            if d < bench_max_id:
+                continue
+            k = len(grams(x) & bs)
+            ids.append(d)
+            hits.append(k)
+            flag.append(k > 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_hits": pa.array(hits, pa.int64()),
+                         "contaminated": pa.array(flag, pa.bool_())})
+
+    return ds.map_batches(check, batch_format="pyarrow", **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -478,3 +478,44 @@ def test_copurchase_triangles_match_bruteforce(ray_session):
     want = sum(1 for (a, b) in edges
                for c in adj.get(b, ()) if c in adj.get(a, ()))
     assert got == want and got > 0
+
+
+def test_ngram_contamination_matches_bruteforce(ray_session):
+    from erex.ops.text import ngram_contamination, DECON_N, \
+        DECON_BENCH_MAX_ID
+    out = ngram_contamination(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+
+    def grams(x):
+        ws = tok.findall(x.lower())
+        return {" ".join(ws[i:i + DECON_N])
+                for i in range(len(ws) - DECON_N + 1)}
+
+    bench = set()
+    for _, r in docs[docs["doc_id"] < DECON_BENCH_MAX_ID].iterrows():
+        bench |= grams(r["text"])
+    rest = docs[docs["doc_id"] >= DECON_BENCH_MAX_ID]
+    assert len(out) == len(rest)
+    for _, r in rest.sample(15, random_state=5).iterrows():
+        k = len(grams(r["text"]) & bench)
+        row = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert row["n_hits"] == k
+        assert row["contaminated"] == (k > 0)
+
+
+def test_embedding_quantize_roundtrip(ray_session):
+    from erex.ops.similarity import embedding_quantize
+    out = embedding_quantize(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    d = len(emb["embedding"].iloc[0])
+    assert len(out) == len(emb) * d
+    assert out["q"].abs().max() <= 127
+    # dequantized values stay within half a quantization step
+    for _, r in emb.sample(5, random_state=11).iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        s = np.abs(v).max()
+        q = out[out["vec_id"] == r["vec_id"]].sort_values("dim")["q"]\
+            .to_numpy()
+        assert np.abs(q * s / 127.0 - v).max() <= s / 127.0 * 0.5 + 1e-9
