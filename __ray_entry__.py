@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join_orders": relational.q_range_join_orders,
         "quality_filter": text.quality_filter,
         "ngram_contamination": text.ngram_contamination,
+        "sequence_pack": text.sequence_pack,
     }
 
 
@@ -1397,6 +1398,25 @@ def oracle_sql() -> dict[str, str]:
                        AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
                        AS n_orders
             FROM events e WHERE e.user_id < 50 ORDER BY e.event_id
+        """,
+        "sequence_pack": """
+            WITH n AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                           AS n_tokens
+                FROM documents),
+            o AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS tok_offset
+                FROM n)
+            SELECT doc_id, n_tokens,
+                   CAST(tok_offset AS BIGINT) AS tok_offset,
+                   CAST(tok_offset // 2048 AS BIGINT) AS bin_start,
+                   CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // 2048
+                        AS BIGINT) AS bin_end
+            FROM o ORDER BY doc_id
         """,
         "ngram_contamination": """
             WITH toks AS (

@@ -388,3 +388,65 @@ def ngram_contamination(sf_dir: str, n: int = DECON_N,
 
     return ds.map_batches(check, batch_format="pyarrow", **remote_args())\
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+PACK_SEQ_LEN = 2048
+
+
+def sequence_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> pd.DataFrame:
+    """GPT-style sequence packing: concatenate documents in doc_id
+    order and split the token stream into fixed seq_len training
+    bins; report each doc's global token offset and the bins it
+    lands in. The global offset is a DISTRIBUTED PREFIX SCAN — the
+    one primitive this engine had not needed yet: pass 1 computes
+    per-block token sums (block-count-sized, collected), the driver
+    prefix-sums those tiny partials, and pass 2 broadcasts each
+    block's starting offset so every batch computes exact global
+    offsets locally. Two streaming passes, no shuffle; the oracle is
+    a window-function cumulative sum."""
+    path = f"{sf_dir}/documents.parquet"
+    # blocks must align with a deterministic doc order for the scan:
+    # sort by doc_id once (the only exchange), then scan in order
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])\
+        .sort("doc_id").materialize()
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_doc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        n = [len(TOKEN_RE.findall(x))
+             for x in t.column("text").to_pylist()]
+        return pa.table({
+            "first_doc": pa.array([t.column("doc_id")[0].as_py()],
+                                  pa.int64()),
+            "n": pa.array([int(sum(n))], pa.int64())})
+
+    parts = ds.map_batches(block_sum, batch_format="pyarrow",
+                           batch_size=None, **remote_args()).to_pandas()
+    parts = parts.sort_values("first_doc").reset_index(drop=True)
+    starts = dict(zip(parts["first_doc"].astype(int),
+                      np.concatenate([[0], parts["n"].to_numpy()
+                                      .cumsum()[:-1]]).astype(int)))
+
+    def offsets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("doc_id", "n_tokens", "tok_offset",
+                              "bin_start", "bin_end")})
+        ids = t.column("doc_id").to_pylist()
+        n = np.array([len(TOKEN_RE.findall(x))
+                      for x in t.column("text").to_pylist()],
+                     dtype=np.int64)
+        base = starts[ids[0]]
+        off = base + np.concatenate([[0], n.cumsum()[:-1]])
+        bin_start = off // seq_len
+        last = off + np.maximum(n, 1) - 1     # empty docs sit in one bin
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "tok_offset": pa.array(off, pa.int64()),
+                         "bin_start": pa.array(bin_start, pa.int64()),
+                         "bin_end": pa.array(last // seq_len, pa.int64())})
+
+    return ds.map_batches(offsets, batch_format="pyarrow",
+                          batch_size=None, **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -519,3 +519,17 @@ def test_embedding_quantize_roundtrip(ray_session):
         q = out[out["vec_id"] == r["vec_id"]].sort_values("dim")["q"]\
             .to_numpy()
         assert np.abs(q * s / 127.0 - v).max() <= s / 127.0 * 0.5 + 1e-9
+
+
+def test_sequence_pack_is_contiguous_token_stream(ray_session):
+    from erex.ops.text import sequence_pack, PACK_SEQ_LEN
+    out = sequence_pack(SF)
+    # offsets are exactly the prefix sums of token counts in doc order
+    assert (out["tok_offset"].to_numpy()
+            == np.concatenate([[0], out["n_tokens"].to_numpy()
+                               .cumsum()[:-1]])).all()
+    # bin bounds consistent with the offset arithmetic
+    assert (out["bin_start"] == out["tok_offset"] // PACK_SEQ_LEN).all()
+    last = out["tok_offset"] + out["n_tokens"].clip(lower=1) - 1
+    assert (out["bin_end"] == last // PACK_SEQ_LEN).all()
+    assert (out["bin_end"] >= out["bin_start"]).all()
