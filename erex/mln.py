@@ -135,6 +135,21 @@ def merge_batch(batch, inferred_by_doc: dict,
             out_rows.extend(merged)
         else:
             out_rows.extend(doc_rows)
-    cols = sorted({k for r in out_rows for k in r})
-    return pa.table({c: pa.array([r.get(c) for r in out_rows])
-                     for c in cols})
+    # FIXED schema across batches: the per-batch union of row keys
+    # would drop the merge-added columns for batches whose docs all
+    # lack an inferred map (and all-None columns would infer pa.null),
+    # breaking block concatenation in Ray Data
+    _STR_COLS = ("pair_class", "subj", "obj", "gold", "pred", "source")
+    cols = sorted(set(batch.column_names) | set(_STR_COLS))
+    arrs = {}
+    for c in cols:
+        vals = [r.get(c) for r in out_rows]
+        if c in _STR_COLS:
+            arrs[c] = pa.array(vals, pa.string())
+        elif c in batch.column_names:
+            # keep the input column's type even when a batch leaves it
+            # all-None (or empty)
+            arrs[c] = pa.array(vals, batch.schema.field(c).type)
+        else:
+            arrs[c] = pa.array(vals)
+    return pa.table(arrs)

@@ -532,6 +532,7 @@ def cc_hash_min_labels(edges: pd.DataFrame,
                            **remote_args())
               .select_columns(["node", "label"]).materialize())
     prev = None
+    converged = False
     for _ in range(max_iters):
         msgs = (edges_ds.join(labels.rename_columns({"node": "u"}),
                               "inner", num_partitions, on=("u",))
@@ -542,8 +543,17 @@ def cc_hash_min_labels(edges: pd.DataFrame,
                   .materialize())
         total = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if total == prev:
+            converged = True
             break
         prev = total
+    if not converged:
+        # hash-min moves the component minimum one hop per round, so a
+        # duplicate CHAIN longer than max_iters would exit here with
+        # intermediate labels — fail loudly instead of mislabeling
+        raise RuntimeError(
+            f"cc_hash_min_labels did not converge in {max_iters} "
+            f"iterations (component diameter exceeds max_iters); "
+            f"raise max_iters")
     return labels.to_pandas().sort_values("node").reset_index(drop=True)
 
 

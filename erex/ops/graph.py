@@ -161,16 +161,15 @@ def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS,
                               **remote_args()).materialize()
 
     def contrib(t: pa.Table) -> pa.Table:
-        r = np.asarray(t.column("rank_micro").to_pylist(), dtype=np.int64)
-        d = np.asarray(t.column("deg").to_pylist(), dtype=np.int64)
+        r = t.column("rank_micro").to_numpy()
+        d = t.column("deg").to_numpy()
         return pa.table({"part": t.column("dst"),
                          "c": pa.array(r // d, pa.int64())})
 
     def apply_rule(t: pa.Table) -> pa.Table:
-        s = t.column("s").to_pylist()
-        r = [PR_BASE_MICRO
-             + PR_DAMP_MICRO * (int(x) if x is not None else 0)
-             // PR_INIT_MICRO for x in s]
+        # left_outer join leaves isolated nodes with a null sum
+        s = t.column("s").fill_null(0).to_numpy().astype(np.int64)
+        r = PR_BASE_MICRO + PR_DAMP_MICRO * s // PR_INIT_MICRO
         return pa.table({"part": t.column("part"),
                          "rank_micro": pa.array(r, pa.int64())})
 

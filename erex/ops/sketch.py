@@ -16,8 +16,6 @@ bounded by a recall test.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -26,8 +24,7 @@ import ray.data as rd
 
 from .._env import remote_args
 from .dedup import _h64
-
-_TOK = re.compile(r"[a-z0-9]+")
+from .text import LOWER_TOKEN_RE as _TOK
 
 # --- HyperLogLog parameters (m = 2^P registers) -------------------------
 HLL_P = 10

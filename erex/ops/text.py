@@ -19,6 +19,10 @@ import ray.data as rd
 from .._env import pool_size, remote_args
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+# the dedup/sketch family tokenizer: lowercase word runs (applied to
+# lower()ed text); ONE definition so every operator and its DuckDB
+# oracle (regexp_extract_all(lower(text), '[a-z0-9]+')) stay in sync
+LOWER_TOKEN_RE = re.compile(r"[a-z0-9]+")
 _ALPHA = re.compile(r"[A-Za-z]")
 _DIGIT = re.compile(r"[0-9]")
 _SPACE = re.compile(r" ")
@@ -170,7 +174,7 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
     family's lowercase [a-z0-9]+ runs."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    tok = re.compile(r"[a-z0-9]+")
+    tok = LOWER_TOKEN_RE
 
     def f(t: pa.Table) -> pa.Table:
         from collections import Counter
@@ -206,7 +210,7 @@ def topk_ngrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     row per bigram occurrence. Ties at the cut break by ngram text."""
     from ray.data.aggregate import Sum
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    tok = re.compile(r"[a-z0-9]+")
+    tok = LOWER_TOKEN_RE
 
     def partial(t: pa.Table) -> pa.Table:
         from collections import Counter
@@ -311,7 +315,7 @@ def quality_filter(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     sw = frozenset(STOPWORDS)
-    tok = re.compile(r"[a-z0-9]+")
+    tok = LOWER_TOKEN_RE
 
     def f(t: pa.Table) -> pa.Table:
         reasons, keeps = [], []
@@ -354,7 +358,7 @@ def ngram_contamination(sf_dir: str, n: int = DECON_N,
     streams through one map_batches computing per-doc distinct-overlap
     counts — no shuffle at all."""
     import ray
-    tok = re.compile(r"[a-z0-9]+")
+    tok = LOWER_TOKEN_RE
     path = f"{sf_dir}/documents.parquet"
 
     def grams(text: str) -> set:
@@ -437,6 +441,16 @@ def sequence_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> pd.DataFrame:
         n = np.array([len(TOKEN_RE.findall(x))
                       for x in t.column("text").to_pylist()],
                      dtype=np.int64)
+        if ids[0] not in starts:
+            # both passes map over the SAME materialized dataset with
+            # batch_size=None (one batch == one block), so pass-2
+            # batches must start exactly where pass-1 blocks did; if a
+            # Ray version ever re-chunks between passes, fail loudly
+            # rather than emit wrong offsets
+            raise RuntimeError(
+                f"sequence_pack pass-2 batch starts at doc {ids[0]}, "
+                f"which is not a pass-1 block boundary — block "
+                f"structure changed between passes")
         base = starts[ids[0]]
         off = base + np.concatenate([[0], n.cumsum()[:-1]])
         bin_start = off // seq_len

@@ -45,15 +45,25 @@ from .features import (Marker, causal_signal_pair, causal_verb_pair,
 PHRASE_EMBED_DIM = 32
 
 
-def phrase_embedding(phrase: str, dim: int = PHRASE_EMBED_DIM) -> np.ndarray:
+def phrase_embedding(phrase: str, dim: int = PHRASE_EMBED_DIM,
+                     cache: dict = None) -> np.ndarray:
     """Deterministic stand-in for the reference's word2vec service: an
     md5-seeded standard-normal vector, L2-normalized.  Stable across
-    processes and platforms; swap this function for a real encoder."""
+    processes and platforms; swap this function for a real encoder.
+    `cache` memoizes per (phrase, dim) — marker vocabulary is tiny,
+    so an actor-held dict removes nearly every RandomState draw."""
+    if cache is not None:
+        hit = cache.get((phrase, dim))
+        if hit is not None:
+            return hit
     seed = int.from_bytes(
         hashlib.md5(phrase.encode("utf-8")).digest()[:4], "big")
     v = np.random.RandomState(seed).normal(size=dim)
     n = np.linalg.norm(v)
-    return v / n if n else v
+    v = v / n if n else v
+    if cache is not None:
+        cache[(phrase, dim)] = v
+    return v
 
 
 def temporal_marker_feature(doc: Doc, e1: Entity, e2: Entity,
@@ -119,24 +129,26 @@ def whole_chunk_token(doc: Doc, e: Entity) -> str:
 
 def phrase_feature_block(doc: Doc, e1: Entity, e2: Entity,
                          feature: str, pair_class: str = "ee",
-                         dim: int = PHRASE_EMBED_DIM):
+                         dim: int = PHRASE_EMBED_DIM,
+                         cache: dict = None):
     """-> (names, float32 vector) for one of the three FeatureName
     cases of addPhraseFeatureToVector."""
     if feature == "tempMarkerTextPhrase":
         m = temporal_marker_feature(doc, e1, e2, pair_class)
         vec = (np.zeros(dim) if m.text == "O"
-               else phrase_embedding(m.text, dim))
+               else phrase_embedding(m.text, dim, cache))
         names = ["tempmark_embed_%d" % i for i in range(dim)]
     elif feature == "causMarkerTextPhrase":
         m = causal_marker_feature(doc, e1, e2)
         vec = (np.zeros(dim) if m.text == "O"
-               else phrase_embedding(m.text, dim))
+               else phrase_embedding(m.text, dim, cache))
         names = ["causmark_embed_%d" % i for i in range(dim)]
     elif feature == "tokenChunk":
         # no zero branch: even "O" chunks are embedded (:3428-3441)
         vec = np.concatenate([
-            phrase_embedding(whole_chunk_token(doc, e1), dim),
-            phrase_embedding(whole_chunk_token(doc, e2), dim)])
+            phrase_embedding(whole_chunk_token(doc, e1), dim, cache),
+            phrase_embedding(whole_chunk_token(doc, e2), dim,
+                             cache)])
         names = ["tokenchunk_embed_%d" % i for i in range(2 * dim)]
     else:
         raise ValueError("unknown phrase feature: %r" % feature)
@@ -175,7 +187,8 @@ class PhraseFeatureStage:
             e1, e2 = d.entities[r["subj"]], d.entities[r["obj"]]
             for f in self.features:
                 _names, vec = phrase_feature_block(
-                    d, e1, e2, f, r.get("pair_class", "ee"), self.dim)
+                    d, e1, e2, f, r.get("pair_class", "ee"), self.dim,
+                    cache=self._cache)
                 blocks[f][ri] = vec
         for f in self.features:
             for j in range(width[f]):

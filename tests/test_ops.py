@@ -533,3 +533,15 @@ def test_sequence_pack_is_contiguous_token_stream(ray_session):
     last = out["tok_offset"] + out["n_tokens"].clip(lower=1) - 1
     assert (out["bin_end"] == last // PACK_SEQ_LEN).all()
     assert (out["bin_end"] >= out["bin_start"]).all()
+
+
+def test_cc_hash_min_raises_on_non_convergence(ray_session):
+    from erex.ops.dedup import cc_hash_min_labels
+    # a chain propagates the min one hop per round: 6 nodes need 5
+    # rounds, so max_iters=2 must fail loudly, never mislabel
+    chain = pd.DataFrame({"doc_a": [0, 1, 2, 3, 4],
+                          "doc_b": [1, 2, 3, 4, 5]})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc_hash_min_labels(chain, num_partitions=2, max_iters=2)
+    lab = cc_hash_min_labels(chain, num_partitions=2, max_iters=16)
+    assert set(lab["label"]) == {0}
