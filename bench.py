@@ -66,7 +66,8 @@ def run_bench() -> None:
     headline = min(runs)
     queries["catena_flagship"] = round(headline, 3)
 
-    from erex.ops import dedup, relational, similarity, text
+    from erex.ops import (dedup, graph, relational, similarity, sketch,
+                          text)
 
     def timed(name, fn):
         # best-of-2: the first draw pays per-query cold costs (page
@@ -89,6 +90,11 @@ def run_bench() -> None:
     timed("dedup_minhash", dedup.minhash_lsh_pairs)
     timed("ann_cosine_topk", similarity.ann_cosine_topk)
     timed("lang_id", text.lang_id)
+    # round-3 family representatives (baseline rows in BASELINE.md)
+    timed("topk_ngrams", text.topk_ngrams)
+    timed("sequence_pack", text.sequence_pack)
+    timed("heavy_hitter_ngrams", sketch.heavy_hitter_ngrams)
+    timed("copurchase_degree", graph.copurchase_degree)
 
     print(json.dumps({
         "metric": "catena_flagship", "value": round(headline, 3),
