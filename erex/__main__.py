@@ -70,6 +70,15 @@ def main(argv=None):
     p.add_argument("--n-docs", type=int, required=True)
     p.add_argument("--seed", type=int, default=42)
 
+    p = sub.add_parser("dataops", help="run a training-data operator "
+                       "over an sf dir (op name from queries(); 'list' "
+                       "prints all)")
+    p.add_argument("op")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", default=None,
+                   help="write result parquet here instead of printing")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser("train", help="train the four liblinear models")
     p.add_argument("--n-docs", type=int, default=120)
     p.add_argument("--seed", type=int, default=7)
@@ -87,6 +96,36 @@ def main(argv=None):
         from .training import train_from_seeds
         stats = train_from_seeds(args.n_docs, args.seed, args.out_dir)
         print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "dataops":
+        import importlib.util
+        import os
+        from ._env import REPO_DIR
+        spec = importlib.util.spec_from_file_location(
+            "_erex_entry", os.path.join(REPO_DIR, "__ray_entry__.py"))
+        mod = importlib.util.module_from_spec(spec)
+        if args.op != "list":
+            _init_ray(args.num_cpus)
+        spec.loader.exec_module(mod)
+        qs = mod.queries()
+        if args.op == "list":
+            print("\n".join(sorted(qs)))
+            return 0
+        if args.op not in qs:
+            print(f"unknown op {args.op!r}; `dataops list` shows all",
+                  file=sys.stderr)
+            return 2
+        t0 = time.time()
+        df = qs[args.op](args.sf_dir)
+        out = {"op": args.op, "rows": len(df),
+               "sec": round(time.time() - t0, 2)}
+        if args.out:
+            df.to_parquet(args.out, index=False)
+            out["out"] = args.out
+        print(json.dumps(out))
+        import ray
+        ray.shutdown()
         return 0
 
     _init_ray(getattr(args, "num_cpus", None))
