@@ -595,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_quantize": similarity.embedding_quantize,
+        "knn_graph_mutual": similarity.knn_graph_mutual,
         # text analysis
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -1211,6 +1212,25 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, len(embedding) + 1)) AS i
                   FROM embeddings)
             GROUP BY label, i ORDER BY label, dim
+        """,
+        "knn_graph_mutual": """
+            WITH c AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       CAST(FLOOR(list_cosine_similarity(
+                            CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[]))
+                            * 1000000 + 0.5) AS BIGINT) AS cm
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id != b.vec_id),
+            r AS (SELECT src, dst, cm,
+                         ROW_NUMBER() OVER (PARTITION BY src
+                             ORDER BY cm DESC, dst) AS rn
+                  FROM c),
+            knn AS (SELECT src, dst, cm FROM r WHERE rn <= 5)
+            SELECT x.src AS vec_a, x.dst AS vec_b, x.cm AS cos_micro
+            FROM knn x JOIN knn y ON y.src = x.dst AND y.dst = x.src
+            WHERE x.src < x.dst
+            ORDER BY vec_a, vec_b
         """,
         "embedding_quantize": """
             WITH x AS (SELECT vec_id, unnest(embedding) AS v,

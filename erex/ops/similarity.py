@@ -460,3 +460,67 @@ def embedding_quantize(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(f, batch_format="pyarrow", **remote_args())\
         .to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+def knn_graph_mutual(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Mutual k-nearest-neighbor graph over the embedding corpus — the
+    SemDeDup-style primitive behind diversity sampling and semantic
+    dedup clustering: an edge (a, b) survives iff each vector is in
+    the other's cosine top-k. Exact variant (all-pairs blocked matmul
+    against the broadcast normalized matrix, same guarded contract as
+    embedding_dup_pairs; the LSH/IVF family is the corpus-scale
+    candidate path). Ranking uses the micro-rounded similarity with
+    vec_id tie-break so the SQL replica ranks identically; the kept
+    cos_micro is the lower-id direction's value. The directed edge
+    stream (N*k rows — corpus-scale, never collected) reduces to
+    mutual pairs via the pair-shard + local-groupby pattern."""
+    ids_all, M_all = _load_matrix(sf_dir)
+    Mn = _normalize(M_all)
+    ref = ray.put((ids_all, Mn))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def directed(t: pa.Table) -> pa.Table:
+        ids_, Mn_ = ray.get(ref)
+        vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        X = _normalize(np.stack(
+            t.column("embedding").to_pylist()).astype(np.float64))
+        cm = np.floor((X @ Mn_.T) * 1_000_000 + 0.5).astype(np.int64)
+        src, dst, val = [], [], []
+        for r in range(len(vid)):
+            row = cm[r]
+            mask = ids_ != vid[r]
+            cand_ids = ids_[mask]
+            cand_cm = row[mask]
+            order = np.lexsort((cand_ids, -cand_cm))[:k]
+            src.extend([vid[r]] * len(order))
+            dst.extend(cand_ids[order])
+            val.extend(cand_cm[order])
+        sh = [(min(a, b) * 1_000_003 + max(a, b)) % 64
+              for a, b in zip(src, dst)]
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "cm": pa.array(val, pa.int64()),
+                         "pshard": pa.array(sh, pa.int32())})
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(g["src"], g["dst"])
+        b = np.maximum(g["src"], g["dst"])
+        key = a * (1 << 32) + b
+        # a pair is mutual iff BOTH directed edges landed in this shard
+        # group (the shard key is the unordered pair)
+        cnt = pd.Series(key).value_counts()
+        both = set(cnt[cnt == 2].index)
+        fwd = g[(g["src"] < g["dst"])
+                & pd.Series(key).isin(both).to_numpy()]
+        return pd.DataFrame({
+            "vec_a": fwd["src"].astype("int64"),
+            "vec_b": fwd["dst"].astype("int64"),
+            "cos_micro": fwd["cm"].astype("int64")})
+
+    out = (ds.map_batches(directed, batch_format="pyarrow",
+                          **remote_args())
+           .groupby("pshard")
+           .map_groups(mutual, batch_format="pandas", **remote_args()))
+    return out.to_pandas().sort_values(["vec_a", "vec_b"])\
+        .reset_index(drop=True)

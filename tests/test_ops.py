@@ -545,3 +545,45 @@ def test_cc_hash_min_raises_on_non_convergence(ray_session):
         cc_hash_min_labels(chain, num_partitions=2, max_iters=2)
     lab = cc_hash_min_labels(chain, num_partitions=2, max_iters=16)
     assert set(lab["label"]) == {0}
+
+
+def test_sketches_invariant_under_block_size(ray_session):
+    # register max-merge (HLL) and cell-sum merge (CMS) are
+    # associative/commutative, so results must not depend on how Ray
+    # chunks the input — force a much finer block structure and compare
+    from ray.data import DataContext
+    from erex.ops.sketch import (distinct_shingles_hll,
+                                 heavy_hitter_ngrams)
+    from erex.ops.text import topk_ngrams
+    base_hll = distinct_shingles_hll(SF)
+    base_hh = heavy_hitter_ngrams(SF)
+    base_topk = topk_ngrams(SF)
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024   # ~tiny blocks
+        assert distinct_shingles_hll(SF).equals(base_hll)
+        assert heavy_hitter_ngrams(SF).equals(base_hh)
+        assert topk_ngrams(SF).equals(base_topk)
+    finally:
+        ctx.target_max_block_size = old
+
+
+def test_knn_graph_mutual_properties(ray_session):
+    from erex.ops.similarity import knn_graph_mutual
+    out = knn_graph_mutual(SF, k=5)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    cm = np.floor(M @ M.T * 1_000_000 + 0.5).astype(np.int64)
+    # serial mutual-kNN oracle
+    knn = {}
+    for i, v in enumerate(ids):
+        order = np.lexsort((ids, -cm[i]))
+        knn[v] = [ids[j] for j in order if ids[j] != v][:5]
+    want = sorted((a, b) for a in ids for b in knn[a]
+                  if a < b and a in knn[b])
+    got = sorted(zip(out["vec_a"], out["vec_b"]))
+    assert got == want and len(got) > 0
+    assert (out["vec_a"] < out["vec_b"]).all()
