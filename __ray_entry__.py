@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": text.quality_filter,
         "ngram_contamination": text.ngram_contamination,
         "sequence_pack": text.sequence_pack,
+        "inverted_index": text.inverted_index,
     }
 
 
@@ -1418,6 +1419,18 @@ def oracle_sql() -> dict[str, str]:
                        AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
                        AS n_orders
             FROM events e WHERE e.user_id < 50 ORDER BY e.event_id
+        """,
+        "inverted_index": """
+            WITH td AS (
+                SELECT DISTINCT doc_id, w AS token
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(lower(text),
+                                                       '[a-z0-9]+')) AS w
+                      FROM documents))
+            SELECT token, COUNT(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM td GROUP BY token ORDER BY token
         """,
         "sequence_pack": """
             WITH n AS (

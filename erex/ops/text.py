@@ -464,3 +464,53 @@ def sequence_pack(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> pd.DataFrame:
     return ds.map_batches(offsets, batch_format="pyarrow",
                           batch_size=None, **remote_args())\
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Retrieval-side primitive: the inverted index (token -> document
+    frequency + comma-joined sorted posting list) a corpus search or
+    RAG pipeline builds before serving. Distributed shape: per-batch
+    DISTINCT (token, doc) explode, then token-hash shards co-locate
+    each token's postings for one bulk per-shard assembly — the same
+    shard-then-local pattern as the dedup family (a per-token
+    map_groups would be the tiny-group pathology at web vocabulary
+    sizes). Postings are strings here for the exact SQL compare; a
+    production sink would write list<int64> parquet instead."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tok = LOWER_TOKEN_RE
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks, docs = [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            for w in set(tok.findall(x.lower())):
+                toks.append(w)
+                docs.append(d)
+        tbl = pa.table({"token": pa.array(toks, pa.string()),
+                        "doc_id": pa.array(docs, pa.int64())})
+        sh = [hash_mod_64(w) for w in toks]
+        return tbl.append_column("tshard", pa.array(sh, pa.int32()))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for w, sub in g.groupby("token"):
+            ids = sorted(set(int(d) for d in sub["doc_id"]))
+            rows.append((w, len(ids), ",".join(str(d) for d in ids)))
+        return pd.DataFrame({
+            "token": pd.Series([r[0] for r in rows], dtype=object),
+            "df": pd.Series([r[1] for r in rows], dtype="int64"),
+            "postings": pd.Series([r[2] for r in rows], dtype=object)})
+
+    return (ds.map_batches(explode, batch_format="pyarrow",
+                           **remote_args())
+            .groupby("tshard")
+            .map_groups(assemble, batch_format="pandas",
+                        **remote_args())
+            .to_pandas().sort_values("token").reset_index(drop=True))
+
+
+def hash_mod_64(w: str) -> int:
+    """Stable string shard key (md5-derived — Python's hash() is
+    per-process salted and CANNOT be a shuffle key)."""
+    return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64

@@ -587,3 +587,20 @@ def test_knn_graph_mutual_properties(ray_session):
     got = sorted(zip(out["vec_a"], out["vec_b"]))
     assert got == want and len(got) > 0
     assert (out["vec_a"] < out["vec_b"]).all()
+
+
+def test_inverted_index_roundtrip(ray_session):
+    from erex.ops.text import inverted_index
+    out = inverted_index(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    want = {}
+    for _, r in docs.iterrows():
+        for w in set(tok.findall(r["text"].lower())):
+            want.setdefault(w, set()).add(int(r["doc_id"]))
+    assert len(out) == len(want)
+    for _, row in out.iterrows():
+        ids = want[row["token"]]
+        assert row["df"] == len(ids)
+        assert row["postings"] == ",".join(str(d) for d in sorted(ids))
