@@ -105,8 +105,8 @@ def main(argv=None):
         spec = importlib.util.spec_from_file_location(
             "_erex_entry", os.path.join(REPO_DIR, "__ray_entry__.py"))
         mod = importlib.util.module_from_spec(spec)
-        if args.op != "list":
-            _init_ray(args.num_cpus)
+        # registry construction needs no Ray session — validate the op
+        # name (and serve `list`) before paying ray.init
         spec.loader.exec_module(mod)
         qs = mod.queries()
         if args.op == "list":
@@ -116,6 +116,7 @@ def main(argv=None):
             print(f"unknown op {args.op!r}; `dataops list` shows all",
                   file=sys.stderr)
             return 2
+        _init_ray(args.num_cpus)
         t0 = time.time()
         df = qs[args.op](args.sf_dir)
         out = {"op": args.op, "rows": len(df),

@@ -28,6 +28,15 @@ def remote_args() -> dict:
     return {"runtime_env": {"env_vars": {"PYTHONPATH": path}}}
 
 
+def stable_shard64(s: str) -> int:
+    """Canonical md5-derived string shard key (0..63). Python's hash()
+    is per-process salted and must never be a shuffle key; new operator
+    families should use this ONE definition (dedup.py predates it with
+    equivalent local variants kept for shard-layout stability)."""
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 64
+
+
 def pool_size(frac: float = 0.5, lo: int = 2, hi: int = 64) -> tuple:
     """Actor-pool concurrency sized to the cluster: (min, max) workers
     proportional to total CPUs so a stage neither starves a big cluster

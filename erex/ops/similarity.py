@@ -480,6 +480,23 @@ def knn_graph_mutual(sf_dir: str, k: int = 5) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
+    def _topk_row(cand_ids: np.ndarray, cand_cm: np.ndarray):
+        # exact top-k under (cm desc, id asc) in O(N): argpartition for
+        # the k-th value, then resolve boundary ties by smallest id —
+        # a full per-row lexsort would be O(N log N) per row at the
+        # 2M-vector guard limit
+        if len(cand_ids) <= k:
+            chosen = np.arange(len(cand_ids))
+        else:
+            kthv = cand_cm[np.argpartition(-cand_cm, k - 1)[:k]].min()
+            above = np.nonzero(cand_cm > kthv)[0]
+            ties = np.nonzero(cand_cm == kthv)[0]
+            need = k - len(above)
+            sel = ties[np.argsort(cand_ids[ties])[:need]]
+            chosen = np.concatenate([above, sel])
+        order = chosen[np.lexsort((cand_ids[chosen], -cand_cm[chosen]))]
+        return cand_ids[order], cand_cm[order]
+
     def directed(t: pa.Table) -> pa.Table:
         ids_, Mn_ = ray.get(ref)
         vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
@@ -488,20 +505,20 @@ def knn_graph_mutual(sf_dir: str, k: int = 5) -> pd.DataFrame:
         cm = np.floor((X @ Mn_.T) * 1_000_000 + 0.5).astype(np.int64)
         src, dst, val = [], [], []
         for r in range(len(vid)):
-            row = cm[r]
             mask = ids_ != vid[r]
-            cand_ids = ids_[mask]
-            cand_cm = row[mask]
-            order = np.lexsort((cand_ids, -cand_cm))[:k]
-            src.extend([vid[r]] * len(order))
-            dst.extend(cand_ids[order])
-            val.extend(cand_cm[order])
-        sh = [(min(a, b) * 1_000_003 + max(a, b)) % 64
-              for a, b in zip(src, dst)]
-        return pa.table({"src": pa.array(src, pa.int64()),
-                         "dst": pa.array(dst, pa.int64()),
+            d_ids, d_cm = _topk_row(ids_[mask], cm[r][mask])
+            src.extend([vid[r]] * len(d_ids))
+            dst.extend(d_ids)
+            val.extend(d_cm)
+        src_a = np.array(src, dtype=np.int64)
+        dst_a = np.array(dst, dtype=np.int64)
+        lo = np.minimum(src_a, dst_a)
+        hi = np.maximum(src_a, dst_a)
+        sh = ((lo * 1_000_003 + hi) % 64).astype(np.int32)
+        return pa.table({"src": pa.array(src_a, pa.int64()),
+                         "dst": pa.array(dst_a, pa.int64()),
                          "cm": pa.array(val, pa.int64()),
-                         "pshard": pa.array(sh, pa.int32())})
+                         "pshard": pa.array(sh)})
 
     def mutual(g: pd.DataFrame) -> pd.DataFrame:
         a = np.minimum(g["src"], g["dst"])
@@ -509,10 +526,10 @@ def knn_graph_mutual(sf_dir: str, k: int = 5) -> pd.DataFrame:
         key = a * (1 << 32) + b
         # a pair is mutual iff BOTH directed edges landed in this shard
         # group (the shard key is the unordered pair)
-        cnt = pd.Series(key).value_counts()
-        both = set(cnt[cnt == 2].index)
-        fwd = g[(g["src"] < g["dst"])
-                & pd.Series(key).isin(both).to_numpy()]
+        cnt = key.value_counts()
+        mask = (g["src"] < g["dst"]).to_numpy() \
+            & key.isin(cnt[cnt == 2].index).to_numpy()
+        fwd = g[mask]
         return pd.DataFrame({
             "vec_a": fwd["src"].astype("int64"),
             "vec_b": fwd["dst"].astype("int64"),

@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from .._env import pool_size, remote_args
+from .._env import pool_size, remote_args, stable_shard64
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 # the dedup/sketch family tokenizer: lowercase word runs (applied to
@@ -489,7 +489,7 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
                 docs.append(d)
         tbl = pa.table({"token": pa.array(toks, pa.string()),
                         "doc_id": pa.array(docs, pa.int64())})
-        sh = [hash_mod_64(w) for w in toks]
+        sh = [stable_shard64(w) for w in toks]
         return tbl.append_column("tshard", pa.array(sh, pa.int32()))
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
@@ -508,9 +508,3 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
             .map_groups(assemble, batch_format="pandas",
                         **remote_args())
             .to_pandas().sort_values("token").reset_index(drop=True))
-
-
-def hash_mod_64(w: str) -> int:
-    """Stable string shard key (md5-derived — Python's hash() is
-    per-process salted and CANNOT be a shuffle key)."""
-    return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64
