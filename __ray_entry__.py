@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination": text.ngram_contamination,
         "sequence_pack": text.sequence_pack,
         "inverted_index": text.inverted_index,
+        "tfidf_top_terms": text.tfidf_top_terms,
     }
 
 
@@ -1419,6 +1420,31 @@ def oracle_sql() -> dict[str, str]:
                        AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
                        AS n_orders
             FROM events e WHERE e.user_id < 50 ORDER BY e.event_id
+        """,
+        # float64 ln/mul order matches the engine exactly (verified
+        # value-for-value: same libm doubles on both sides)
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS w
+                FROM documents),
+            tf AS (SELECT doc_id, w, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, w),
+            dft AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+                    FROM toks GROUP BY w),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.w,
+                         CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+                              * ln(CAST(nn.n AS DOUBLE) / dft.df)
+                              * 1000000 + 0.5) AS BIGINT) AS tm
+                  FROM tf JOIN dft ON dft.w = tf.w, nn),
+            r AS (SELECT doc_id, w, tm,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY tm DESC, w) AS rn
+                  FROM s)
+            SELECT doc_id, rn AS rank, w AS token, tm AS tfidf_micro
+            FROM r WHERE rn <= 3 ORDER BY doc_id, rank
         """,
         "inverted_index": """
             WITH td AS (

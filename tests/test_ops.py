@@ -604,3 +604,25 @@ def test_inverted_index_roundtrip(ray_session):
         ids = want[row["token"]]
         assert row["df"] == len(ids)
         assert row["postings"] == ",".join(str(d) for d in sorted(ids))
+
+
+def test_tfidf_top_terms_matches_serial(ray_session):
+    import math
+    from collections import Counter
+    from erex.ops.text import tfidf_top_terms
+    out = tfidf_top_terms(SF, top=3)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    n = len(docs)
+    dfm: Counter = Counter()
+    for x in docs["text"]:
+        dfm.update(set(tok.findall(x.lower())))
+    for _, r in docs.sample(10, random_state=13).iterrows():
+        tf = Counter(tok.findall(r["text"].lower()))
+        want = sorted(
+            ((-math.floor(c * math.log(n / dfm[w]) * 1e6 + 0.5), w)
+             for w, c in tf.items()))[:3]
+        sub = out[out["doc_id"] == r["doc_id"]].sort_values("rank")
+        assert list(sub["token"]) == [w for _s, w in want]
+        assert list(sub["tfidf_micro"]) == [-s for s, _w in want]
