@@ -525,8 +525,10 @@ def tfidf_top_terms(sf_dir: str, top: int = 3) -> pd.DataFrame:
     from ray.data.aggregate import Sum
     path = f"{sf_dir}/documents.parquet"
     tok = LOWER_TOKEN_RE
+    import pyarrow.parquet as pq
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
-    n_docs = rd.read_parquet(path, columns=["doc_id"]).count()
+    # row count from parquet footer metadata — no Ray job
+    n_docs = pq.read_metadata(path).num_rows
 
     def df_partial(t: pa.Table) -> pa.Table:
         from collections import Counter
