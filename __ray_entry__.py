@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_shingles_hll": sketch.distinct_shingles_hll,
         "heavy_hitter_ngrams": sketch.heavy_hitter_ngrams,
         "q_range_join_orders": relational.q_range_join_orders,
+        "q_rolling_window": relational.q_rolling_window,
         "quality_filter": text.quality_filter,
         "ngram_contamination": text.ngram_contamination,
         "sequence_pack": text.sequence_pack,
@@ -1411,6 +1412,15 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(sr, total - s) AS n_samples
             FROM meta, UNNEST(range(0, total, sr)) AS t(s)
             ORDER BY doc_id, chunk_idx
+        """,
+        "q_rolling_window": """
+            SELECT e.event_id,
+                   (SELECT COUNT(*) FROM events e2
+                     WHERE e2.user_id = e.user_id
+                       AND e2.ts <= e.ts
+                       AND e2.ts >= e.ts - INTERVAL 24 HOUR)
+                       AS n_in_window
+            FROM events e WHERE e.user_id < 100 ORDER BY e.event_id
         """,
         "q_range_join_orders": """
             SELECT e.event_id,

@@ -344,3 +344,39 @@ def q_range_join_orders(sf_dir: str, n_users: int = 50,
              .map_groups(count_shard, batch_format="pandas",
                          **remote_args()))
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def q_rolling_window(sf_dir: str, n_users: int = 100,
+                     window_hours: int = 24) -> pd.DataFrame:
+    """Sliding event-time window aggregate (the third windowed shape
+    next to tumbling q_events_daily and session q_sessionize): for
+    each event, how many of the SAME user's events fall in the
+    trailing `window_hours` (inclusive). User-hash shards co-locate
+    each user's history; inside a shard the trailing count is two
+    vectorized searchsorted calls per user — no per-event work."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    win = np.timedelta64(window_hours, "h")
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("user_id"), pa.scalar(n_users)))
+        sh = pc.cast(pc.bit_wise_and(t.column("user_id"),
+                                     _N_SHARDS - 1), pa.int32())
+        return t.append_column("ushard", sh)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ids, ns = [], []
+        for _u, sub in g.groupby("user_id", sort=False):
+            ts = sub["ts"].to_numpy()
+            lo = np.searchsorted(ts, ts - win, side="left")
+            hi = np.searchsorted(ts, ts, side="right")
+            ids.extend(sub["event_id"])
+            ns.extend(hi - lo)
+        return pd.DataFrame({"event_id": pd.Series(ids, dtype="int64"),
+                             "n_in_window": pd.Series(ns, dtype="int64")})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby("ushard")
+             .map_groups(roll, batch_format="pandas", **remote_args()))
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)

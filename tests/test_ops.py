@@ -626,3 +626,19 @@ def test_tfidf_top_terms_matches_serial(ray_session):
         sub = out[out["doc_id"] == r["doc_id"]].sort_values("rank")
         assert list(sub["token"]) == [w for _s, w in want]
         assert list(sub["tfidf_micro"]) == [-s for s, _w in want]
+
+
+def test_rolling_window_matches_bruteforce(ray_session):
+    from erex.ops.relational import q_rolling_window
+    out = q_rolling_window(SF, n_users=100, window_hours=24)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev = ev[ev["user_id"] < 100]
+    assert len(out) == len(ev)
+    win = pd.Timedelta(hours=24)
+    for _, r in ev.sample(min(20, len(ev)), random_state=17).iterrows():
+        mine = ev[(ev["user_id"] == r["user_id"])
+                  & (ev["ts"] <= r["ts"])
+                  & (ev["ts"] >= r["ts"] - win)]
+        got = out[out["event_id"] == r["event_id"]]["n_in_window"].iloc[0]
+        assert got == len(mine) >= 1      # each event sees itself
