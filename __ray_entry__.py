@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_ngrams": sketch.heavy_hitter_ngrams,
         "q_range_join_orders": relational.q_range_join_orders,
         "q_rolling_window": relational.q_rolling_window,
+        "profile_table": relational.profile_table,
         "quality_filter": text.quality_filter,
         "ngram_contamination": text.ngram_contamination,
         "sequence_pack": text.sequence_pack,
@@ -1412,6 +1413,47 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(sr, total - s) AS n_samples
             FROM meta, UNNEST(range(0, total, sr)) AS t(s)
             ORDER BY doc_id, chunk_idx
+        """,
+        "profile_table": """
+            SELECT * FROM (
+              SELECT 'o_custkey' AS "column",
+                     COUNT(*) - COUNT(o_custkey) AS n_nulls,
+                     lpad(CAST(MIN(o_custkey) AS VARCHAR), 20, '0')
+                         AS min_val,
+                     lpad(CAST(MAX(o_custkey) AS VARCHAR), 20, '0')
+                         AS max_val
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderdate',
+                     COUNT(*) - COUNT(o_orderdate),
+                     strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+                     strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderkey',
+                     COUNT(*) - COUNT(o_orderkey),
+                     lpad(CAST(MIN(o_orderkey) AS VARCHAR), 20, '0'),
+                     lpad(CAST(MAX(o_orderkey) AS VARCHAR), 20, '0')
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority',
+                     COUNT(*) - COUNT(o_orderpriority),
+                     MIN(o_orderpriority), MAX(o_orderpriority)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus',
+                     COUNT(*) - COUNT(o_orderstatus),
+                     MIN(o_orderstatus), MAX(o_orderstatus)
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice',
+                     COUNT(*) - COUNT(o_totalprice),
+                     lpad(CAST(CAST(ROUND(MIN(o_totalprice) * 100)
+                          AS BIGINT) AS VARCHAR), 20, '0'),
+                     lpad(CAST(CAST(ROUND(MAX(o_totalprice) * 100)
+                          AS BIGINT) AS VARCHAR), 20, '0')
+              FROM orders)
+            ORDER BY "column"
         """,
         "q_rolling_window": """
             SELECT e.event_id,

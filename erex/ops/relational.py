@@ -380,3 +380,65 @@ def q_rolling_window(sf_dir: str, n_users: int = 100,
              .groupby("ushard")
              .map_groups(roll, batch_format="pandas", **remote_args()))
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+# canonical sortable encodings for profile_table: every value becomes a
+# string whose LEXICOGRAPHIC order equals the typed order, so min/max
+# partials combine with plain string comparison across mixed-type
+# columns (ints/cents zero-padded to 20, timestamps ISO, strings raw)
+def _canon_int(v: int) -> str:
+    return str(int(v)).zfill(20)
+
+
+def profile_table(sf_dir: str, table: str = "orders") -> pd.DataFrame:
+    """DESCRIBE-style column profiler — the first pass every data
+    engine runs on a new corpus: per column (n_nulls, min, max) in one
+    streaming map_batches of per-batch partials (a constant-size table
+    per batch) + one tiny groupby combine. Doubles are profiled as
+    integer cents and ints zero-padded so partial min/max reduce as
+    strings; the same canonicalization runs in the SQL oracle."""
+    from ray.data.aggregate import Max, Min, Sum
+    path = f"{sf_dir}/{table}.parquet"
+    ds = rd.read_parquet(path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols, nulls, mins, maxs = [], [], [], []
+        for name in t.column_names:
+            col = t.column(name)
+            n_null = col.null_count
+            vals = col.drop_null()
+            if len(vals) == 0:
+                continue          # all-null batch: contributes nulls only via a sentinel-free skip
+            ty = col.type
+            if pa.types.is_integer(ty):
+                canon = [_canon_int(v)
+                         for v in (pc.min(vals).as_py(),
+                                   pc.max(vals).as_py())]
+            elif pa.types.is_floating(ty):
+                cents = pc.round(pc.multiply(
+                    pc.cast(vals, pa.float64()), 100.0))
+                canon = [_canon_int(int(pc.min(cents).as_py())),
+                         _canon_int(int(pc.max(cents).as_py()))]
+            elif pa.types.is_timestamp(ty):
+                canon = [pc.min(vals).as_py()
+                         .strftime("%Y-%m-%d %H:%M:%S"),
+                         pc.max(vals).as_py()
+                         .strftime("%Y-%m-%d %H:%M:%S")]
+            else:
+                canon = [pc.min(vals).as_py(), pc.max(vals).as_py()]
+            cols.append(name)
+            nulls.append(n_null)
+            mins.append(canon[0])
+            maxs.append(canon[1])
+        return pa.table({"column": pa.array(cols, pa.string()),
+                         "n_nulls": pa.array(nulls, pa.int64()),
+                         "min_val": pa.array(mins, pa.string()),
+                         "max_val": pa.array(maxs, pa.string())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **remote_args())
+           .groupby("column")
+           .aggregate(Sum("n_nulls", alias_name="n_nulls"),
+                      Min("min_val", alias_name="min_val"),
+                      Max("max_val", alias_name="max_val")))
+    return out.to_pandas().sort_values("column").reset_index(drop=True)

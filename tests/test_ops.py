@@ -642,3 +642,19 @@ def test_rolling_window_matches_bruteforce(ray_session):
                   & (ev["ts"] >= r["ts"] - win)]
         got = out[out["event_id"] == r["event_id"]]["n_in_window"].iloc[0]
         assert got == len(mine) >= 1      # each event sees itself
+
+
+def test_profile_table_matches_pandas(ray_session):
+    from erex.ops.relational import profile_table, _canon_int
+    out = profile_table(SF, table="orders").set_index("column")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    assert (out["n_nulls"] == 0).all()
+    assert out.loc["o_orderkey", "min_val"] == \
+        _canon_int(od["o_orderkey"].min())
+    assert out.loc["o_orderkey", "max_val"] == \
+        _canon_int(od["o_orderkey"].max())
+    assert out.loc["o_orderstatus", "min_val"] == od["o_orderstatus"].min()
+    assert out.loc["o_totalprice", "max_val"] == \
+        _canon_int(round(od["o_totalprice"].max() * 100))
+    assert out.loc["o_orderdate", "min_val"] == \
+        od["o_orderdate"].min().strftime("%Y-%m-%d %H:%M:%S")
