@@ -1418,9 +1418,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (
               SELECT 'o_custkey' AS "column",
                      COUNT(*) - COUNT(o_custkey) AS n_nulls,
-                     lpad(CAST(MIN(o_custkey) AS VARCHAR), 20, '0')
+                     lpad(CAST(MIN(o_custkey) + 4611686018427387904
+                               AS VARCHAR), 20, '0')
                          AS min_val,
-                     lpad(CAST(MAX(o_custkey) AS VARCHAR), 20, '0')
+                     lpad(CAST(MAX(o_custkey) + 4611686018427387904
+                               AS VARCHAR), 20, '0')
                          AS max_val
               FROM orders
               UNION ALL
@@ -1432,8 +1434,10 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'o_orderkey',
                      COUNT(*) - COUNT(o_orderkey),
-                     lpad(CAST(MIN(o_orderkey) AS VARCHAR), 20, '0'),
-                     lpad(CAST(MAX(o_orderkey) AS VARCHAR), 20, '0')
+                     lpad(CAST(MIN(o_orderkey) + 4611686018427387904
+                          AS VARCHAR), 20, '0'),
+                     lpad(CAST(MAX(o_orderkey) + 4611686018427387904
+                          AS VARCHAR), 20, '0')
               FROM orders
               UNION ALL
               SELECT 'o_orderpriority',
@@ -1449,9 +1453,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'o_totalprice',
                      COUNT(*) - COUNT(o_totalprice),
                      lpad(CAST(CAST(ROUND(MIN(o_totalprice) * 100)
-                          AS BIGINT) AS VARCHAR), 20, '0'),
+                          AS BIGINT) + 4611686018427387904
+                          AS VARCHAR), 20, '0'),
                      lpad(CAST(CAST(ROUND(MAX(o_totalprice) * 100)
-                          AS BIGINT) AS VARCHAR), 20, '0')
+                          AS BIGINT) + 4611686018427387904
+                          AS VARCHAR), 20, '0')
               FROM orders)
             ORDER BY "column"
         """,

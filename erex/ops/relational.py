@@ -386,18 +386,36 @@ def q_rolling_window(sf_dir: str, n_users: int = 100,
 # string whose LEXICOGRAPHIC order equals the typed order, so min/max
 # partials combine with plain string comparison across mixed-type
 # columns (ints/cents zero-padded to 20, timestamps ISO, strings raw)
+# lexicographic-order-preserving integer encoding: offset by 2^62 so
+# negatives sort correctly as strings (zfill alone breaks on '-'), the
+# sum stays inside BIGINT for |v| <= 2^62, and the SQL oracle can
+# replicate it with lpad(CAST(v + 4611686018427387904 AS VARCHAR))
+_CANON_OFFSET = 1 << 62
+
+
 def _canon_int(v: int) -> str:
-    return str(int(v)).zfill(20)
+    if not -_CANON_OFFSET <= int(v) <= _CANON_OFFSET:
+        raise ValueError("profile_table int canon domain is |v| <= 2^62")
+    return str(int(v) + _CANON_OFFSET).zfill(20)
+
+
+def _round_half_away(a: np.ndarray) -> np.ndarray:
+    # DuckDB ROUND semantics; np/pyarrow round are half-to-even
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
 
 
 def profile_table(sf_dir: str, table: str = "orders") -> pd.DataFrame:
     """DESCRIBE-style column profiler — the first pass every data
     engine runs on a new corpus: per column (n_nulls, min, max) in one
     streaming map_batches of per-batch partials (a constant-size table
-    per batch) + one tiny groupby combine. Doubles are profiled as
-    integer cents and ints zero-padded so partial min/max reduce as
-    strings; the same canonicalization runs in the SQL oracle."""
-    from ray.data.aggregate import Max, Min, Sum
+    per batch) + one tiny groupby combine. Values canonicalize into
+    strings whose lexicographic order equals the typed order
+    (offset-encoded ints, half-away integer cents for doubles, ISO
+    timestamps; other types best-effort str()), so mixed-type min/max
+    partials reduce through one string Min/Max — nulls ride along as
+    ignored-by-Min/Max null partials, so all-null batches and fully
+    null columns still count. Same canonicalization in the SQL
+    oracle."""
     path = f"{sf_dir}/{table}.parquet"
     ds = rd.read_parquet(path)
 
@@ -405,29 +423,36 @@ def profile_table(sf_dir: str, table: str = "orders") -> pd.DataFrame:
         cols, nulls, mins, maxs = [], [], [], []
         for name in t.column_names:
             col = t.column(name)
-            n_null = col.null_count
             vals = col.drop_null()
             if len(vals) == 0:
-                continue          # all-null batch: contributes nulls only via a sentinel-free skip
-            ty = col.type
-            if pa.types.is_integer(ty):
-                canon = [_canon_int(v)
-                         for v in (pc.min(vals).as_py(),
-                                   pc.max(vals).as_py())]
-            elif pa.types.is_floating(ty):
-                cents = pc.round(pc.multiply(
-                    pc.cast(vals, pa.float64()), 100.0))
-                canon = [_canon_int(int(pc.min(cents).as_py())),
-                         _canon_int(int(pc.max(cents).as_py()))]
-            elif pa.types.is_timestamp(ty):
-                canon = [pc.min(vals).as_py()
-                         .strftime("%Y-%m-%d %H:%M:%S"),
-                         pc.max(vals).as_py()
-                         .strftime("%Y-%m-%d %H:%M:%S")]
+                # nulls still count; Min/Max ignore the null partials
+                canon = [None, None]
             else:
-                canon = [pc.min(vals).as_py(), pc.max(vals).as_py()]
+                ty = col.type
+                if pa.types.is_integer(ty):
+                    canon = [_canon_int(v)
+                             for v in (pc.min(vals).as_py(),
+                                       pc.max(vals).as_py())]
+                elif pa.types.is_floating(ty):
+                    cents = _round_half_away(
+                        vals.to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * 100.0)
+                    canon = [_canon_int(cents.min()),
+                             _canon_int(cents.max())]
+                elif pa.types.is_timestamp(ty):
+                    canon = [pc.min(vals).as_py()
+                             .strftime("%Y-%m-%d %H:%M:%S"),
+                             pc.max(vals).as_py()
+                             .strftime("%Y-%m-%d %H:%M:%S")]
+                elif pa.types.is_string(ty):
+                    canon = [pc.min(vals).as_py(), pc.max(vals).as_py()]
+                else:
+                    # dates/bools/decimals: str() is order-correct for
+                    # ISO dates and booleans; documented best-effort
+                    canon = [str(pc.min(vals).as_py()),
+                             str(pc.max(vals).as_py())]
             cols.append(name)
-            nulls.append(n_null)
+            nulls.append(col.null_count)
             mins.append(canon[0])
             maxs.append(canon[1])
         return pa.table({"column": pa.array(cols, pa.string()),

@@ -658,3 +658,15 @@ def test_profile_table_matches_pandas(ray_session):
         _canon_int(round(od["o_totalprice"].max() * 100))
     assert out.loc["o_orderdate", "min_val"] == \
         od["o_orderdate"].min().strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_profile_canonical_encoding_orders_negatives():
+    from erex.ops.relational import _canon_int, _round_half_away
+    vals = [-10, -5, -1, 0, 1, 5, 10, 2**40, -(2**40)]
+    canon = [_canon_int(v) for v in vals]
+    assert sorted(canon) == [c for _v, c in sorted(zip(vals, canon))]
+    # DuckDB ROUND is half-away-from-zero, not banker's
+    a = _round_half_away(np.array([12.5, -12.5, 12.4, -12.6, 0.0]))
+    assert list(a) == [13, -13, 12, -13, 0]
+    with pytest.raises(ValueError):
+        _canon_int(2 ** 63)
