@@ -670,3 +670,21 @@ def test_profile_canonical_encoding_orders_negatives():
     assert list(a) == [13, -13, 12, -13, 0]
     with pytest.raises(ValueError):
         _canon_int(2 ** 63)
+
+
+def test_dataops_cli_list_and_validation():
+    # both paths exit before ray.init, so they are subprocess-fast
+    import subprocess
+    import sys as _sys
+    r = subprocess.run([_sys.executable, "-m", "erex", "dataops", "list"],
+                       capture_output=True, text=True,
+                       cwd="/root/repo", timeout=120)
+    ops = r.stdout.split()
+    assert r.returncode == 0
+    assert "dedup_minhash" in ops and "profile_table" in ops
+    r2 = subprocess.run([_sys.executable, "-m", "erex", "dataops",
+                         "no_such_op"],
+                        capture_output=True, text=True,
+                        cwd="/root/repo", timeout=120)
+    assert r2.returncode == 2
+    assert "unknown op" in r2.stderr
