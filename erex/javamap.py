@@ -175,8 +175,88 @@ def _balance_insertion(root, x):
                         root = _rotate_left(root, xpp)
 
 
+def _balance_deletion(root, x):
+    # HashMap.TreeNode.balanceDeletion (JDK 8)
+    while True:
+        if x is None or x is root:
+            return root
+        xp = x.parent
+        if xp is None:
+            x.red = False
+            return x
+        if x.red:
+            x.red = False
+            return root
+        xpl = xp.left
+        if xpl is x:
+            xpr = xp.right
+            if xpr is not None and xpr.red:
+                xpr.red = False
+                xp.red = True
+                root = _rotate_left(root, xp)
+                xp = x.parent
+                xpr = None if xp is None else xp.right
+            if xpr is None:
+                x = xp
+            else:
+                sl, sr = xpr.left, xpr.right
+                if (sr is None or not sr.red) and (sl is None or not sl.red):
+                    xpr.red = True
+                    x = xp
+                else:
+                    if sr is None or not sr.red:
+                        if sl is not None:
+                            sl.red = False
+                        xpr.red = True
+                        root = _rotate_right(root, xpr)
+                        xp = x.parent
+                        xpr = None if xp is None else xp.right
+                    if xpr is not None:
+                        xpr.red = False if xp is None else xp.red
+                        sr = xpr.right
+                        if sr is not None:
+                            sr.red = False
+                    if xp is not None:
+                        xp.red = False
+                        root = _rotate_left(root, xp)
+                    x = root
+        else:                                   # symmetric
+            xpl = xp.left
+            if xpl is not None and xpl.red:
+                xpl.red = False
+                xp.red = True
+                root = _rotate_right(root, xp)
+                xp = x.parent
+                xpl = None if xp is None else xp.left
+            if xpl is None:
+                x = xp
+            else:
+                sl, sr = xpl.left, xpl.right
+                if (sl is None or not sl.red) and (sr is None or not sr.red):
+                    xpl.red = True
+                    x = xp
+                else:
+                    if sl is None or not sl.red:
+                        if sr is not None:
+                            sr.red = False
+                        xpl.red = True
+                        root = _rotate_left(root, xpl)
+                        xp = x.parent
+                        xpl = None if xp is None else xp.left
+                    if xpl is not None:
+                        xpl.red = False if xp is None else xp.red
+                        sl = xpl.left
+                        if sl is not None:
+                            sl.red = False
+                    if xp is not None:
+                        xp.red = False
+                        root = _rotate_right(root, xp)
+                    x = root
+
+
 class _JavaHashMap:
-    """put()/keys() subset of java.util.HashMap<String, ?> semantics."""
+    """put()/keys()/remove() subset of java.util.HashMap<String, ?>
+    semantics."""
 
     def __init__(self):
         self.tab = None
@@ -223,6 +303,151 @@ class _JavaHashMap:
                     out.append(e.key)
                     e = e.next
         return out
+
+    # -- HashMap.removeNode ---------------------------------------------
+    def remove(self, key: str):
+        """HashMap.remove semantics. Removals never resize (the table
+        keeps its full put-history capacity — the reason the MLN
+        leftover pass must replay the whole put-then-remove history,
+        not rebuild from the surviving keys). List bins unlink in
+        place; tree bins go through removeTreeNode (untreeify below
+        the root-shape threshold, else RB delete + moveRootToFront)."""
+        h = _hash_signed(key)
+        tab = self.tab
+        if not tab:
+            return
+        index = (len(tab) - 1) & h
+        p = tab[index]
+        if p is None:
+            return
+        node = None
+        if p.h == h and p.key == key:
+            node = p
+        else:
+            e = p.next
+            if e is not None:
+                if p.tree:
+                    node = self._get_tree_node(p, h, key)
+                else:
+                    while e is not None:
+                        if e.h == h and e.key == key:
+                            node = e
+                            break
+                        p = e
+                        e = e.next
+        if node is None:
+            return
+        if node.tree:
+            self._remove_tree_node(tab, node)
+        elif node is p:
+            tab[index] = node.next
+        else:
+            p.next = node.next
+        self.size -= 1
+
+    # -- TreeNode.getTreeNode / find ------------------------------------
+    @staticmethod
+    def _get_tree_node(first, h, key):
+        p = first
+        while p.parent is not None:
+            p = p.parent
+        while p is not None:
+            if p.h > h:
+                p = p.left
+            elif p.h < h:
+                p = p.right
+            elif p.key == key:
+                return p
+            elif p.left is None:
+                p = p.right
+            elif p.right is None:
+                p = p.left
+            else:
+                # String keys are Comparable and never compare equal for
+                # distinct keys, so the descent is always directed
+                p = p.left if _compare(key, p.key) < 0 else p.right
+        return None
+
+    # -- TreeNode.removeTreeNode (movable=true) -------------------------
+    def _remove_tree_node(self, tab, p):
+        index = (len(tab) - 1) & p.h
+        first = tab[index]
+        root = first
+        succ, pred = p.next, p.prev
+        if pred is None:
+            tab[index] = first = succ
+        else:
+            pred.next = succ
+        if succ is not None:
+            succ.prev = pred
+        if first is None:
+            return
+        while root.parent is not None:
+            root = root.parent
+        rl = root.left
+        if root.right is None or rl is None or rl.left is None:
+            tab[index] = self._untreeify(first)   # too small: back to list
+            return
+        pl, pr = p.left, p.right
+        if pl is not None and pr is not None:
+            s = pr
+            while s.left is not None:             # in-order successor
+                s = s.left
+            s.red, p.red = p.red, s.red           # swap colors
+            sr = s.right
+            pp = p.parent
+            if s is pr:                           # p was s's direct parent
+                p.parent = s
+                s.right = p
+            else:
+                sp = s.parent
+                p.parent = sp
+                if sp is not None:
+                    if s is sp.left:
+                        sp.left = p
+                    else:
+                        sp.right = p
+                s.right = pr
+                pr.parent = s
+            p.left = None
+            p.right = sr
+            if sr is not None:
+                sr.parent = p
+            s.left = pl
+            pl.parent = s
+            s.parent = pp
+            if pp is None:
+                root = s
+            elif p is pp.left:
+                pp.left = s
+            else:
+                pp.right = s
+            replacement = sr if sr is not None else p
+        elif pl is not None:
+            replacement = pl
+        elif pr is not None:
+            replacement = pr
+        else:
+            replacement = p
+        if replacement is not p:
+            pp = replacement.parent = p.parent
+            if pp is None:
+                root = replacement
+            elif p is pp.left:
+                pp.left = replacement
+            else:
+                pp.right = replacement
+            p.left = p.right = p.parent = None
+        r = root if p.red else _balance_deletion(root, replacement)
+        if replacement is p:                      # detach
+            pp = p.parent
+            p.parent = None
+            if pp is not None:
+                if p is pp.left:
+                    pp.left = None
+                elif p is pp.right:
+                    pp.right = None
+        self._move_root_to_front(tab, r)
 
     # -- HashMap.resize ------------------------------------------------
     def _resize(self):
@@ -431,4 +656,18 @@ def java_hashmap_order(keys) -> list:
     m = _JavaHashMap()
     for k in keys:
         m.put(k)
+    return m.keys()
+
+
+def java_hashmap_order_after_removals(keys, removed) -> list:
+    """Iteration order after the FULL put-then-remove history: every key
+    in `keys` inserted in order, then `removed` removed in order. The
+    table capacity reflects ALL inserted keys (removals never shrink a
+    JDK-8 HashMap), so this differs from java_hashmap_order(survivors)
+    whenever the removed keys pushed the map past a resize threshold."""
+    m = _JavaHashMap()
+    for k in keys:
+        m.put(k)
+    for k in removed:
+        m.remove(k)
     return m.keys()

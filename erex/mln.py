@@ -28,7 +28,7 @@ Replicated quirks (transcribed, all load-bearing):
 
 from __future__ import annotations
 
-from .javamap import java_hashmap_order
+from .javamap import java_hashmap_order_after_removals
 
 # TimeBankDenseExperiments.getRelTypeCollapsed (:649-660)
 _DENSE_COLLAPSE = {
@@ -68,15 +68,18 @@ def merge_inferred(rows: list, inferred: dict,
     in candidate order.  Returns new rows (same order, overridden preds)
     plus leftover inferred-only rows appended per the reference's
     routing; `inferred` is consumed destructively (keySet removal)."""
+    all_keys = ["%s-%s" % k for k in inferred]   # parse (insertion) order
     inferred = dict(inferred)
     out = []
     extracted = set()
+    consumed = []
     for r in rows:
         r = dict(r)
         key = (r["subj"], r["obj"])
         if r["pair_class"] in ("dct", "et", "ee"):
             if key in inferred:
                 label = inferred.pop(key)
+                consumed.append("%s-%s" % key)
                 # DCT keeps the raw inferred label (:1301); ET/EE collapse
                 if r["pair_class"] != "dct":
                     label = collapse_dense(label)
@@ -89,8 +92,12 @@ def merge_inferred(rows: list, inferred: dict,
         out.append(r)
 
     if non_candidate_from_inferred:
-        order = java_hashmap_order(
-            ["%s-%s" % k for k in inferred])
+        # replay the FULL put-then-remove history: the reference iterates
+        # the ORIGINAL map after keySet removals, whose table capacity
+        # reflects every inserted inferred pair (removals never shrink a
+        # java.util.HashMap), so rebuilding from only the surviving keys
+        # diverges once consumed pairs pushed the map past a resize
+        order = java_hashmap_order_after_removals(all_keys, consumed)
         for skey in order:
             src, tgt = skey.split("-", 1)
             if (tgt, src) in extracted:

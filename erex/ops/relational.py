@@ -388,14 +388,18 @@ def q_rolling_window(sf_dir: str, n_users: int = 100,
 # columns (ints/cents zero-padded to 20, timestamps ISO, strings raw)
 # lexicographic-order-preserving integer encoding: offset by 2^62 so
 # negatives sort correctly as strings (zfill alone breaks on '-'), the
-# sum stays inside BIGINT for |v| <= 2^62, and the SQL oracle can
+# sum stays inside BIGINT for -2^62 <= v < 2^62, and the SQL oracle can
 # replicate it with lpad(CAST(v + 4611686018427387904 AS VARCHAR))
 _CANON_OFFSET = 1 << 62
 
 
 def _canon_int(v: int) -> str:
-    if not -_CANON_OFFSET <= int(v) <= _CANON_OFFSET:
-        raise ValueError("profile_table int canon domain is |v| <= 2^62")
+    # upper bound EXCLUSIVE: v = 2^62 would encode to 2^63, which
+    # overflows the BIGINT in the SQL replica's CAST even though
+    # Python's unbounded ints would accept it
+    if not -_CANON_OFFSET <= int(v) < _CANON_OFFSET:
+        raise ValueError(
+            "profile_table int canon domain is -2^62 <= v < 2^62")
     return str(int(v) + _CANON_OFFSET).zfill(20)
 
 

@@ -97,7 +97,11 @@ def whole_chunk_token(doc: Doc, e: Entity) -> str:
     tok = doc.tokens[e.start_tok]
     chunk = tok.chunk
     if not ("B-" in chunk or "I-" in chunk):
-        return doc.entity_token_attr(e, "text")
+        # the untagged else-branch adds ONLY the start token's text
+        # (:338-340), not the entity's full deduped span — multi-token
+        # events whose start token carries no chunk tag embed just that
+        # token (the timex branch above keeps entity_token_attr)
+        return tok.text
     phrase = chunk[2:]
     parts = [tok.text]
     n = len(doc.token_arr)

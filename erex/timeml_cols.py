@@ -59,21 +59,24 @@ def _escape_token(tok: str) -> str:
 def _walk_text(te):
     """Yield (text_chunk, entity_dict | None) in document order from the
     TEXT element; EVENT/TIMEX3 children tag their (flattened) inner
-    text, any other inline markup is treated as plain text."""
+    text. Any OTHER inline element is recursed into, so an EVENT or
+    TIMEX3 nested inside a wrapper tag (e.g. <s>, <turn>) keeps its
+    annotation instead of being flattened to plain text."""
     if te.text:
         yield te.text, None
     for child in te:
-        inner = "".join(child.itertext())
         if child.tag == "EVENT":
-            yield inner, {"kind": "EVENT", "eid": child.get("eid", ""),
-                          "class": child.get("class", "O")}
+            yield "".join(child.itertext()), \
+                {"kind": "EVENT", "eid": child.get("eid", ""),
+                 "class": child.get("class", "O")}
         elif child.tag == "TIMEX3":
-            yield inner, {"kind": "TIMEX",
-                          "tid": child.get("tid", "t?").replace("t", "tmx", 1),
-                          "type": child.get("type", "O"),
-                          "value": child.get("value", "O")}
-        elif inner:
-            yield inner, None
+            yield "".join(child.itertext()), \
+                {"kind": "TIMEX",
+                 "tid": child.get("tid", "t?").replace("t", "tmx", 1),
+                 "type": child.get("type", "O"),
+                 "value": child.get("value", "O")}
+        else:
+            yield from _walk_text(child)
         if child.tail:
             yield child.tail, None
 

@@ -345,6 +345,87 @@ def test_javamap_matches_real_jvm_hashmap():
             assert java_hashmap_order(ks) == jv, len(ks)
 
 
+def test_javamap_remove_matches_real_jvm_hashmap():
+    """Put-then-remove parity against a real JVM HashMap — the semantics
+    the MLN leftover pass depends on (erex/mln.py): the table capacity
+    reflects ALL inserted keys even after removals, and tree-bin
+    removals go through removeTreeNode (RB delete, untreeify below the
+    root-shape threshold, moveRootToFront)."""
+    import random
+    import shutil
+    import subprocess
+    import tempfile
+
+    from erex.javamap import _JavaHashMap, _hash_signed
+
+    javac, java = shutil.which("javac"), shutil.which("java")
+    if not (javac and java):
+        pytest.skip("JVM not available")
+    src = os.path.join(os.path.dirname(__file__), "..", "tools",
+                       "javaref", "driver", "javaref", "HashOrder.java")
+
+    def replay(ops):
+        m = _JavaHashMap()
+        for op in ops:
+            if op.startswith("-"):
+                m.remove(op[1:])
+            else:
+                m.put(op)
+        return m.keys()
+
+    with tempfile.TemporaryDirectory() as td:
+        subprocess.run([javac, "-d", td, src], check=True)
+        rng = random.Random(42)
+        groups = []
+        # the MLN shape: N inserts past a resize threshold, then most
+        # consumed — iteration must follow the grown table's capacity
+        for n, n_rm in ((20, 15), (13, 12), (49, 30), (100, 96)):
+            ks = ["e%d-t%d" % (rng.randrange(400), i) for i in range(n)]
+            rm = rng.sample(ks, n_rm) + ["e9999-t9999"]  # missing-key no-op
+            groups.append(ks + ["-" + k for k in rm])
+        # interleaved puts and removes
+        ops = []
+        live = []
+        for i in range(300):
+            if live and rng.random() < 0.4:
+                ops.append("-" + live.pop(rng.randrange(len(live))))
+            else:
+                k = "e%d" % rng.randrange(5000)
+                if k not in live:
+                    live.append(k)
+                    ops.append(k)
+        groups.append(ops)
+        # tree-bin removals: >=11 same-slot keys treeify, then removals
+        # exercise RB delete, root replacement, and the untreeify path
+        by_slot = {}
+        for i in range(40000):
+            k = "e%d" % i
+            by_slot.setdefault(_hash_signed(k) & 63, []).append(k)
+        big = sorted(by_slot.values(), key=len, reverse=True)
+        tree = big[0][:14]
+        # (a) remove down to below the untreeify shape threshold
+        groups.append(tree + ["-" + k for k in tree[:11]])
+        # (b) remove a few (RB delete incl. the root), keep the tree
+        groups.append(tree + ["-" + tree[0], "-" + tree[7], "-" + tree[13]])
+        # (c) remove then re-insert via putTreeVal
+        groups.append(tree + ["-" + tree[2], "-" + tree[5]] + big[1][:3]
+                      + [tree[2]])
+        # (d) two tree bins, removals from both interleaved with filler
+        two = big[0][:12] + big[1][:12] + [g[0] for g in big[10:30]]
+        rng.shuffle(two)
+        rms = ["-" + k for k in big[0][2:8] + big[1][3:9]]
+        groups.append(two + rms)
+        stdin = "\n\n".join("\n".join(g) for g in groups) + "\n"
+        res = subprocess.run([java, "-cp", td, "javaref.HashOrder"],
+                             input=stdin, capture_output=True, text=True,
+                             check=True)
+        parts = res.stdout.strip("\n").split("\n\n")
+        got = [g.split("\n") if g else [] for g in parts]
+        assert len(got) == len(groups)
+        for ops, jv in zip(groups, got):
+            assert replay(ops) == jv, len(ops)
+
+
 def test_adversarial_causal_markers():
     """Multi-signal causal-marker parity against the compiled reference.
 

@@ -69,6 +69,28 @@ def test_whole_chunk_token_fallbacks():
     assert whole_chunk_token(full, full.dct) == "O"
 
 
+def test_whole_chunk_token_untagged_multitoken_uses_start_token():
+    """The no-chunk-tag else-branch adds ONLY the start token's text
+    (getWholeChunkToken :338-340), not the entity's full span — a
+    multi-token event with an untagged start token embeds just that
+    token."""
+    rows = [("fall", 1, "O", "e1", "OCCURRENCE"),
+            ("apart", 1, "O", "e1", "OCCURRENCE"),
+            (".", 1, "O", "O", "O")]
+    lines = []
+    for i, (tok, sent, chunk, ev, cls) in enumerate(rows):
+        cols = ["O"] * 21
+        cols[0], cols[1], cols[2] = tok, "t%d" % (i + 1), str(sent)
+        cols[12] = chunk
+        cols[11], cols[10] = ev, cls
+        lines.append("\t".join(cols))
+    lines.append("")
+    d = parse_txp_lines(lines)
+    e1 = d.entities["e1"]
+    assert e1.start_tok != e1.end_tok          # genuinely multi-token
+    assert whole_chunk_token(d, e1) == "fall"
+
+
 def test_zero_fill_quirk_markers_but_not_tokenchunk():
     """An 'O' marker still contributes a zero block of embed-dim width
     (:3393-3406); tokenChunk has no zero branch (:3428-3441)."""

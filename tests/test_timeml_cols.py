@@ -158,3 +158,26 @@ def test_converted_columns_feed_extraction():
     assert len(out["triples"]) > 0
     assert all("label" in t or "pred" in t or len(t) >= 3
                for t in out["triples"][:1])
+
+
+def test_nested_entities_inside_wrapper_markup():
+    """An EVENT/TIMEX3 nested inside a non-entity wrapper element (<s>,
+    <turn>, ...) keeps its annotation — _walk_text recurses into unknown
+    inline markup instead of flattening it to plain text."""
+    tml = ('<TimeML><DCT><TIMEX3 tid="t0" type="DATE" value="2020-01-01" '
+           'functionInDocument="CREATION_TIME">x</TIMEX3></DCT>'
+           '<TEXT>intro <s>He <EVENT eid="e1" class="REPORTING">said'
+           '</EVENT> on <TIMEX3 tid="t1" type="DATE" value="2020-01-02">'
+           'Friday</TIMEX3>.</s> outro <g>plain <b>deep</b> tail</g>.'
+           '</TEXT></TimeML>')
+    d = parse_txp(timeml_to_columns(tml, "x"), name="x")
+    ev = [e for e in d.entities.values() if e.is_event]
+    tmx = [e for e in d.entities.values()
+           if e.is_timex and not e.is_dct]
+    assert len(ev) == 1 and d.tokens[ev[0].start_tok].text == "said"
+    assert ev[0].ev_class == "REPORTING"
+    assert len(tmx) == 1 and tmx[0].value == "2020-01-02"
+    # the wrapper's own text survives as plain tokens
+    texts = [d.tokens[t].text for t in d.token_arr]
+    for w in ("intro", "He", "on", "outro", "plain", "deep", "tail"):
+        assert w in texts

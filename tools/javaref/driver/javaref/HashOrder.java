@@ -5,10 +5,14 @@ import java.util.Map;
 import java.util.Scanner;
 
 /**
- * Ground-truth oracle for erex/javamap.py: reads groups of keys from
- * stdin (one key per line, groups separated by a blank line), inserts
- * each group into a fresh java.util.HashMap in input order, and prints
+ * Ground-truth oracle for erex/javamap.py: reads groups of operations
+ * from stdin (one per line, groups separated by a blank line), applies
+ * each group to a fresh java.util.HashMap in input order, and prints
  * the map's iteration order (groups separated by a blank line).
+ *
+ * A line starting with '-' removes the rest of the line as a key
+ * (HashMap.remove); any other line is a put.  Keys in these tests never
+ * start with '-' themselves.
  */
 public class HashOrder {
     public static void main(String[] args) {
@@ -21,6 +25,8 @@ public class HashOrder {
                 for (String k : m.keySet()) out.append(k).append('\n');
                 out.append('\n');
                 m = new HashMap<>();
+            } else if (line.startsWith("-")) {
+                m.remove(line.substring(1));
             } else {
                 m.put(line, Boolean.TRUE);
             }
