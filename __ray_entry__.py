@@ -628,6 +628,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _nemb_cte() -> str:
+    """Normalized-embedding CTE fragment replicating the engine's cosine
+    op ORDER (erex/ops/similarity.py::_normalize: divide each component
+    by the vector's norm, THEN dot). list_cosine_similarity computes
+    dot-then-divide; the different FP operation order could flip the
+    floor(sim*1e6+0.5) micro-rounding when sim*1e6 lands exactly on a
+    .5 boundary, so every cosine oracle derives from this fragment
+    instead."""
+    return """
+            eraw AS (SELECT vec_id, label,
+                            CAST(embedding AS DOUBLE[]) AS e,
+                            sqrt(list_inner_product(
+                                CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+                     FROM embeddings),
+            nemb AS (SELECT vec_id, label,
+                            CASE WHEN nrm = 0 THEN e
+                                 ELSE list_transform(e, x -> x / nrm)
+                            END AS u
+                     FROM eraw)"""
+
+
 def _embedding_lsh_sql() -> str:
     """DuckDB replica of embedding_dup_pairs_lsh: the 16 deterministic
     hyperplanes (seed 97531) as literal arrays, 4 bands of 4 sign bits,
@@ -651,7 +673,8 @@ def _embedding_lsh_sql() -> str:
                      for b in range(_DUP_BANDS))
     case = " ".join("WHEN %d THEN k%d" % (b, b) for b in range(_DUP_BANDS))
     return f"""
-        WITH emb AS (SELECT vec_id, embedding, {keys} FROM embeddings),
+        WITH {_nemb_cte()},
+        emb AS (SELECT vec_id, embedding, {keys} FROM embeddings),
         bk AS (SELECT vec_id, r.b AS band, CASE r.b {case} END AS key
                FROM emb, UNNEST(range(0, {_DUP_BANDS})) AS r(b)),
         cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
@@ -659,17 +682,13 @@ def _embedding_lsh_sql() -> str:
                    ON a.band = b.band AND a.key = b.key
                   AND a.vec_id < b.vec_id)
         SELECT c.va AS vec_a, c.vb AS vec_b,
-               CAST(FLOOR(list_cosine_similarity(
-                    CAST(x.embedding AS DOUBLE[]),
-                    CAST(y.embedding AS DOUBLE[]))*1000000+0.5)
+               CAST(FLOOR(list_inner_product(x.u, y.u)*1000000+0.5)
                     AS BIGINT) AS cos_micro
         FROM cand c
-        JOIN embeddings x ON x.vec_id = c.va
-        JOIN embeddings y ON y.vec_id = c.vb
-        WHERE CAST(FLOOR(list_cosine_similarity(
-              CAST(x.embedding AS DOUBLE[]),
-              CAST(y.embedding AS DOUBLE[]))*1000000+0.5) AS BIGINT)
-              >= 400000
+        JOIN nemb x ON x.vec_id = c.va
+        JOIN nemb y ON y.vec_id = c.vb
+        WHERE CAST(FLOOR(list_inner_product(x.u, y.u)*1000000+0.5)
+              AS BIGINT) >= 400000
         ORDER BY vec_a, vec_b
     """
 
@@ -689,18 +708,20 @@ def _ann_lsh_sql() -> str:
         % (",".join(repr(float(v)) for v in planes[p]), 1 << p)
         for p in range(_N_PLANES))
     return f"""
-        WITH emb AS (
+        WITH {_nemb_cte()},
+        emb AS (
           SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings),
-        q AS (SELECT vec_id AS qid, embedding AS qe, bkt AS qb
-              FROM emb WHERE vec_id < 8),
+        q AS (SELECT e.vec_id AS qid, n.u AS qu, e.bkt AS qb
+              FROM emb e JOIN nemb n ON n.vec_id = e.vec_id
+              WHERE e.vec_id < 8),
         c AS (
           SELECT q.qid, e.vec_id AS vid,
-                 CAST(FLOOR(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
-                      CAST(e.embedding AS DOUBLE[]))*1000000+0.5)
+                 CAST(FLOOR(list_inner_product(q.qu, n.u)*1000000+0.5)
                       AS BIGINT) AS cm
           FROM q JOIN emb e
             ON e.vec_id != q.qid
-           AND bit_count(CAST(xor(e.bkt, q.qb) AS BIGINT)) <= 1),
+           AND bit_count(CAST(xor(e.bkt, q.qb) AS BIGINT)) <= 1
+          JOIN nemb n ON n.vec_id = e.vec_id),
         r AS (SELECT qid, vid, cm,
                      ROW_NUMBER() OVER (PARTITION BY qid
                          ORDER BY cm DESC, vid) AS rn
@@ -1179,24 +1200,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
             ORDER BY doc_a, doc_b
         """,
-        "dedup_embedding": """
+        "dedup_embedding": f"""
+            WITH {_nemb_cte()}
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                       CAST(b.embedding AS DOUBLE[]))*1000000+0.5) AS BIGINT)
-                       AS cos_micro
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                  CAST(b.embedding AS DOUBLE[]))*1000000+0.5) AS BIGINT)
-                  >= 400000
+                   CAST(FLOOR(list_inner_product(a.u, b.u)*1000000+0.5)
+                        AS BIGINT) AS cos_micro
+            FROM nemb a JOIN nemb b ON a.vec_id < b.vec_id
+            WHERE CAST(FLOOR(list_inner_product(a.u, b.u)*1000000+0.5)
+                  AS BIGINT) >= 400000
             ORDER BY vec_a, vec_b
         """,
-        "ann_cosine_topk": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe
-                       FROM embeddings WHERE vec_id < 8),
+        "ann_cosine_topk": f"""
+            WITH {_nemb_cte()},
+            q AS (SELECT vec_id AS qid, u AS qu
+                  FROM nemb WHERE vec_id < 8),
             c AS (SELECT qid, e.vec_id AS vid,
-                         CAST(FLOOR(list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                         CAST(FLOOR(list_inner_product(qu, e.u)
                               *1000000+0.5) AS BIGINT) AS cm
-                  FROM q, embeddings e WHERE e.vec_id != qid),
+                  FROM q, nemb e WHERE e.vec_id != qid),
             r AS (SELECT qid, vid, cm,
                          ROW_NUMBER() OVER (PARTITION BY qid
                              ORDER BY cm DESC, vid) AS rn
@@ -1217,14 +1238,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY label, i ORDER BY label, dim
         """,
-        "knn_graph_mutual": """
-            WITH c AS (
+        "knn_graph_mutual": f"""
+            WITH {_nemb_cte()},
+            c AS (
                 SELECT a.vec_id AS src, b.vec_id AS dst,
-                       CAST(FLOOR(list_cosine_similarity(
-                            CAST(a.embedding AS DOUBLE[]),
-                            CAST(b.embedding AS DOUBLE[]))
+                       CAST(FLOOR(list_inner_product(a.u, b.u)
                             * 1000000 + 0.5) AS BIGINT) AS cm
-                FROM embeddings a JOIN embeddings b
+                FROM nemb a JOIN nemb b
                   ON a.vec_id != b.vec_id),
             r AS (SELECT src, dst, cm,
                          ROW_NUMBER() OVER (PARTITION BY src
