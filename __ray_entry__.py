@@ -49,14 +49,20 @@ def _edges_dir(sf_dir: str, dense: bool = False) -> str:
     marker = out + ".done"      # outside the dir: read_parquet scans it
     if not os.path.exists(marker):
         import shutil
-        from erex.pipeline import run_extraction
+        from erex.pipeline import run_extraction_auto
         kw = {}
         if dense:
             from erex.extract import DENSE_CONFIG
             kw["config"] = DENSE_CONFIG
-        if os.path.isdir(out):
-            shutil.rmtree(out)
-        run_extraction(path, **kw).write_parquet(out)
+
+        def consume(ds):
+            # restartable sink: the regroup fallback clears any partial
+            # fused-path output before re-writing
+            if os.path.isdir(out):
+                shutil.rmtree(out)
+            ds.write_parquet(out)
+
+        run_extraction_auto(path, consume=consume, **kw)
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -538,10 +544,12 @@ def _train_matrix_libsvm(sf_dir: str):
 
 
 def entry() -> Any:
-    """Flagship pipeline on the sf0.001-derived corpus."""
-    from erex.pipeline import run_extraction
+    """Flagship pipeline on the sf0.001-derived corpus (auto-falls back
+    to the regroup merge if the fused plan's batch-boundary guard
+    trips)."""
+    from erex.pipeline import run_extraction_auto
     sf_dir = "/root/testdata/sf0.001"
-    return run_extraction(_corpus_for(sf_dir))
+    return run_extraction_auto(_corpus_for(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -625,7 +633,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": text.sequence_pack,
         "inverted_index": text.inverted_index,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "tfidf_top_terms_join": lambda sf: text.tfidf_top_terms(
+            sf, mode="join"),
     }
+
+
+# shared by tfidf_top_terms (broadcast mode) and tfidf_top_terms_join
+# (token hash-join mode) — identical semantics, different exchanges
+_TFIDF_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                                         '[a-z0-9]+')) AS w
+        FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, w),
+    dft AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY w),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.w,
+                 CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+                      * ln(CAST(nn.n AS DOUBLE) / dft.df)
+                      * 1000000 + 0.5) AS BIGINT) AS tm
+          FROM tf JOIN dft ON dft.w = tf.w, nn),
+    r AS (SELECT doc_id, w, tm,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tm DESC, w) AS rn
+          FROM s)
+    SELECT doc_id, rn AS rank, w AS token, tm AS tfidf_micro
+    FROM r WHERE rn <= 3 ORDER BY doc_id, rank
+"""
 
 
 def _nemb_cte() -> str:
@@ -762,19 +799,20 @@ def _pagerank_sql(iters: int = 5) -> str:
     SELECT part, r AS rank_micro FROM pr{iters} ORDER BY part"""
 
 
-def _minhash_sql() -> str:
-    """DuckDB replica of the full minhash-LSH pipeline: md5-derived
-    shingle hashes mod p, the 128 (a*x+b) mod p permutation minima as a
-    vectorized cross-join GROUP BY (the a/b constants are injected as
-    literals from erex.ops.dedup), 64 two-row bands compared by VALUE
-    equality (the engine's md5 bucket key is injective on the band
-    values, so bucket equality == value equality), then the same exact
-    Jaccard verification as dedup_ngram_jaccard."""
-    from erex.ops.dedup import N_BANDS, N_PERM, _A, _B, _P31
+def _minhash_pair_ctes() -> str:
+    """Shared CTE chain replicating the minhash-LSH pair pipeline:
+    md5-derived shingle hashes mod p, the 128 (a*x+b) mod p permutation
+    minima as a vectorized cross-join GROUP BY (the a/b constants are
+    injected as literals from erex.ops.dedup), 64 two-row bands compared
+    by VALUE equality (the engine's polynomial bucket key is injective
+    on the band values, so bucket equality == value equality), then the
+    same exact Jaccard verification as dedup_ngram_jaccard.  Ends with
+    `sizes(doc_id, n)` and `inter(da, db, i)` — the caller selects the
+    threshold-filtered pairs."""
+    from erex.ops.dedup import N_PERM, _A, _B, _P31
     a = ",".join(str(int(v)) for v in _A)
     b = ",".join(str(int(v)) for v in _B)
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
             FROM documents),
         sh AS (
@@ -813,7 +851,14 @@ def _minhash_sql() -> str:
             FROM cand c
             JOIN sh x ON x.doc_id = c.da
             JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
-            GROUP BY c.da, c.db)
+            GROUP BY c.da, c.db)"""
+
+
+def _minhash_sql() -> str:
+    """DuckDB replica of the full minhash-LSH pipeline (see
+    _minhash_pair_ctes)."""
+    return f"""
+        WITH {_minhash_pair_ctes()}
         SELECT i.da AS doc_a, i.db AS doc_b,
                CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i)) AS BIGINT)
                    AS jaccard_milli
@@ -823,6 +868,34 @@ def _minhash_sql() -> str:
         WHERE CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i)) AS BIGINT)
               >= 200
         ORDER BY doc_a, doc_b
+    """
+
+
+def _components_sql() -> str:
+    """DuckDB replica of dedup_components' DEFAULT path: minhash-LSH
+    verified pairs (same CTEs as dedup_minhash) as the edge set, then a
+    recursive hash-min walk labels each node with the minimum doc_id
+    reachable; documents without edges are their own component."""
+    return f"""
+        WITH RECURSIVE {_minhash_pair_ctes()},
+        pairs AS (
+            SELECT i.da, i.db FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.da
+            JOIN sizes sb ON sb.doc_id = i.db
+            WHERE CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i))
+                  AS BIGINT) >= 200),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        walk(u, lab) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, w.lab FROM edges e JOIN walk w ON w.u = e.v),
+        comp AS (SELECT u AS doc_id, MIN(lab) AS component_id
+                 FROM walk GROUP BY u)
+        SELECT d.doc_id,
+               COALESCE(c.component_id, d.doc_id) AS component_id
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        ORDER BY d.doc_id
     """
 
 
@@ -1501,29 +1574,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # float64 ln/mul order matches the engine exactly (verified
         # value-for-value: same libm doubles on both sides)
-        "tfidf_top_terms": """
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(regexp_extract_all(lower(text),
-                                                 '[a-z0-9]+')) AS w
-                FROM documents),
-            tf AS (SELECT doc_id, w, COUNT(*) AS tf
-                   FROM toks GROUP BY doc_id, w),
-            dft AS (SELECT w, COUNT(DISTINCT doc_id) AS df
-                    FROM toks GROUP BY w),
-            nn AS (SELECT COUNT(*) AS n FROM documents),
-            s AS (SELECT tf.doc_id, tf.w,
-                         CAST(FLOOR(CAST(tf.tf AS DOUBLE)
-                              * ln(CAST(nn.n AS DOUBLE) / dft.df)
-                              * 1000000 + 0.5) AS BIGINT) AS tm
-                  FROM tf JOIN dft ON dft.w = tf.w, nn),
-            r AS (SELECT doc_id, w, tm,
-                         ROW_NUMBER() OVER (PARTITION BY doc_id
-                             ORDER BY tm DESC, w) AS rn
-                  FROM s)
-            SELECT doc_id, rn AS rank, w AS token, tm AS tfidf_micro
-            FROM r WHERE rn <= 3 ORDER BY doc_id, rank
-        """,
+        "tfidf_top_terms": _TFIDF_SQL,
+        "tfidf_top_terms_join": _TFIDF_SQL,
         "inverted_index": """
             WITH td AS (
                 SELECT DISTINCT doc_id, w AS token
@@ -1651,42 +1703,5 @@ def oracle_sql() -> dict[str, str]:
         # component id = min doc_id reachable over the verified
         # jaccard dup-pair graph (same pair CTE as dedup_ngram_jaccard;
         # the recursive walk enumerates reachability, MIN collapses it)
-        "dedup_components": """
-            WITH RECURSIVE toks AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-                FROM documents),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-                FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
-                WHERE len(ws) >= 3
-                UNION
-                SELECT DISTINCT doc_id, array_to_string(ws, ' ')
-                FROM toks WHERE len(ws) < 3 AND len(ws) > 0),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-                FROM sh a JOIN sh b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id),
-            pairs AS (
-                SELECT da, db FROM inter
-                JOIN sizes sa ON sa.doc_id = da
-                JOIN sizes sb ON sb.doc_id = db
-                WHERE CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
-                      >= 200),
-            edges AS (SELECT da AS u, db AS v FROM pairs
-                      UNION SELECT db, da FROM pairs),
-            walk(u, lab) AS (
-                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-                UNION
-                SELECT e.u, w.lab FROM edges e JOIN walk w ON w.u = e.v),
-            comp AS (SELECT u AS doc_id, MIN(lab) AS component_id
-                     FROM walk GROUP BY u)
-            SELECT d.doc_id,
-                   COALESCE(c.component_id, d.doc_id) AS component_id
-            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-            ORDER BY d.doc_id
-        """,
+        "dedup_components": _components_sql(),
     }

@@ -37,7 +37,12 @@ def run_bench() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import pyarrow.parquet as pq
     from erex.corpus import corpus_parquet
-    from erex.pipeline import run_extraction
+    from erex.pipeline import run_extraction_auto
+
+    def flagship_count(c):
+        # streaming count with the regroup auto-fallback (identical plan
+        # and cost unless the fused-merge guard trips)
+        return run_extraction_auto(c, consume=lambda ds: ds.count())
 
     # flagship corpus: 4x the sf's documents row count (>= ~20k docs at
     # sf0.1) so per-task work dominates fixed pipeline overhead
@@ -56,12 +61,12 @@ def run_bench() -> None:
     # one untimed warm-up first: Ray worker import + actor spin-up is a
     # fixed per-session cost (~5-8 s here), already amortized away on
     # any long-lived cluster; the scaling children warm identically.
-    run_extraction(corpus).count()
+    flagship_count(corpus)
     runs = []
     n_edges = 0
     for _ in range(3):
         t0 = time.time()
-        n_edges = run_extraction(corpus).count()
+        n_edges = flagship_count(corpus)
         runs.append(time.time() - t0)
     headline = min(runs)
     queries["catena_flagship"] = round(headline, 3)
@@ -166,7 +171,10 @@ def run_headline_only() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import pyarrow.parquet as pq
     from erex.corpus import corpus_parquet
-    from erex.pipeline import run_extraction
+    from erex.pipeline import run_extraction_auto
+
+    def flagship_count(c):
+        return run_extraction_auto(c, consume=lambda ds: ds.count())
 
     mult = int(os.environ.get("ERX_SCALE_MULT", "16"))
     n_docs = mult * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
@@ -178,9 +186,9 @@ def run_headline_only() -> None:
     # steady-state throughput (the per-session cold start is a fixed
     # cost, not a per-document one — same rationale as the page-cache
     # warm above)
-    run_extraction(corpus_parquet(n_docs=256, seed=7)).count()
+    flagship_count(corpus_parquet(n_docs=256, seed=7))
     t0 = time.time()
-    n = run_extraction(corpus).count()
+    n = flagship_count(corpus)
     dt = time.time() - t0
     print(json.dumps({"metric": "catena_flagship", "value": round(dt, 3),
                       "unit": "sec", "num_cpus": num_cpus,

@@ -114,19 +114,26 @@ class CatenaModels:
     shipped weights (resources/models_ref: temprelpro-{dct,et,ee} +
     causerelpro) with liblinear-java call-site semantics, giving
     prediction parity with the reference (tests/test_javaref_parity.py).
-    model_set="selftrained" loads the repo-trained OVR-ridge stand-ins
-    (tools/train_models.py)."""
+    model_set="selftrained" loads the repo-trained models
+    (tools/train_models.py — faithful L2R_L2LOSS_SVC_DUAL, bit-exact vs
+    the reference jar's Linear.train; tests/test_liblinear.py)."""
 
     def __init__(self, model_dir=None, dense: bool = False,
                  model_set: str = "reference"):
         suffix = "_dense.model" if dense else ".model"
-        java = False
+        # java call-site semantics for BOTH sets: the reference's
+        # shipped weights AND the repo-trained ones were produced by
+        # the same Linear.train call convention (problem.n = nFeatures,
+        # bias=1.0, no bias node -> nr_feature = n-1, the last
+        # feature's weights doubling as the 'bias row'), so prediction
+        # must index weights the same way for either
+        java = True
         if model_dir is None:
             sub = "models"
             if model_set == "reference":
                 # dense=True loads the reference's shipped
                 # tbdense-{dct,et,ee}.model (vendored as *_dense.model)
-                sub, java = "models_ref", True
+                sub = "models_ref"
             base = _res.files("erex") / "resources" / sub
             path = lambda stem, s=suffix: str(base / (stem + s))
         else:

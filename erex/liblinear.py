@@ -125,6 +125,191 @@ class LinearModel:
         return [label_vocab[i - 1] for i in ids]
 
 
+class JavaRandom:
+    """java.util.Random's 48-bit LCG — liblinear seeds it with 0
+    (Linear.java static init) and draws the CD permutation from it, so
+    faithful training must replay the exact stream."""
+
+    _MASK = (1 << 48) - 1
+    _MULT = 0x5DEECE66D
+
+    def __init__(self, seed: int = 0):
+        self.seed = (seed ^ self._MULT) & self._MASK
+
+    def _next(self, bits: int) -> int:
+        self.seed = (self.seed * self._MULT + 0xB) & self._MASK
+        return self.seed >> (48 - bits)
+
+    def next_int(self, bound: int) -> int:
+        if bound <= 0:
+            raise ValueError("bound must be positive")
+        if (bound & -bound) == bound:          # power of two
+            return (bound * self._next(31)) >> 31
+        while True:
+            bits = self._next(31)
+            val = bits % bound
+            # Java: while (bits - val + (bound-1) < 0)  [int overflow]
+            if bits - val + (bound - 1) < (1 << 31):
+                return val
+
+
+def _solve_l2r_l2loss_svc_dual(rows, y, w_size, eps, Cp, Cn, rnd,
+                               max_iter=1000):
+    """liblinear 1.95 solve_l2r_l1l2_svc for L2R_L2LOSS_SVC_DUAL,
+    transcribed op-for-op (sequential float64 arithmetic in the exact
+    Java order, shrinking heuristic, java.util.Random permutation) so
+    the returned weights are bit-identical to liblinear-java.
+
+    rows: per-instance list of (feature_index0, value) for NONZERO
+    values only — adding a zero term is an exact float identity (and
+    can never flip a zero's sign here: w entries never become -0.0
+    under round-to-nearest), so skipping zeros preserves bit-exactness
+    while making one-hot vectors cheap."""
+    inf = float("inf")
+    l = len(y)
+    diag = (0.5 / Cn, 0.0, 0.5 / Cp)
+    upper = (inf, 0.0, inf)
+    w = [0.0] * w_size
+    alpha = [0.0] * l
+    QD = [0.0] * l
+    index = list(range(l))
+    for i in range(l):
+        qd = diag[y[i] + 1]
+        for (_j, v) in rows[i]:
+            qd += v * v
+        QD[i] = qd
+    active_size = l
+    PGmax_old, PGmin_old = inf, -inf
+    it = 0
+    while it < max_iter:
+        PGmax_new, PGmin_new = -inf, inf
+        for i in range(active_size):
+            j = i + rnd.next_int(active_size - i)
+            index[i], index[j] = index[j], index[i]
+        s = 0
+        while s < active_size:
+            i = index[s]
+            yi = y[i]
+            g = 0.0
+            row = rows[i]
+            for (j, v) in row:
+                g += w[j] * v
+            G = yi * g - 1.0
+            C = upper[yi + 1]
+            G += alpha[i] * diag[yi + 1]
+            PG = 0.0
+            if alpha[i] == 0.0:
+                if G > PGmax_old:
+                    active_size -= 1
+                    index[s], index[active_size] = \
+                        index[active_size], index[s]
+                    continue
+                elif G < 0.0:
+                    PG = G
+            elif alpha[i] == C:
+                if G < PGmin_old:
+                    active_size -= 1
+                    index[s], index[active_size] = \
+                        index[active_size], index[s]
+                    continue
+                elif G > 0.0:
+                    PG = G
+            else:
+                PG = G
+            if PG > PGmax_new:
+                PGmax_new = PG
+            if PG < PGmin_new:
+                PGmin_new = PG
+            if abs(PG) > 1.0e-12:
+                alpha_old = alpha[i]
+                a = alpha[i] - G / QD[i]
+                if a < 0.0:
+                    a = 0.0
+                if a > C:
+                    a = C
+                alpha[i] = a
+                d = (a - alpha_old) * yi
+                for (j, v) in row:
+                    w[j] += d * v
+            s += 1
+        it += 1
+        if PGmax_new - PGmin_new <= eps:
+            if active_size == l:
+                break
+            active_size = l
+            PGmax_old, PGmin_old = inf, -inf
+            continue
+        PGmax_old = PGmax_new
+        PGmin_old = PGmin_new
+        if PGmax_old <= 0.0:
+            PGmax_old = inf
+        if PGmin_old >= 0.0:
+            PGmin_old = -inf
+    return w
+
+
+def train_liblinear_dual(X: np.ndarray, y_ids, C: float = 1.0,
+                         eps: float = 0.01, bias: float = 1.0,
+                         max_iter: int = 1000) -> LinearModel:
+    """Faithful liblinear-java 1.95 Linear.train for
+    L2R_L2LOSS_SVC_DUAL under the reference's exact call convention
+    (EventEventRelationClassifier.train :120-170): dense FeatureNode
+    rows with indices 1..nFeatures, problem.n = nFeatures, bias = 1.0
+    but NO bias node appended — so model.nr_feature comes out n-1 and
+    the model's 'bias row' is the LAST feature's trained weights, the
+    same call-site quirk the predict path replicates
+    (java_semantics=True).
+
+    Deterministic and bit-identical to the reference jar (verified in
+    tests/test_liblinear.py against lib/liblinear-java-1.95.jar):
+    labels in first-occurrence order, instances permuted class-contiguous
+    (groupClasses), one shared java.util.Random(0) stream across the
+    one-vs-rest subproblems, dual coordinate descent with shrinking."""
+    X = np.asarray(X, dtype=np.float64)
+    l, n = X.shape
+    y_list = [int(v) for v in y_ids]
+    label_ids = list(dict.fromkeys(y_list))
+    nr_class = len(label_ids)
+    lab_index = {lab: i for i, lab in enumerate(label_ids)}
+    data_label = [lab_index[v] for v in y_list]
+    count = [0] * nr_class
+    for dl in data_label:
+        count[dl] += 1
+    start = [0] * nr_class
+    for i in range(1, nr_class):
+        start[i] = start[i - 1] + count[i - 1]
+    perm = [0] * l
+    fill = start.copy()
+    for i in range(l):
+        perm[fill[data_label[i]]] = i
+        fill[data_label[i]] += 1
+    # sub-problem instances in perm order, zeros stripped (see solver)
+    rows = []
+    for i in range(l):
+        xi = X[perm[i]]
+        nz = np.nonzero(xi)[0]
+        rows.append([(int(j), float(xi[j])) for j in nz])
+    rnd = JavaRandom(0)
+    if nr_class == 2:
+        # single weight column: +1 for the first label group
+        y = [1 if i < start[1] else -1 for i in range(l)]
+        w = _solve_l2r_l2loss_svc_dual(rows, y, n, eps, C, C, rnd,
+                                       max_iter)
+        W = np.asarray(w, dtype=np.float64).reshape(-1, 1)
+    else:
+        W = np.zeros((n, nr_class), dtype=np.float64)
+        for ci in range(nr_class):
+            si, ei = start[ci], start[ci] + count[ci]
+            y = [1 if si <= i < ei else -1 for i in range(l)]
+            w = _solve_l2r_l2loss_svc_dual(rows, y, n, eps, C, C, rnd,
+                                           max_iter)
+            W[:, ci] = w
+    # java_semantics: n-dim input vectors index all n weight rows (the
+    # last row is nominally the 'bias row' but was trained as the last
+    # feature — the reference's predict call convention)
+    return LinearModel(label_ids, W, bias, java_semantics=True)
+
+
 def train_ovr_ridge(X: np.ndarray, y_ids, label_ids, bias: float = 1.0,
                     l2: float = 1.0) -> LinearModel:
     """Deterministic one-vs-rest ridge 'training' producing a liblinear-

@@ -109,17 +109,22 @@ def _finish_jaccard(pairs: "rd.Dataset", sf_dir: str, n: int,
                          right_on=("doc_id",))
 
     def score(t: pa.Table) -> pa.Table:
-        inter = np.asarray(t.column("inter").to_pylist(), dtype=np.int64)
-        na_ = np.asarray(t.column("na").to_pylist(), dtype=np.int64)
-        nb_ = np.asarray(t.column("nb").to_pylist(), dtype=np.int64)
+        inter = t.column("inter").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        na_ = t.column("na").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        nb_ = t.column("nb").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
         union = np.clip(na_ + nb_ - inter, 1, None)
         jm = np.floor(1000 * inter / union).astype(np.int64)
         keep = jm >= threshold_milli
+        da = t.column("doc_a").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        db = t.column("doc_b").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
         return pa.table({
-            "doc_a": pa.array(np.asarray(t.column("doc_a").to_pylist(),
-                                         dtype=np.int64)[keep]),
-            "doc_b": pa.array(np.asarray(t.column("doc_b").to_pylist(),
-                                         dtype=np.int64)[keep]),
+            "doc_a": pa.array(da[keep]),
+            "doc_b": pa.array(db[keep]),
             "jaccard_milli": pa.array(jm[keep])})
 
     out = joined.map_batches(score, batch_format="pyarrow", **remote_args())
@@ -159,8 +164,8 @@ def _shingle_shard(t: pa.Table) -> pa.Table:
 
 
 def _pair_shard(t: pa.Table) -> pa.Table:
-    a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
-    b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
+    a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
     sh = ((a * 1_000_003 + b) % 64).astype(np.int32)
     return t.append_column("pshard", pa.array(sh))
 
@@ -419,8 +424,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     buckets = ds.map_batches(f, batch_format="pyarrow", **remote_args())
 
     def add_shard(t: pa.Table) -> pa.Table:
-        sh = [int(k) % 64 for k in t.column("key").to_pylist()]
-        return t.append_column("shard", pa.array(sh, pa.int32()))
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array((k % 64).astype(np.int32)))
 
     _POP8 = np.array([bin(i).count("1") for i in range(256)],
                      dtype=np.uint8)
@@ -558,27 +564,45 @@ def cc_hash_min_labels(edges: pd.DataFrame,
 
 
 def _init_label(t: pa.Table) -> pa.Table:
-    u = np.asarray(t.column("u").to_pylist(), dtype=np.int64)
-    m = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+    u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    m = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({"node": pa.array(u, pa.int64()),
                      "label": pa.array(np.minimum(u, m), pa.int64())})
 
 
+DISTRIBUTED_CC_PAIR_THRESHOLD = 5_000_000
+
+
 def dedup_components(sf_dir: str, n: int = 3, threshold_milli: int = 200,
-                     distributed: bool = False) -> pd.DataFrame:
+                     edges: str = "minhash", distributed: bool = None,
+                     df_cap: int = None) -> pd.DataFrame:
     """Near-duplicate clustering: every document labeled with its
     connected-component id (min doc_id reachable) in the graph whose
-    edges are the verified n-gram-Jaccard dup pairs. The keep-one-per-
-    cluster decision of every production dedup pipeline is a trivial
-    filter over this table (keep iff doc_id == component_id).
+    edges are verified near-dup pairs. The keep-one-per-cluster
+    decision of every production dedup pipeline is a trivial filter
+    over this table (keep iff doc_id == component_id).
 
-    Pair generation + verification are the fully distributed
-    ngram_jaccard_pairs pipeline; component labeling runs union-find
-    on the output-scale pair list (or the shuffle-based hash-min
-    iteration when distributed=True — identical output, tested);
+    DEFAULTS ARE THE SCALE PATH: edges come from the banded minhash-LSH
+    pipeline (cost linear in documents + candidates — the uncapped
+    exact-Jaccard variant is O(df^2) per shingle and exists as
+    edges='jaccard' for the oracle baseline, with df_cap as its own
+    scale valve), and labeling switches automatically from driver
+    union-find (O(|pairs| alpha) on output-scale data) to the
+    shuffle-based hash-min iteration above
+    DISTRIBUTED_CC_PAIR_THRESHOLD pairs (identical output, tested);
     the final assignment is a broadcast-map over the corpus, never a
     shuffle."""
-    pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold_milli=threshold_milli)
+    if edges == "minhash":
+        pairs = minhash_lsh_pairs(sf_dir, n=n,
+                                  threshold_milli=threshold_milli)
+    elif edges == "jaccard":
+        pairs = ngram_jaccard_pairs(sf_dir, n=n,
+                                    threshold_milli=threshold_milli,
+                                    df_cap=df_cap)
+    else:
+        raise ValueError(f"edges must be 'minhash' or 'jaccard': {edges}")
+    if distributed is None:
+        distributed = len(pairs) > DISTRIBUTED_CC_PAIR_THRESHOLD
     if distributed and len(pairs):
         lab = cc_hash_min_labels(pairs)
         comp = dict(zip(lab["node"].astype(int), lab["label"].astype(int)))

@@ -57,8 +57,8 @@ def _copurchase_edges(sf_dir: str) -> "rd.Dataset":
         return df.drop_duplicates()
 
     def pair_shard(t: pa.Table) -> pa.Table:
-        a = np.asarray(t.column("u").to_pylist(), dtype=np.int64)
-        b = np.asarray(t.column("v").to_pylist(), dtype=np.int64)
+        a = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
         sh = ((a * 1_000_003 + b) % _N_SHARDS).astype(np.int32)
         return t.append_column("pshard", pa.array(sh))
 
@@ -259,7 +259,16 @@ def _pagerank_broadcast(edges: "rd.Dataset", nodes: "rd.Dataset",
                          "rank_micro": pd.Series(ranks, dtype="int64")})
 
 
-def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+TRI_BROADCAST_MAX_NODES = PR_BROADCAST_MAX_NODES
+
+
+def _rank_key(deg: np.ndarray, node: np.ndarray) -> np.ndarray:
+    # total order: degree first, node id as tie-break (node ids fit far
+    # below 2^32 in these tables)
+    return deg * (1 << 32) + node
+
+
+def copurchase_triangles(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     """Global triangle count over the co-purchase graph by
     degree-ordered orientation: orient every undirected edge from its
     lower-(degree, id) endpoint to the higher, so each node's
@@ -269,12 +278,21 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     source shard, pre-combined into (v, w, multiplicity) rows, and
     hash-joined against the oriented edge set — never an edge-set
     broadcast. The count is orientation-invariant, so the SQL oracle
-    uses the simpler id-ordered 3-way self-join."""
+    uses the simpler id-ordered 3-way self-join.
+
+    Two modes, identical output (tested):
+    - 'broadcast' (auto below TRI_BROADCAST_MAX_NODES): the node-sized
+      degree vector ships via ray.put — same guarded contract as
+      PageRank's broadcast mode.
+    - 'join' (auto above): degrees stay a node-keyed Dataset
+      hash-joined onto both edge endpoints; the oriented rows carry
+      the head's degree so the wedge stage needs no lookup — nothing
+      node-sized lands on the driver."""
     import ray
     from ray.data.aggregate import Sum
     edges = _copurchase_edges(sf_dir).materialize()
 
-    # node-sized degree vector from per-batch partials (both endpoints)
+    # node-keyed degree table from per-batch partials (both endpoints)
     def deg_partial(t: pa.Table) -> pa.Table:
         from collections import Counter
         c: Counter = Counter(t.column("u").to_pylist())
@@ -282,51 +300,62 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
         return pa.table({"part": pa.array(list(c.keys()), pa.int64()),
                          "d": pa.array(list(c.values()), pa.int64())})
 
-    dsum = (edges.map_batches(deg_partial, batch_format="pyarrow",
-                              **remote_args())
-            .groupby("part").aggregate(Sum("d", alias_name="d"))
-            .to_pandas())
-    ids = dsum["part"].to_numpy(dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    degs = dsum["d"].to_numpy(dtype=np.int64)[order]
-    ids_ref = ray.put(ids)
-    deg_ref = ray.put(degs)
+    deg_ds = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                                **remote_args())
+              .groupby("part").aggregate(Sum("d", alias_name="d"))
+              .materialize())
+    if mode == "auto":
+        mode = "broadcast" if deg_ds.count() <= TRI_BROADCAST_MAX_NODES \
+            else "join"
 
-    def rank_key(deg: np.ndarray, node: np.ndarray) -> np.ndarray:
-        # total order: degree first, node id as tie-break (node ids
-        # fit far below 2^32 in these tables)
-        return deg * (1 << 32) + node
+    if mode == "broadcast":
+        dsum = deg_ds.to_pandas()
+        ids = dsum["part"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        degs = dsum["d"].to_numpy(dtype=np.int64)[order]
+        ids_ref = ray.put(ids)
+        deg_ref = ray.put(degs)
 
-    def orient(t: pa.Table, _ids=ids_ref, _deg=deg_ref) -> pa.Table:
-        import ray as _ray
-        idv = _ray.get(_ids)
-        dg = _ray.get(_deg)
-        u = t.column("u").to_numpy()
-        v = t.column("v").to_numpy()
-        ku = rank_key(dg[np.searchsorted(idv, u)], u)
-        kv = rank_key(dg[np.searchsorted(idv, v)], v)
-        swap = kv < ku
-        a = np.where(swap, v, u)
-        b = np.where(swap, u, v)
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64()),
-                         "ashard": pa.array(
-                             (a % _N_SHARDS).astype(np.int32))})
+        def orient(t: pa.Table, _ids=ids_ref, _deg=deg_ref) -> pa.Table:
+            import ray as _ray
+            idv = _ray.get(_ids)
+            dg = _ray.get(_deg)
+            u = t.column("u").to_numpy()
+            v = t.column("v").to_numpy()
+            du = dg[np.searchsorted(idv, u)]
+            dv = dg[np.searchsorted(idv, v)]
+            return _orient_table(u, v, du, dv)
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow",
-                                 **remote_args()).materialize()
+        oriented = edges.map_batches(orient, batch_format="pyarrow",
+                                     **remote_args()).materialize()
+    elif mode == "join":
+        npart = 8
+        e_du = edges.join(
+            deg_ds.rename_columns({"part": "u", "d": "du"}),
+            "inner", npart, on=("u",))
+        e_deg = e_du.join(
+            deg_ds.rename_columns({"part": "v", "d": "dv"}),
+            "inner", npart, on=("v",))
 
-    def wedges(g: pd.DataFrame, _ids=ids_ref, _deg=deg_ref) -> pd.DataFrame:
-        import ray as _ray
-        idv = _ray.get(_ids)
-        dg = _ray.get(_deg)
+        def orient_joined(t: pa.Table) -> pa.Table:
+            return _orient_table(
+                t.column("u").to_numpy(), t.column("v").to_numpy(),
+                t.column("du").to_numpy(), t.column("dv").to_numpy())
+
+        oriented = e_deg.map_batches(orient_joined,
+                                     batch_format="pyarrow",
+                                     **remote_args()).materialize()
+    else:
+        raise ValueError(f"mode must be auto/broadcast/join: {mode}")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
         chunks = []
         for _a, sub in g.groupby("a"):
             bs = sub["b"].to_numpy(dtype=np.int64)
             if len(bs) < 2:
                 continue
-            k = rank_key(dg[np.searchsorted(idv, bs)], bs)
+            k = _rank_key(sub["db"].to_numpy(dtype=np.int64), bs)
             bs = bs[np.argsort(k)]
             # all rank-ordered out-neighbor pairs, packed into one
             # int64 per pair (node ids are far below 2^31)
@@ -353,3 +382,20 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     total = closed.sum("m") or 0
     return pd.DataFrame({"n_triangles": pd.Series([int(total)],
                                                   dtype="int64")})
+
+
+def _orient_table(u, v, du, dv) -> pa.Table:
+    """Degree-orient one edge batch; oriented rows carry the head's
+    degree (db) so the wedge stage can rank out-neighbors without any
+    node-table lookup."""
+    ku = _rank_key(np.asarray(du, dtype=np.int64), u)
+    kv = _rank_key(np.asarray(dv, dtype=np.int64), v)
+    swap = kv < ku
+    a = np.where(swap, v, u)
+    b = np.where(swap, u, v)
+    db = np.where(swap, du, dv).astype(np.int64)
+    return pa.table({"a": pa.array(a, pa.int64()),
+                     "b": pa.array(b, pa.int64()),
+                     "db": pa.array(db, pa.int64()),
+                     "ashard": pa.array(
+                         (a % _N_SHARDS).astype(np.int32))})

@@ -510,17 +510,31 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("token").reset_index(drop=True))
 
 
-def tfidf_top_terms(sf_dir: str, top: int = 3) -> pd.DataFrame:
+TFIDF_BROADCAST_MAX_VOCAB = 2_000_000
+
+
+def tfidf_top_terms(sf_dir: str, top: int = 3,
+                    mode: str = "auto") -> pd.DataFrame:
     """Per-document top TF-IDF terms — the keyword/term-weighting step
-    of retrieval and topic-labeling pipelines. Two streaming passes:
-    (1) document frequencies via per-batch distinct-token partial
-    counts -> one vocabulary-sized groupby-sum, broadcast back as a
-    dict (vocabulary << corpus; at extreme vocabularies swap the
-    broadcast for a token hash-join); (2) per-doc tf and
+    of retrieval and topic-labeling pipelines. Score is
     floor(tf * ln(N/df) * 1e6 + 0.5) with the float64 ops ordered as
     in the DuckDB oracle (ln parity verified value-for-value), top
-    `top` terms by (score desc, token asc)."""
-    import math
+    `top` terms by (score desc, token asc).
+
+    Two execution modes with identical output (tested):
+
+    - 'broadcast' (auto below TFIDF_BROADCAST_MAX_VOCAB distinct
+      tokens): document frequencies via per-batch distinct-token
+      partial counts -> one vocabulary-sized groupby-sum, broadcast
+      back as a dict; one scoring pass over the corpus. Right while
+      the vocabulary fits comfortably on every worker.
+    - 'join' (auto above the threshold): the DF table STAYS a
+      token-keyed Dataset; per-doc (doc_id, token, tf) rows hash-join
+      against it, scores compute vectorized post-join, and per-doc
+      top-k runs in doc-shard groups — nothing vocabulary-sized ever
+      lands on the driver or in a worker heap. At web-corpus
+      vocabularies (1e8-1e9 tokens) the broadcast dict would be a
+      multi-GB object per worker; this is the scale path."""
     import ray
     from ray.data.aggregate import Sum
     path = f"{sf_dir}/documents.parquet"
@@ -538,10 +552,19 @@ def tfidf_top_terms(sf_dir: str, top: int = 3) -> pd.DataFrame:
         return pa.table({"token": pa.array(list(c.keys()), pa.string()),
                          "d": pa.array(list(c.values()), pa.int64())})
 
-    dfs = (ds.map_batches(df_partial, batch_format="pyarrow",
-                          **remote_args())
-           .groupby("token").aggregate(Sum("d", alias_name="d"))
-           .to_pandas())
+    dfs_ds = (ds.map_batches(df_partial, batch_format="pyarrow",
+                             **remote_args())
+              .groupby("token").aggregate(Sum("d", alias_name="d")))
+    if mode == "auto":
+        dfs_ds = dfs_ds.materialize()
+        mode = "broadcast" if dfs_ds.count() <= TFIDF_BROADCAST_MAX_VOCAB \
+            else "join"
+    if mode == "join":
+        return _tfidf_join(ds, dfs_ds, n_docs, top)
+    if mode != "broadcast":
+        raise ValueError(f"mode must be auto/broadcast/join: {mode}")
+    import math
+    dfs = dfs_ds.to_pandas()
     df_ref = ray.put(dict(zip(dfs["token"], dfs["d"].astype(int))))
 
     def score(t: pa.Table, _df=df_ref) -> pa.Table:
@@ -568,3 +591,61 @@ def tfidf_top_terms(sf_dir: str, top: int = 3) -> pd.DataFrame:
 
     return ds.map_batches(score, batch_format="pyarrow", **remote_args())\
         .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def _tfidf_join(ds: "rd.Dataset", dfs_ds: "rd.Dataset", n_docs: int,
+                top: int) -> pd.DataFrame:
+    """Join-mode TF-IDF: (doc_id, token, tf) explode -> hash join with
+    the DF Dataset on token -> vectorized scoring -> doc-shard groupby
+    for the per-doc top-k. math.log and np.log resolve to the same
+    libm values for float64, so the two modes score identically
+    (asserted in tests value-for-value)."""
+    tok = LOWER_TOKEN_RE
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    npart = max(2, min(64, ncpu // 2))
+
+    def tf_explode(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, toks, tfs = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            for w, c in Counter(tok.findall(x.lower())).items():
+                ids.append(d)
+                toks.append(w)
+                tfs.append(c)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    joined = ds.map_batches(tf_explode, batch_format="pyarrow",
+                            **remote_args())\
+        .join(dfs_ds, "inner", npart, on=("token",))
+
+    def score_shard(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        d = t.column("d").to_numpy().astype(np.float64)
+        s = np.floor(tf * np.log(n_docs / d) * 1_000_000 + 0.5)\
+            .astype(np.int64)
+        ids = t.column("doc_id").to_numpy()
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "token": t.column("token"),
+                        "tfidf_micro": pa.array(s, pa.int64()),
+                        "dshard": pa.array((ids & 63).astype(np.int32))})
+        return out
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tfidf_micro", "token"],
+                          ascending=[True, False, True])
+        h = g.groupby("doc_id", sort=True).head(top).copy()
+        h["rank"] = h.groupby("doc_id").cumcount().astype("int64") + 1
+        return h[["doc_id", "rank", "token", "tfidf_micro"]]
+
+    out = (joined.map_batches(score_shard, batch_format="pyarrow",
+                              **remote_args())
+           .groupby("dshard")
+           .map_groups(shard_topk, batch_format="pandas",
+                       **remote_args()))
+    return out.to_pandas().sort_values(["doc_id", "rank"])\
+        .reset_index(drop=True)

@@ -709,14 +709,20 @@ def run_extraction(corpus_path: str,
                    scorer_concurrency=None,
                    parse_batch_size: int = None,
                    regroup: bool = False,
-                   scorer_mode: str = "tasks") -> "rd.Dataset":
+                   scorer_mode: str = "tasks",
+                   _inject_rechunk: int = 0) -> "rd.Dataset":
     """The flagship dataset: corpus parquet -> final edge/node rows.
     Lazy — callers consume via write/aggregate/iter.
 
     regroup=False (default): the per-document merge runs fused on the
     doc-complete batches (no shuffle). regroup=True: an explicit
     groupby(doc_shard) re-groups rows first — required only when an
-    upstream stage may split a document across batches."""
+    upstream stage may split a document across batches.
+
+    _inject_rechunk (TEST-ONLY): repartition between the scorer and the
+    merge, simulating an execution plan that re-chunks between the
+    fused stages (what a Ray version behavior change could do); used to
+    prove the guard + run_extraction_auto fallback end-to-end."""
     if parse_batch_size is None:
         try:
             parse_batch_size = pick_docs_per_block(_corpus_rows(corpus_path))
@@ -748,6 +754,8 @@ def run_extraction(corpus_path: str,
                                      model_set=config.model_set)
         ds = ds.map_batches(score_fn, batch_format="pyarrow",
                             **remote_args())
+    if _inject_rechunk:
+        ds = ds.repartition(_inject_rechunk)
     if regroup:
         ds = ds.groupby("doc_shard").map_groups(
             lambda g: _dict_encode(merge_shard(g, config)),
@@ -756,6 +764,45 @@ def run_extraction(corpus_path: str,
         ds = ds.map_batches(lambda b: _dict_encode(merge_batch(b, config)),
                             batch_format="pyarrow", **remote_args())
     return ds
+
+
+_SPLIT_GUARD_MARKERS = ("fused merge received a split document",
+                        "fused merge received salted rows")
+
+
+def _is_split_guard_error(e: BaseException) -> bool:
+    return any(m in str(e) for m in _SPLIT_GUARD_MARKERS)
+
+
+def run_extraction_auto(corpus_path: str,
+                        config: PipelineConfig = DEFAULT_CONFIG,
+                        consume=None, **kw):
+    """Fused-merge flagship with AUTOMATIC regroup fallback: build the
+    no-shuffle plan, trigger execution via `consume`; if the
+    split-document guard trips (the execution plan re-chunked between
+    the fused stages — e.g. a Ray version behavior change), rebuild the
+    pipeline through the explicit groupby(doc_shard) regroup and
+    consume again. No user intervention, exact same output (tested via
+    the _inject_rechunk hook).
+
+    consume: callable(Dataset) -> result that triggers execution
+    (write_parquet, to_pandas, materialize); it must be restartable —
+    a partitioned parquet sink should clear its output dir first.
+    Defaults to Dataset.materialize() (the output edge/node table is
+    far smaller than the input corpus, and execution has to be
+    observed here for the guard to be catchable)."""
+    kw.pop("regroup", None)
+    if consume is None:
+        def consume(ds):
+            return ds.materialize()
+    try:
+        return consume(run_extraction(corpus_path, config,
+                                      regroup=False, **kw))
+    except Exception as e:          # ray wraps the guard RuntimeError
+        if not _is_split_guard_error(e):
+            raise
+        return consume(run_extraction(corpus_path, config,
+                                      regroup=True, **kw))
 
 
 def edges_only(ds: "rd.Dataset") -> "rd.Dataset":

@@ -18,7 +18,7 @@ from .extract import (PAIR_CAUSAL, PAIR_DCT, PAIR_EE, PAIR_ET,
                       PipelineConfig, stage1_document)
 from .labels import clink_label_num, dense_label_num, \
     tlink_label_num
-from .liblinear import train_ovr_ridge
+from .liblinear import train_liblinear_dual, train_ovr_ridge
 
 MODEL_FILES = {PAIR_DCT: "dct.model", PAIR_ET: "et.model",
                PAIR_EE: "ee.model", PAIR_CAUSAL: "causal.model"}
@@ -53,10 +53,17 @@ def collect_training_data(contents, config=None, dense=False) -> dict:
 
 
 def train_models(contents, out_dir: str, l2: float = 1.0,
-                 dense: bool = False) -> dict:
+                 dense: bool = False,
+                 solver: str = "liblinear") -> dict:
     """Train and write the four model files; returns per-class stats.
     dense=True writes *_dense.model temporal heads (predictDense
-    parity, EventTimexRelationClassifier.java:467+)."""
+    parity, EventTimexRelationClassifier.java:467+).
+
+    solver='liblinear' (default) is the faithful L2R_L2LOSS_SVC_DUAL
+    dual coordinate descent (C=1.0, eps=0.01, bias=1.0 — the
+    reference's exact Linear.train call, bit-identical weights vs the
+    reference jar); solver='ridge' keeps the closed-form OVR ridge as
+    a fast deterministic alternative."""
     os.makedirs(out_dir, exist_ok=True)
     contents = list(contents)
     data = collect_training_data(contents, dense=dense)
@@ -71,7 +78,12 @@ def train_models(contents, out_dir: str, l2: float = 1.0,
             raise ValueError(f"no training data for {pc}")
         X = np.stack(X)
         label_ids = list(dict.fromkeys(y))
-        model = train_ovr_ridge(X, y, label_ids, bias=1.0, l2=l2)
+        if solver == "liblinear":
+            model = train_liblinear_dual(X, y, C=1.0, eps=0.01, bias=1.0)
+        elif solver == "ridge":
+            model = train_ovr_ridge(X, y, label_ids, bias=1.0, l2=l2)
+        else:
+            raise ValueError(f"solver must be liblinear/ridge: {solver}")
         model.save(os.path.join(out_dir, fname))
         stats[pc] = {"n": len(y), "d": int(X.shape[1]),
                      "labels": label_ids}

@@ -478,6 +478,10 @@ def test_copurchase_triangles_match_bruteforce(ray_session):
     want = sum(1 for (a, b) in edges
                for c in adj.get(b, ()) if c in adj.get(a, ()))
     assert got == want and got > 0
+    # join mode (no node-sized broadcast) counts identically
+    joined = int(copurchase_triangles(SF, mode="join")
+                 ["n_triangles"].iloc[0])
+    assert joined == want
 
 
 def test_ngram_contamination_matches_bruteforce(ray_session):
@@ -626,6 +630,16 @@ def test_tfidf_top_terms_matches_serial(ray_session):
         sub = out[out["doc_id"] == r["doc_id"]].sort_values("rank")
         assert list(sub["token"]) == [w for _s, w in want]
         assert list(sub["tfidf_micro"]) == [-s for s, _w in want]
+
+
+def test_tfidf_join_mode_identical(ray_session):
+    """Broadcast and token-hash-join modes are value-identical —
+    including the micro-rounded scores (math.log vs np.log agree
+    bit-for-bit on float64)."""
+    from erex.ops.text import tfidf_top_terms
+    a = tfidf_top_terms(SF, top=3, mode="broadcast")
+    b = tfidf_top_terms(SF, top=3, mode="join")
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_rolling_window_matches_bruteforce(ray_session):

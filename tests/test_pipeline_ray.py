@@ -200,6 +200,34 @@ def test_fused_merge_guard_detects_split_document():
     assert merge_shard(staged, DEFAULT_CONFIG).num_rows == merged.num_rows
 
 
+def test_run_extraction_auto_falls_back_on_forced_split(corpus):
+    """Force an execution plan that re-chunks between the fused stages
+    (_inject_rechunk splits documents across batch boundaries): the
+    plain fused run must trip the guard, and run_extraction_auto must
+    recover through the regroup shuffle with EXACT output and no user
+    intervention."""
+    from erex.pipeline import run_extraction, run_extraction_auto
+
+    def norm(df):
+        df = df.drop(columns=[c for c in ("feats",) if c in df.columns])
+        for c in df.columns:
+            if str(df[c].dtype) in ("category", "object"):
+                # null handling differs between the fused and regroup
+                # encodings (None vs NaN) — normalize for the compare
+                df[c] = df[c].astype(object).where(df[c].notna(), "")\
+                    .astype(str)
+        return df.sort_values(list(df.columns))\
+            .reset_index(drop=True)
+
+    want = norm(run_extraction(corpus).to_pandas())
+    # the injected rechunk provably splits documents (guard trips)...
+    with pytest.raises(Exception, match="split document"):
+        run_extraction(corpus, _inject_rechunk=7).to_pandas()
+    # ...and the auto wrapper recovers with identical output
+    got = norm(run_extraction_auto(corpus, _inject_rechunk=7).to_pandas())
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
 def test_decode_pylist_matches_to_pylist():
     """_decode_pylist (merge hot path) must be value-identical to
     to_pylist across every shape it dispatches on: short columns

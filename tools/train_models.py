@@ -15,3 +15,4 @@ if __name__ == "__main__":
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "erex", "resources", "models")
     print(train_from_seeds(120, 7, out))
+    print(train_from_seeds(120, 7, out, dense=True))
