@@ -68,24 +68,32 @@ def _edges_dir(sf_dir: str, dense: bool = False) -> str:
     return out
 
 
-def _merged_ds(sf_dir: str):
+def _merged_ds(sf_dir: str, columns=None):
+    """Edge-table dataset with COLUMN PRUNING pushed into the parquet
+    scan — each catena_* query names exactly the columns it consumes,
+    so only those leave storage (the 100-TB shape; the feats column in
+    particular never moves for any of these)."""
     import ray.data as rd
-    return rd.read_parquet(_edges_dir(sf_dir))
+    return rd.read_parquet(_edges_dir(sf_dir), columns=columns)
 
 
-def _merged_df(sf_dir: str):
+def _merged_df(sf_dir: str, columns=None):
     """Driver-side frame of the (small at test sf) final edge table —
-    read back from the streaming parquet sink, never from a mid-pipeline
-    materialization."""
-    df = _merged_ds(sf_dir).to_pandas()
+    read back from the streaming parquet sink with pruned columns,
+    never from a mid-pipeline materialization."""
+    df = _merged_ds(sf_dir, columns=columns).to_pandas()
     for c in df.columns:
         if str(df[c].dtype) == "category":
             df[c] = df[c].astype(str)
     return df
 
 
+_EDGE_COLS = ["kind", "doc_sha", "subj", "pred", "obj", "pair_class",
+              "stage", "consistent", "gold", "subj_key", "obj_key"]
+
+
 def _catena_edges(sf_dir: str):
-    df = _merged_df(sf_dir)
+    df = _merged_df(sf_dir, columns=_EDGE_COLS)
     df = df[df["kind"] == "edge"][
         ["doc_sha", "subj", "pred", "obj", "pair_class", "stage",
          "consistent", "gold", "subj_key", "obj_key"]]
@@ -95,13 +103,17 @@ def _catena_edges(sf_dir: str):
 
 def _catena_nodes(sf_dir: str):
     from erex.canonical import canonical_nodes
-    out = canonical_nodes(_merged_ds(sf_dir)).to_pandas()
+    out = canonical_nodes(_merged_ds(
+        sf_dir, columns=["kind", "subj_key", "node_kind", "surface",
+                         "attr"])).to_pandas()
     return out.sort_values("node_key").reset_index(drop=True)
 
 
 def _catena_graph_edges(sf_dir: str):
     from erex.canonical import canonical_edges
-    out = canonical_edges(_merged_ds(sf_dir)).to_pandas()
+    out = canonical_edges(_merged_ds(
+        sf_dir, columns=["kind", "subj_key", "pred", "obj_key",
+                         "consistent"])).to_pandas()
     return out.sort_values(["subj_key", "pred", "obj_key"])\
         .reset_index(drop=True)
 
@@ -113,7 +125,8 @@ def _catena_tt_rules(sf_dir: str):
 
 def _catena_confusion(sf_dir: str):
     from erex.evalx import confusion_counts
-    return confusion_counts(_merged_ds(sf_dir))
+    return confusion_counts(_merged_ds(
+        sf_dir, columns=["kind", "gold", "pred"]))
 
 
 def _catena_stage_counts(sf_dir: str):
@@ -402,7 +415,7 @@ def _catena_confusion_collapsed(sf_dir: str):
     """Confusion counts in the collapsed label space (M13)."""
     import pandas as pd
     from erex.labels import collapse_label
-    df = _merged_df(sf_dir)
+    df = _merged_df(sf_dir, columns=["kind", "gold", "pred"])
     df = df[(df["kind"] == "edge") & df["gold"].notna()
             & (df["gold"] != "NONE")].copy()
     df["gold_c"] = df["gold"].map(collapse_label)
@@ -500,10 +513,25 @@ def _label_inverse_sql() -> str:
 
 def _catena_timeml(sf_dir: str):
     """TimeML rendering sink (S5) over the merged edges."""
+    import pyarrow as pa
     from erex._env import remote_args
     from erex.timeml import timeml_batch
-    out = _merged_ds(sf_dir).map_batches(
-        timeml_batch, batch_format="pyarrow", **remote_args()).to_pandas()
+
+    def shard(t: pa.Table) -> pa.Table:
+        sh = [int(s[:8], 16) % 64
+              for s in t.column("doc_sha").to_pylist()]
+        return t.append_column("dsh", pa.array(sh, pa.int32()))
+
+    # group by a coarse doc-hash shard so every document renders from
+    # ALL of its rows exactly once — a plain map_batches would emit one
+    # row per (doc, batch), making the row count batching-dependent
+    out = _merged_ds(
+        sf_dir, columns=["kind", "consistent", "doc_sha", "doc_path",
+                         "subj", "obj", "pred", "pair_class"])\
+        .map_batches(shard, batch_format="pyarrow", **remote_args())\
+        .groupby("dsh")\
+        .map_groups(timeml_batch, batch_format="pyarrow",
+                    **remote_args()).to_pandas()
     return out.sort_values("doc_sha").reset_index(drop=True)
 
 
@@ -511,9 +539,10 @@ def _catena_triples_tsv(sf_dir: str):
     """Triple TSV-line sink (S6)."""
     from erex._env import remote_args
     from erex.sinks import triples_tsv_batch
-    out = _merged_ds(sf_dir).map_batches(
-        triples_tsv_batch, batch_format="pyarrow", **remote_args())\
-        .to_pandas()
+    out = _merged_ds(
+        sf_dir, columns=["kind", "doc_sha", "subj", "obj", "pred"])\
+        .map_batches(triples_tsv_batch, batch_format="pyarrow",
+                     **remote_args()).to_pandas()
     return out.sort_values(["doc_sha", "line"]).reset_index(drop=True)
 
 
@@ -521,7 +550,9 @@ def _catena_closure_prf(sf_dir: str):
     """Closure-aware graph P/R (A3) micro-averaged over documents."""
     import pandas as pd
     from erex.evalx import closure_aware_prf
-    res = closure_aware_prf(_merged_ds(sf_dir))
+    res = closure_aware_prf(_merged_ds(
+        sf_dir, columns=["doc_sha", "kind", "consistent", "subj", "obj",
+                         "pred", "gold"]))
     return pd.DataFrame([{
         "p_milli": int(1000 * res["precision"]),
         "r_milli": int(1000 * res["recall"]),
@@ -556,27 +587,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from erex.ops import (dedup, graph, multimodal, relational,
                           similarity, sketch, text)
 
+    # ORDER MATTERS for the audit trail: the round-3 driver recorded
+    # correctness rows for only the first 50 dict entries, so the
+    # entries still lacking a driver-side row (the round-3 additions +
+    # this round's new oracles) come FIRST, followed by the oracled
+    # families worth re-confirming on this round's code; the rows-only
+    # catena extraction family (whose correctness is pinned by
+    # compiled-reference parity, not SQL) closes the list.
     return {
-        # CATENA flagship (SURVEY.md §2/§3; rows-only)
-        "catena_edges": _catena_edges,
-        "catena_nodes": _catena_nodes,
-        "catena_graph_edges": _catena_graph_edges,
-        "catena_tt_rules": _catena_tt_rules,
-        "catena_confusion": _catena_confusion,
-        "catena_confusion_collapsed": _catena_confusion_collapsed,
-        "label_collapse_variants": _label_collapse_variants,
-        "label_inverse_map": _label_inverse_map,
-        "catena_stage_counts": _catena_stage_counts,
-        "catena_parse_stats": _catena_parse_stats,
-        "timeml_to_columns_stats": _timeml_to_columns_stats,
-        "phrase_embed_feats": _phrase_embed_feats,
-        "mln_merge_stats": _mln_merge_stats,
-        "catena_edges_dense": _catena_edges_dense,
-        "catena_timeml": _catena_timeml,
-        "catena_triples_tsv": _catena_triples_tsv,
-        "catena_closure_prf": _catena_closure_prf,
-        "train_matrix_libsvm": _train_matrix_libsvm,
-        # relational operators (A1/A2, J4, O3, windows)
+        # --- newest families: no driver row yet / new oracle ---------
+        "mm_image_meta": multimodal.image_meta,
+        "mm_frame_sample": multimodal.frame_sample,
+        "mm_audio_chunks": multimodal.audio_chunks,
+        "quality_filter": text.quality_filter,
+        "profile_table": relational.profile_table,
+        "q_range_join_orders": relational.q_range_join_orders,
+        "q_rolling_window": relational.q_rolling_window,
+        "sequence_pack": text.sequence_pack,
+        "ngram_contamination": text.ngram_contamination,
+        "inverted_index": text.inverted_index,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "tfidf_top_terms_join": lambda sf: text.tfidf_top_terms(
+            sf, mode="join"),
+        "distinct_shingles": sketch.distinct_shingles,
+        "distinct_shingles_hll": sketch.distinct_shingles_hll,
+        "heavy_hitter_ngrams": sketch.heavy_hitter_ngrams,
+        "copurchase_degree": graph.copurchase_degree,
+        "copurchase_triangles": graph.copurchase_triangles,
+        "copurchase_pagerank": graph.copurchase_pagerank,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        # --- relational operators (A1/A2, J4, O3, windows) -----------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q_events_daily": relational.q_events_daily,
@@ -586,55 +626,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_without_orders": relational.q_customers_without_orders,
         "q_asof_latest_order": relational.q_asof_latest_order,
         "q_distinct_event_types": relational.q_distinct_event_types,
-        # dedup family
+        # --- dedup family --------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_ngram_capped": lambda sf: dedup.ngram_jaccard_pairs(
+            sf, df_cap=8),
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": lambda sf: similarity.embedding_dup_pairs(
             sf, threshold_micro=400_000),
         "dedup_embedding_lsh": lambda sf: similarity.embedding_dup_pairs_lsh(
             sf, threshold_micro=400_000),
-        "dedup_ngram_capped": lambda sf: dedup.ngram_jaccard_pairs(
-            sf, df_cap=8),
-        # similarity search
+        "dedup_components": dedup.dedup_components,
+        # --- similarity search ---------------------------------------
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_quantize": similarity.embedding_quantize,
         "knn_graph_mutual": similarity.knn_graph_mutual,
-        # text analysis
-        "token_count": text.token_count,
+        # --- text analysis -------------------------------------------
         "token_count_bpe": text.token_count_bpe,
         "stopword_ratio": text.stopword_ratio,
-        "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
         "repetition_stats": text.repetition_stats,
         "topk_ngrams": text.topk_ngrams,
         "hash_sample": text.hash_sample,
-        "dedup_components": dedup.dedup_components,
-        # multimodal plumbing
-        "mm_image_meta": multimodal.image_meta,
-        "mm_frame_sample": multimodal.frame_sample,
-        "mm_audio_chunks": multimodal.audio_chunks,
-        "copurchase_degree": graph.copurchase_degree,
-        "copurchase_pagerank": graph.copurchase_pagerank,
-        "copurchase_triangles": graph.copurchase_triangles,
-        "distinct_shingles": sketch.distinct_shingles,
-        "distinct_shingles_hll": sketch.distinct_shingles_hll,
-        "heavy_hitter_ngrams": sketch.heavy_hitter_ngrams,
-        "q_range_join_orders": relational.q_range_join_orders,
-        "q_rolling_window": relational.q_rolling_window,
-        "profile_table": relational.profile_table,
-        "quality_filter": text.quality_filter,
-        "ngram_contamination": text.ngram_contamination,
-        "sequence_pack": text.sequence_pack,
-        "inverted_index": text.inverted_index,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "tfidf_top_terms_join": lambda sf: text.tfidf_top_terms(
-            sf, mode="join"),
+        # --- structural extraction oracles ---------------------------
+        "catena_parse_stats": _catena_parse_stats,
+        "timeml_to_columns_stats": _timeml_to_columns_stats,
+        # --- hash-green in r3, code unchanged since -------------------
+        "label_collapse_variants": _label_collapse_variants,
+        "label_inverse_map": _label_inverse_map,
+        "token_count": text.token_count,
+        "quality_score": text.quality_score,
+        # --- CATENA flagship (SURVEY.md §2/§3; parity-pinned,
+        # rows-only at the driver) -------------------------------------
+        "catena_edges": _catena_edges,
+        "catena_nodes": _catena_nodes,
+        "catena_graph_edges": _catena_graph_edges,
+        "catena_tt_rules": _catena_tt_rules,
+        "catena_confusion": _catena_confusion,
+        "catena_confusion_collapsed": _catena_confusion_collapsed,
+        "catena_stage_counts": _catena_stage_counts,
+        "phrase_embed_feats": _phrase_embed_feats,
+        "mln_merge_stats": _mln_merge_stats,
+        "catena_edges_dense": _catena_edges_dense,
+        "catena_timeml": _catena_timeml,
+        "catena_triples_tsv": _catena_triples_tsv,
+        "catena_closure_prf": _catena_closure_prf,
+        "train_matrix_libsvm": _train_matrix_libsvm,
     }
 
 
@@ -685,6 +726,80 @@ def _nemb_cte() -> str:
                                  ELSE list_transform(e, x -> x / nrm)
                             END AS u
                      FROM eraw)"""
+
+
+def _ivf_sql(n_lists: int = 16, iters: int = 3, n_queries: int = 8,
+             k: int = 5, nprobe: int = 4) -> str:
+    """Exact DuckDB replica of ann_ivf_topk INCLUDING the k-means
+    coarse quantizer, unrolled one CTE chain per Lloyd iteration (the
+    same technique as _pagerank_sql): init = normalized embeddings of
+    the n_lists lowest vec_ids; assignment = argmax centroid dot with
+    ties to the lowest list id (np.argmax semantics); update = mean of
+    assigned normalized vectors then renormalize, empty lists keeping
+    the previous centroid; probes = top-nprobe lists per query (stable
+    tie-break); final top-k ranked by the micro-rounded cosine with
+    vec_id tie-break — the same total order the engine applies at both
+    batch and driver level."""
+    parts = [f"""
+        WITH {_nemb_cte()},
+        uf AS (SELECT vec_id, unnest(u) AS v,
+                      unnest(range(1, len(u)+1)) AS i FROM nemb),
+        c0 AS (SELECT vec_id AS cid, u AS cv FROM nemb
+               WHERE vec_id < {n_lists})"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        a{t} AS (SELECT vec_id, cid FROM (
+            SELECT n.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_inner_product(n.u, c.cv) DESC,
+                                c.cid) AS rn
+            FROM nemb n CROSS JOIN {prev} c) WHERE rn = 1),
+        m{t} AS (SELECT a.cid, f.i, SUM(f.v) AS s, COUNT(*) AS n
+                 FROM a{t} a JOIN uf f ON f.vec_id = a.vec_id
+                 GROUP BY a.cid, f.i),
+        r{t} AS (SELECT cid, list(s / n ORDER BY i) AS e FROM m{t}
+                 GROUP BY cid),
+        n{t} AS (SELECT cid,
+                        CASE WHEN nrm = 0 THEN e
+                             ELSE list_transform(e, x -> x / nrm)
+                        END AS cv
+                 FROM (SELECT cid, e,
+                              sqrt(list_inner_product(e, e)) AS nrm
+                       FROM r{t})),
+        c{t} AS (SELECT p.cid, COALESCE(x.cv, p.cv) AS cv
+                 FROM {prev} p LEFT JOIN n{t} x ON x.cid = p.cid)""")
+        prev = f"c{t}"
+    parts.append(f""",
+        af AS (SELECT vec_id, cid FROM (
+            SELECT n.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_inner_product(n.u, c.cv) DESC,
+                                c.cid) AS rn
+            FROM nemb n CROSS JOIN {prev} c) WHERE rn = 1),
+        pq AS (SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.u, c.cv) DESC,
+                                c.cid) AS rn
+            FROM nemb q CROSS JOIN {prev} c
+            WHERE q.vec_id < {n_queries}) WHERE rn <= {nprobe}),
+        cand AS (SELECT p.qid, n.vec_id AS vid,
+                        CAST(FLOOR(list_inner_product(qn.u, n.u)
+                             * 1000000 + 0.5) AS BIGINT) AS cm
+                 FROM pq p
+                 JOIN af ON af.cid = p.cid
+                 JOIN nemb n ON n.vec_id = af.vec_id
+                            AND n.vec_id != p.qid
+                 JOIN nemb qn ON qn.vec_id = p.qid),
+        rr AS (SELECT qid, vid, cm,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY cm DESC, vid) AS rn
+               FROM cand)
+        SELECT qid AS query_id, rn AS rank, vid AS vec_id,
+               cm AS cos_micro
+        FROM rr WHERE rn <= {k} ORDER BY query_id, rank""")
+    return "".join(parts)
 
 
 def _embedding_lsh_sql() -> str:
@@ -1301,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_lsh": _embedding_lsh_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ivf_sql(),
         "embedding_centroids": """
             SELECT label, i - 1 AS dim,
                    CAST(FLOOR(1000000 * SUM(CAST(v AS DOUBLE)) / COUNT(*)

@@ -100,6 +100,11 @@ def run_bench() -> None:
     timed("sequence_pack", text.sequence_pack)
     timed("heavy_hitter_ngrams", sketch.heavy_hitter_ngrams)
     timed("copurchase_degree", graph.copurchase_degree)
+    # round-4 additions: the new scale-default clustering path and the
+    # vocabulary hash-join TF-IDF mode
+    timed("dedup_components", dedup.dedup_components)
+    timed("tfidf_top_terms_join",
+          lambda sf: text.tfidf_top_terms(sf, mode="join"))
 
     print(json.dumps({
         "metric": "catena_flagship", "value": round(headline, 3),

@@ -268,7 +268,9 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     q_ids, Q = _load_queries(sf_dir, n_queries)
-    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    # stable sort: exact centroid-score ties break by lowest list id,
+    # deterministically (and identically to the SQL replica's rank)
+    probes = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]
     ref = ray.put((q_ids, Q, probes, C))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -284,12 +286,17 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
             if idx.size == 0:
                 continue
             sims = X[idx] @ Q_[qi]
-            order = np.lexsort((vid[idx], -sims))[:k]
+            # rank by the MICRO-ROUNDED value (vid tie-break) at the
+            # batch level too, so per-batch pruning uses the same total
+            # order as the driver's final top-k and the SQL replica —
+            # ranking raw floats here could drop a row that ties on
+            # the rounded score but wins the vid tie-break
+            cm = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+            order = np.lexsort((vid[idx], -cm))[:k]
             for o in order:
                 rows["query_id"].append(int(qid))
                 rows["vec_id"].append(int(vid[idx[o]]))
-                rows["cos_micro"].append(
-                    int(np.floor(sims[o] * 1_000_000 + 0.5)))
+                rows["cos_micro"].append(int(cm[o]))
         return pa.table({c: pa.array(v) for c, v in rows.items()})
 
     df = ds.map_batches(partial, batch_format="pyarrow",
