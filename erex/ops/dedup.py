@@ -526,14 +526,20 @@ def cc_hash_min_labels(edges: pd.DataFrame,
     import ray.data as _rd
     from ray.data.aggregate import Min, Sum
 
+    from .._env import drop_schemaless_blocks
+
     a = edges["doc_a"].astype("int64")
     b = edges["doc_b"].astype("int64")
     sym = pd.DataFrame({"u": pd.concat([a, b], ignore_index=True),
                         "v": pd.concat([b, a], ignore_index=True)})
     edges_ds = _rd.from_pandas(sym)
 
-    # initial labels: label(node) = min(node, min direct neighbor)
-    labels = (edges_ds.groupby("u").aggregate(Min("v", alias_name="label"))
+    # initial labels: label(node) = min(node, min direct neighbor);
+    # small-key-space aggregates can emit schema-less empty blocks that
+    # poison the join below — drop them at the block level
+    labels = (drop_schemaless_blocks(
+                  edges_ds.groupby("u")
+                  .aggregate(Min("v", alias_name="label")))
               .map_batches(_init_label, batch_format="pyarrow",
                            **remote_args())
               .select_columns(["node", "label"]).materialize())
@@ -544,9 +550,9 @@ def cc_hash_min_labels(edges: pd.DataFrame,
                               "inner", num_partitions, on=("u",))
                 .select_columns(["v", "label"])
                 .rename_columns({"v": "node"}))
-        labels = (labels.union(msgs).groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
-                  .materialize())
+        labels = drop_schemaless_blocks(
+            labels.union(msgs).groupby("node")
+                  .aggregate(Min("label", alias_name="label")))
         total = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if total == prev:
             converged = True

@@ -152,7 +152,9 @@ def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS,
         # instead of joining it onto every edge
         return _pagerank_broadcast(edges, nodes, iters)
 
-    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    from .._env import drop_schemaless_blocks
+    deg = drop_schemaless_blocks(
+        edges.groupby("src").aggregate(Count(alias_name="deg")))
     # (src, dst, deg_src) joined ONCE before the loop
     e_deg = edges.join(deg, "inner", num_partitions,
                        on=("src",)).materialize()
@@ -300,10 +302,11 @@ def copurchase_triangles(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         return pa.table({"part": pa.array(list(c.keys()), pa.int64()),
                          "d": pa.array(list(c.values()), pa.int64())})
 
-    deg_ds = (edges.map_batches(deg_partial, batch_format="pyarrow",
-                                **remote_args())
-              .groupby("part").aggregate(Sum("d", alias_name="d"))
-              .materialize())
+    from .._env import drop_schemaless_blocks
+    deg_ds = drop_schemaless_blocks(
+        edges.map_batches(deg_partial, batch_format="pyarrow",
+                          **remote_args())
+        .groupby("part").aggregate(Sum("d", alias_name="d")))
     if mode == "auto":
         mode = "broadcast" if deg_ds.count() <= TRI_BROADCAST_MAX_NODES \
             else "join"

@@ -600,11 +600,16 @@ def _tfidf_join(ds: "rd.Dataset", dfs_ds: "rd.Dataset", n_docs: int,
     for the per-doc top-k. math.log and np.log resolve to the same
     libm values for float64, so the two modes score identically
     (asserted in tests value-for-value)."""
+    from .._env import drop_schemaless_blocks
     tok = LOWER_TOKEN_RE
     import ray as _ray
     ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
         if _ray.is_initialized() else 4
     npart = max(2, min(64, ncpu // 2))
+    # the DF aggregate emits schema-less empty blocks when the
+    # vocabulary is smaller than its partition count — fatal inside the
+    # pyarrow hash join below
+    dfs_ds = drop_schemaless_blocks(dfs_ds)
 
     def tf_explode(t: pa.Table) -> pa.Table:
         from collections import Counter

@@ -642,6 +642,29 @@ def test_tfidf_join_mode_identical(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_drop_schemaless_blocks_unpoisons_joins(ray_session):
+    """A groupby().aggregate() with fewer keys than sort partitions
+    emits zero-column empty blocks that crash pyarrow hash joins
+    ('No match or multiple matches for key field'); map_batches never
+    sees those blocks, so drop_schemaless_blocks rebuilds the dataset
+    without them. This is the seam the tfidf join mode and the graph
+    join modes sit on."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from erex._env import drop_schemaless_blocks
+
+    # 3 distinct keys, forced through a many-partition aggregate
+    src = rd.from_items([{"k": str(i % 3), "v": 1} for i in range(900)])\
+        .repartition(24)
+    agg = src.groupby("k").aggregate(Sum("v", alias_name="v"))
+    clean = drop_schemaless_blocks(agg)
+    left = rd.from_items([{"k": str(i % 3), "x": i} for i in range(30)])
+    out = left.join(clean, "inner", 16, on=("k",)).to_pandas()
+    assert len(out) == 30
+    assert set(out["v"]) == {300}
+
+
 def test_rolling_window_matches_bruteforce(ray_session):
     from erex.ops.relational import q_rolling_window
     out = q_rolling_window(SF, n_users=100, window_hours=24)
