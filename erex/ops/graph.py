@@ -195,13 +195,26 @@ def _pagerank_broadcast(edges: "rd.Dataset", nodes: "rd.Dataset",
     """Broadcast-state power iteration: ranks AND degrees live in
     node-indexed vectors shipped via ray.put (degrees once, ranks once
     per round); the (src, dst) edge dataset streams through one
-    vectorized map_batches + one node-bounded groupby(part).sum per
-    round."""
+    vectorized map_batches per round whose per-batch NODE-BOUNDED
+    partial sums gather straight to the driver (the k-means-centroid
+    reduce shape) — a per-round groupby would re-shuffle data the
+    partials have already reduced below node size, and the driver
+    already holds a node-sized vector in this mode by definition."""
     import ray
-    from ray.data.aggregate import Sum
     part_ids = np.array(sorted(r["part"] for r in nodes.take_all()),
                         dtype=np.int64)
     ids_ref = ray.put(part_ids)           # shipped once, reused per round
+
+    def gather_sum(ds: "rd.Dataset", col: str) -> np.ndarray:
+        acc = np.zeros(len(part_ids), dtype=np.int64)
+        for batch in ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+            if batch.num_rows == 0:
+                continue
+            pos = np.searchsorted(part_ids, batch.column("part")
+                                  .to_numpy())
+            np.add.at(acc, pos, batch.column(col).to_numpy())
+        return acc
 
     # node-sized degree vector from per-batch partial counts — no join
     def deg_partial(t: pa.Table, _ids=ids_ref) -> pa.Table:
@@ -214,13 +227,9 @@ def _pagerank_broadcast(edges: "rd.Dataset", nodes: "rd.Dataset",
         return pa.table({"part": pa.array(ids[nz], pa.int64()),
                          "d": pa.array(acc[nz], pa.int64())})
 
-    dsum = (edges.map_batches(deg_partial, batch_format="pyarrow",
-                              **remote_args())
-            .groupby("part").aggregate(Sum("d", alias_name="d"))
-            .to_pandas())
-    deg_arr = np.zeros(len(part_ids), dtype=np.int64)
-    deg_arr[np.searchsorted(part_ids, dsum["part"].to_numpy())] = \
-        dsum["d"].to_numpy()
+    deg_arr = gather_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow",
+                          **remote_args()), "d")
     deg_arr[deg_arr == 0] = 1             # isolated nodes never looked up
     deg_ref = ray.put(deg_arr)
     ranks = np.full(len(part_ids), PR_INIT_MICRO, dtype=np.int64)
@@ -238,9 +247,9 @@ def _pagerank_broadcast(edges: "rd.Dataset", nodes: "rd.Dataset",
             dst = t.column("dst").to_numpy()
             spos = np.searchsorted(ids, src)
             c = rk[spos] // deg[spos]
-            # partial combine before the exchange: many edges share a
-            # destination, so the groupby should move node-bounded
-            # partial sums, not one row per edge (exact int64 adds)
+            # partial combine before the gather: many edges share a
+            # destination, so each batch ships node-bounded partial
+            # sums, not one row per edge (exact int64 adds)
             pos = np.searchsorted(ids, dst)
             acc = np.zeros(len(ids), dtype=np.int64)
             np.add.at(acc, pos, c)
@@ -248,13 +257,9 @@ def _pagerank_broadcast(edges: "rd.Dataset", nodes: "rd.Dataset",
             return pa.table({"part": pa.array(ids[nz], pa.int64()),
                              "c": pa.array(acc[nz], pa.int64())})
 
-        sums = (edges.map_batches(contrib, batch_format="pyarrow",
-                                  **remote_args())
-                .groupby("part").aggregate(Sum("c", alias_name="s"))
-                .to_pandas())
-        s = np.zeros(len(part_ids), dtype=np.int64)
-        pos = np.searchsorted(part_ids, sums["part"].to_numpy())
-        s[pos] = sums["s"].to_numpy()
+        s = gather_sum(
+            edges.map_batches(contrib, batch_format="pyarrow",
+                              **remote_args()), "c")
         ranks = PR_BASE_MICRO + PR_DAMP_MICRO * s // PR_INIT_MICRO
 
     return pd.DataFrame({"part": pd.Series(part_ids, dtype="int64"),
