@@ -43,15 +43,32 @@ def _copurchase_edges(sf_dir: str) -> "rd.Dataset":
         return t.append_column("oshard", sh)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_u, out_v = [], []
-        for _o, parts in g.groupby("l_orderkey")["l_partkey"]:
-            ps = sorted(set(parts))
-            for i in range(len(ps)):
-                for j in range(i + 1, len(ps)):
-                    out_u.append(ps[i])
-                    out_v.append(ps[j])
-        df = pd.DataFrame({"u": pd.Series(out_u, dtype="int64"),
-                           "v": pd.Series(out_v, dtype="int64")})
+        # vectorized per-order pair expansion: distinct (order, part)
+        # rows sorted once, then orders BATCHED BY SIZE CLASS — every
+        # order of size c contributes its triu_indices(c) pairs in one
+        # reshape+take (orders hold a handful of parts, so this is a
+        # few c-values, not a 100k-iteration Python loop per shard)
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()\
+            .sort_values(["l_orderkey", "l_partkey"])
+        o = d["l_orderkey"].to_numpy(dtype=np.int64)
+        p = d["l_partkey"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        counts = np.diff(np.r_[starts, len(o)])
+        chunks_u, chunks_v = [], []
+        for c in np.unique(counts):
+            if c < 2:
+                continue
+            s = starts[counts == c]
+            # (n_orders_of_size_c, c) matrix of their sorted parts
+            mat = p[(s[:, None] + np.arange(c)[None, :])]
+            iu, ju = np.triu_indices(c, k=1)
+            chunks_u.append(mat[:, iu].ravel())
+            chunks_v.append(mat[:, ju].ravel())
+        if not chunks_u:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"u": np.concatenate(chunks_u),
+                           "v": np.concatenate(chunks_v)})
         # orders sharing a pair usually land in different order-shards,
         # so dedup locally and once more by pair shard below
         return df.drop_duplicates()
@@ -307,21 +324,31 @@ def copurchase_triangles(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         return pa.table({"part": pa.array(list(c.keys()), pa.int64()),
                          "d": pa.array(list(c.values()), pa.int64())})
 
-    from .._env import drop_schemaless_blocks
-    deg_ds = drop_schemaless_blocks(
-        edges.map_batches(deg_partial, batch_format="pyarrow",
-                          **remote_args())
-        .groupby("part").aggregate(Sum("d", alias_name="d")))
     if mode == "auto":
-        mode = "broadcast" if deg_ds.count() <= TRI_BROADCAST_MAX_NODES \
+        # node count is bounded by the part table's row count (parquet
+        # footer — no Ray job and no degree aggregate needed to pick)
+        import pyarrow.parquet as pq
+        n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+        mode = "broadcast" if n_parts <= TRI_BROADCAST_MAX_NODES \
             else "join"
 
     if mode == "broadcast":
-        dsum = deg_ds.to_pandas()
-        ids = dsum["part"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        degs = dsum["d"].to_numpy(dtype=np.int64)[order]
+        # node-id vector = the part table's key column (pruned read,
+        # node-sized by the guard above); per-batch degree partials
+        # gather straight to the driver instead of re-shuffling through
+        # a groupby — the same reduce shape as PageRank broadcast mode
+        ids = np.sort(pd.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey"])["p_partkey"].to_numpy(dtype=np.int64))
+        degs = np.zeros(len(ids), dtype=np.int64)
+        for batch in edges.map_batches(deg_partial,
+                                       batch_format="pyarrow",
+                                       **remote_args())\
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            if batch.num_rows == 0:
+                continue
+            pos = np.searchsorted(ids, batch.column("part").to_numpy())
+            np.add.at(degs, pos, batch.column("d").to_numpy())
         ids_ref = ray.put(ids)
         deg_ref = ray.put(degs)
 
@@ -338,6 +365,11 @@ def copurchase_triangles(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         oriented = edges.map_batches(orient, batch_format="pyarrow",
                                      **remote_args()).materialize()
     elif mode == "join":
+        from .._env import drop_schemaless_blocks
+        deg_ds = drop_schemaless_blocks(
+            edges.map_batches(deg_partial, batch_format="pyarrow",
+                              **remote_args())
+            .groupby("part").aggregate(Sum("d", alias_name="d")))
         npart = 8
         e_du = edges.join(
             deg_ds.rename_columns({"part": "u", "d": "du"}),
