@@ -616,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": graph.copurchase_triangles,
         "copurchase_pagerank": graph.copurchase_pagerank,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "dedup_keep_best": dedup.dedup_keep_best,
         # --- relational operators (A1/A2, J4, O3, windows) -----------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -651,7 +652,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,
         "repetition_stats": text.repetition_stats,
         "topk_ngrams": text.topk_ngrams,
-        "hash_sample": text.hash_sample,
         # --- structural extraction oracles ---------------------------
         "catena_parse_stats": _catena_parse_stats,
         "timeml_to_columns_stats": _timeml_to_columns_stats,
@@ -660,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_inverse_map": _label_inverse_map,
         "token_count": text.token_count,
         "quality_score": text.quality_score,
+        "hash_sample": text.hash_sample,
         # --- CATENA flagship (SURVEY.md §2/§3; parity-pinned,
         # rows-only at the driver) -------------------------------------
         "catena_edges": _catena_edges,
@@ -986,13 +987,11 @@ def _minhash_sql() -> str:
     """
 
 
-def _components_sql() -> str:
-    """DuckDB replica of dedup_components' DEFAULT path: minhash-LSH
-    verified pairs (same CTEs as dedup_minhash) as the edge set, then a
-    recursive hash-min walk labels each node with the minimum doc_id
-    reachable; documents without edges are their own component."""
-    return f"""
-        WITH RECURSIVE {_minhash_pair_ctes()},
+def _components_ctes() -> str:
+    """Shared recursive-CTE chain labeling every document with its
+    near-dup component over the minhash-LSH verified pairs; ends with
+    `lab(doc_id, component_id)`."""
+    return f"""{_minhash_pair_ctes()},
         pairs AS (
             SELECT i.da, i.db FROM inter i
             JOIN sizes sa ON sa.doc_id = i.da
@@ -1006,11 +1005,48 @@ def _components_sql() -> str:
             UNION
             SELECT e.u, w.lab FROM edges e JOIN walk w ON w.u = e.v),
         comp AS (SELECT u AS doc_id, MIN(lab) AS component_id
-                 FROM walk GROUP BY u)
-        SELECT d.doc_id,
-               COALESCE(c.component_id, d.doc_id) AS component_id
-        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-        ORDER BY d.doc_id
+                 FROM walk GROUP BY u),
+        lab AS (SELECT d.doc_id,
+                       COALESCE(c.component_id, d.doc_id) AS component_id
+                FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)"""
+
+
+def _components_sql() -> str:
+    """DuckDB replica of dedup_components' DEFAULT path: minhash-LSH
+    verified pairs (same CTEs as dedup_minhash) as the edge set, then a
+    recursive hash-min walk labels each node with the minimum doc_id
+    reachable; documents without edges are their own component."""
+    return f"""
+        WITH RECURSIVE {_components_ctes()}
+        SELECT doc_id, component_id FROM lab ORDER BY doc_id
+    """
+
+
+def _keep_best_sql() -> str:
+    """DuckDB replica of dedup_keep_best: the components chain plus the
+    alpha-ratio quality milli-score (quality_score's exact integer
+    rounding) and a per-component (quality DESC, doc_id) window — rank
+    1 is the kept document."""
+    return f"""
+        WITH RECURSIVE {_components_ctes()},
+        q AS (SELECT doc_id,
+                     CAST((1000 * len(regexp_extract_all(
+                               text, '[A-Za-z]')))
+                          // GREATEST(1, length(text))
+                          + CASE WHEN ((1000 * len(regexp_extract_all(
+                                text, '[A-Za-z]')))
+                                % GREATEST(1, length(text))) * 2
+                                >= GREATEST(1, length(text))
+                            THEN 1 ELSE 0 END AS BIGINT)
+                         AS quality_milli
+              FROM documents),
+        r AS (SELECT l.doc_id, l.component_id, q.quality_milli,
+                     ROW_NUMBER() OVER (PARTITION BY l.component_id
+                         ORDER BY q.quality_milli DESC, l.doc_id) AS rn
+              FROM lab l JOIN q ON q.doc_id = l.doc_id)
+        SELECT doc_id, component_id, quality_milli,
+               rn = 1 AS keep
+        FROM r ORDER BY doc_id
     """
 
 
@@ -1820,4 +1856,5 @@ def oracle_sql() -> dict[str, str]:
         # jaccard dup-pair graph (same pair CTE as dedup_ngram_jaccard;
         # the recursive walk enumerates reachability, MIN collapses it)
         "dedup_components": _components_sql(),
+        "dedup_keep_best": _keep_best_sql(),
     }

@@ -625,3 +625,91 @@ def dedup_components(sf_dir: str, n: int = 3, threshold_milli: int = 200,
 
     return ds.map_batches(attach, batch_format="pyarrow", **remote_args())\
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_keep_best(sf_dir: str, n: int = 3,
+                    threshold_milli: int = 200) -> pd.DataFrame:
+    """Production dedup decision: near-duplicate components (minhash-LSH
+    edges, see dedup_components) + KEEP the highest-quality document of
+    each component (quality = erex.ops.text.quality_score's
+    alpha-ratio milli-score; ties break to the lowest doc_id) — the
+    keep-one-per-cluster rule every pretraining pipeline applies after
+    clustering, here fused with the quality signal instead of blind
+    min-id.
+
+    Distributed shape: component labels are pair-list-scale (broadcast
+    dict); quality computes in ONE streaming map_batches that also
+    emits per-batch per-component (quality, doc) MAX partials — the
+    driver merges component-count-scale partials and broadcasts the
+    winner set; a second streaming pass stamps keep flags. No shuffle
+    beyond the LSH pipeline's own. Returns (doc_id, component_id,
+    quality_milli, keep)."""
+    import re as _re
+    import ray as _ray
+
+    pairs = minhash_lsh_pairs(sf_dir, n=n, threshold_milli=threshold_milli)
+    comp = union_find_components(pairs)
+    comp_ref = _ray.put(comp)
+    alpha_re = _re.compile(r"[A-Za-z]")
+
+    def quality_and_partials(t: pa.Table, _c=comp_ref) -> pa.Table:
+        cmap = _ray.get(_c)
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        q = [int(1000 * len(alpha_re.findall(x)) // max(1, len(x))
+                 + (1 if (1000 * len(alpha_re.findall(x))
+                          % max(1, len(x))) * 2 >= max(1, len(x))
+                    else 0))
+             for x in texts]
+        comps = [cmap.get(d, d) for d in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "component_id": pa.array(comps, pa.int64()),
+                         "quality_milli": pa.array(q, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    scored = ds.map_batches(quality_and_partials, batch_format="pyarrow",
+                            **remote_args()).materialize()
+
+    # winner per MULTI-document component: (quality desc, doc_id asc).
+    # Multi-doc components exist only where dup pairs exist, so this
+    # reduce handles pair-list-scale rows; batches stream to the driver
+    # already filtered to those components. The component LABELS are
+    # the union-find roots = comp.values() (roots themselves are not
+    # keys of the union-find map).
+    multi = frozenset(comp.values())
+    best: dict = {}
+    if multi:
+        mref = _ray.put(multi)
+
+        def only_multi(t: pa.Table, _m=mref) -> pa.Table:
+            mm = _ray.get(_m)
+            keep = [i for i, c in
+                    enumerate(t.column("component_id").to_pylist())
+                    if c in mm]
+            return t.take(pa.array(keep, pa.int64()))
+
+        for b in scored.map_batches(only_multi, batch_format="pyarrow",
+                                    **remote_args())\
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            for d, c, q in zip(b.column("doc_id").to_pylist(),
+                               b.column("component_id").to_pylist(),
+                               b.column("quality_milli").to_pylist()):
+                cur = best.get(c)
+                if cur is None or (q, -d) > (cur[0], -cur[1]):
+                    best[c] = (q, d)
+
+    winners = frozenset(v[1] for v in best.values())
+    wref = _ray.put((winners, frozenset(best.keys())))
+
+    def stamp(t: pa.Table, _w=wref) -> pa.Table:
+        wins, multi_comps = _ray.get(_w)
+        ids = t.column("doc_id").to_pylist()
+        comps = t.column("component_id").to_pylist()
+        keep = [(d in wins) if c in multi_comps else True
+                for d, c in zip(ids, comps)]
+        return t.append_column("keep", pa.array(keep, pa.bool_()))
+
+    return scored.map_batches(stamp, batch_format="pyarrow",
+                              **remote_args()).to_pandas()\
+        .sort_values("doc_id").reset_index(drop=True)

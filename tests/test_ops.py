@@ -725,3 +725,22 @@ def test_dataops_cli_list_and_validation():
                         cwd="/root/repo", timeout=120)
     assert r2.returncode == 2
     assert "unknown op" in r2.stderr
+
+
+def test_dedup_keep_best_semantics(ray_session):
+    """Each component keeps exactly one doc: its highest quality_milli,
+    ties to the lowest doc_id; singletons keep themselves."""
+    from erex.ops.dedup import dedup_keep_best
+    out = dedup_keep_best(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id"])
+    assert len(out) == len(docs)
+    for comp, g in out.groupby("component_id"):
+        kept = g[g["keep"]]
+        assert len(kept) == 1
+        want = g.sort_values(["quality_milli", "doc_id"],
+                             ascending=[False, True]).iloc[0]
+        assert int(kept["doc_id"].iloc[0]) == int(want["doc_id"])
+    # at least one multi-doc component exercises the decision
+    sizes = out.groupby("component_id").size()
+    assert (sizes > 1).any()
