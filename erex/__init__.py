@@ -16,4 +16,4 @@ The library never calls ray.init()/ray.shutdown(); sessions are owned by
 the driver, bench.py, or the test fixture.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
