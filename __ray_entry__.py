@@ -761,15 +761,15 @@ def _ivf_sql(n_lists: int = 16, iters: int = 3, n_queries: int = 8,
                  GROUP BY a.cid, f.i),
         r{t} AS (SELECT cid, list(s / n ORDER BY i) AS e FROM m{t}
                  GROUP BY cid),
-        n{t} AS (SELECT cid,
+        cm{t} AS (SELECT p.cid, COALESCE(x.e, p.cv) AS e
+                  FROM {prev} p LEFT JOIN r{t} x ON x.cid = p.cid),
+        c{t} AS (SELECT cid,
                         CASE WHEN nrm = 0 THEN e
                              ELSE list_transform(e, x -> x / nrm)
                         END AS cv
                  FROM (SELECT cid, e,
                               sqrt(list_inner_product(e, e)) AS nrm
-                       FROM r{t})),
-        c{t} AS (SELECT p.cid, COALESCE(x.cv, p.cv) AS cv
-                 FROM {prev} p LEFT JOIN n{t} x ON x.cid = p.cid)""")
+                       FROM cm{t}))""")
         prev = f"c{t}"
     parts.append(f""",
         af AS (SELECT vec_id, cid FROM (

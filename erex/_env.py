@@ -48,7 +48,7 @@ def pool_size(frac: float = 0.5, lo: int = 2, hi: int = 64) -> tuple:
     return (1, top)
 
 
-def drop_schemaless_blocks(ds):
+def drop_schemaless_blocks(ds, empty_schema: dict = None):
     """Fix a Ray Data seam: a sort-based groupby().aggregate() whose
     key space is smaller than its partition count emits EMPTY blocks
     with NO schema ("Operator produced a RefBundle with a different
@@ -57,45 +57,67 @@ def drop_schemaless_blocks(ds):
     map_batches cannot repair them (the executor never routes
     zero-column blocks into a UDF) and their BlockMetadata carries
     schema=None either way, so the check runs as num_cpus=0 tasks that
-    read each block's column count where it lives (no block moves to
-    the driver; the aggregate output is key-cardinality-scale).
-    Materializes the dataset and rebuilds it from the non-empty
-    blocks."""
+    read each block where it lives (no block moves to the driver; the
+    aggregate output is key-cardinality-scale). Materializes the
+    dataset and rebuilds it from the non-empty blocks (pandas blocks
+    are converted to Arrow in place so the rebuilt dataset is uniform).
+
+    empty_schema ({col: pyarrow type}): when EVERY block is
+    schema-less — a genuinely empty aggregate — the rebuilt dataset is
+    one typed empty table so downstream joins still see the key
+    columns; without it the original dataset is returned unchanged
+    (best effort)."""
     import ray
     import ray.data as rd
     mat = ds.materialize()
     refs = [r for b in mat.iter_internal_ref_bundles()
             for r in b.block_refs]
-    ncols = ray.get([_block_ncols.remote(r) for r in refs])
-    keep = [r for r, n in zip(refs, ncols) if n > 0]
-    if len(keep) == len(refs) or not keep:
+    checked = ray.get([_block_check.remote(r) for r in refs])
+    keep = [r if arrow else _block_to_arrow.remote(r)
+            for r, (n, arrow) in zip(refs, checked) if n > 0]
+    if len(keep) == len(refs):
         return mat
+    if not keep:
+        if empty_schema is None:
+            return mat
+        import pyarrow as pa
+        return rd.from_arrow(pa.table({k: pa.array([], v)
+                                       for k, v in empty_schema.items()}))
     return rd.from_arrow_refs(keep)
 
 
-def _lazy_block_ncols():
+def _lazy_block_tasks():
     import ray
 
     @ray.remote(num_cpus=0)
-    def block_ncols(block) -> int:
+    def block_check(block):
         n = getattr(block, "num_columns", None)   # pyarrow Table
         if n is not None:
-            return n
-        return len(block.columns)                 # pandas block
+            return (n, True)
+        return (len(block.columns), False)        # pandas block
 
-    return block_ncols
+    @ray.remote(num_cpus=0)
+    def block_to_arrow(block):
+        import pyarrow as pa
+        return pa.Table.from_pandas(block, preserve_index=False)
+
+    return block_check, block_to_arrow
 
 
-class _BlockNcols:
+class _LazyRemote:
     """Deferred ray.remote registration (importing erex must not
-    require an initialized/imported-at-module-load ray)."""
+    require ray at module-load time)."""
 
-    _fn = None
+    _fns = None
+
+    def __init__(self, idx: int):
+        self.idx = idx
 
     def remote(self, *a):
-        if _BlockNcols._fn is None:
-            _BlockNcols._fn = _lazy_block_ncols()
-        return _BlockNcols._fn.remote(*a)
+        if _LazyRemote._fns is None:
+            _LazyRemote._fns = _lazy_block_tasks()
+        return _LazyRemote._fns[self.idx].remote(*a)
 
 
-_block_ncols = _BlockNcols()
+_block_check = _LazyRemote(0)
+_block_to_arrow = _LazyRemote(1)

@@ -119,15 +119,19 @@ class CatenaModels:
     the reference jar's Linear.train; tests/test_liblinear.py)."""
 
     def __init__(self, model_dir=None, dense: bool = False,
-                 model_set: str = "reference"):
+                 model_set: str = "reference",
+                 java_semantics: bool = True):
         suffix = "_dense.model" if dense else ".model"
-        # java call-site semantics for BOTH sets: the reference's
-        # shipped weights AND the repo-trained ones were produced by
-        # the same Linear.train call convention (problem.n = nFeatures,
-        # bias=1.0, no bias node -> nr_feature = n-1, the last
-        # feature's weights doubling as the 'bias row'), so prediction
-        # must index weights the same way for either
-        java = True
+        # java call-site semantics for BOTH builtin sets: the
+        # reference's shipped weights AND the repo-trained ones were
+        # produced by the same Linear.train call convention (problem.n
+        # = nFeatures, bias=1.0, no bias node -> nr_feature = n-1, the
+        # last feature's weights doubling as the 'bias row'), so
+        # prediction must index weights the same way for either.
+        # Custom model_dir: pass java_semantics=False for models whose
+        # last weight row is a REAL trained bias column (train_ovr_ridge
+        # appends one) — the java path would silently drop it.
+        java = java_semantics
         if model_dir is None:
             sub = "models"
             if model_set == "reference":
@@ -155,8 +159,9 @@ class CatenaModels:
 
 @lru_cache(maxsize=8)
 def get_models(model_dir=None, dense: bool = False,
-               model_set: str = "reference") -> CatenaModels:
-    return CatenaModels(model_dir, dense, model_set)
+               model_set: str = "reference",
+               java_semantics: bool = True) -> CatenaModels:
+    return CatenaModels(model_dir, dense, model_set, java_semantics)
 
 
 # ---------------------------------------------------------------------------

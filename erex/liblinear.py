@@ -275,6 +275,12 @@ def train_liblinear_dual(X: np.ndarray, y_ids, C: float = 1.0,
     count = [0] * nr_class
     for dl in data_label:
         count[dl] += 1
+    # groupClasses' one ordering exception: a two-class -1/+1 set with
+    # -1 first swaps so the binary SVM's positive weight is for +1
+    if nr_class == 2 and label_ids[0] == -1 and label_ids[1] == 1:
+        label_ids = [1, -1]
+        count = [count[1], count[0]]
+        data_label = [1 - dl for dl in data_label]
     start = [0] * nr_class
     for i in range(1, nr_class):
         start[i] = start[i - 1] + count[i - 1]
@@ -315,7 +321,10 @@ def train_ovr_ridge(X: np.ndarray, y_ids, label_ids, bias: float = 1.0,
     """Deterministic one-vs-rest ridge 'training' producing a liblinear-
     format model. `y_ids` are 1-based label ids; `label_ids` fixes the
     model's label column order (like liblinear: order of first occurrence
-    in training data)."""
+    in training data). NOTE: the last weight row is a REAL trained bias
+    column — load these with java_semantics=False (the java call-site
+    path would treat it as the last feature's row and drop the bias);
+    train_liblinear_dual is the faithful-to-the-reference trainer."""
     X = np.asarray(X, dtype=np.float64)
     n, d = X.shape
     if bias >= 0:

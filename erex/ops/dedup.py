@@ -539,7 +539,8 @@ def cc_hash_min_labels(edges: pd.DataFrame,
     # poison the join below — drop them at the block level
     labels = (drop_schemaless_blocks(
                   edges_ds.groupby("u")
-                  .aggregate(Min("v", alias_name="label")))
+                  .aggregate(Min("v", alias_name="label")),
+                  empty_schema={"u": pa.int64(), "label": pa.int64()})
               .map_batches(_init_label, batch_format="pyarrow",
                            **remote_args())
               .select_columns(["node", "label"]).materialize())
@@ -552,7 +553,8 @@ def cc_hash_min_labels(edges: pd.DataFrame,
                 .rename_columns({"v": "node"}))
         labels = drop_schemaless_blocks(
             labels.union(msgs).groupby("node")
-                  .aggregate(Min("label", alias_name="label")))
+                  .aggregate(Min("label", alias_name="label")),
+            empty_schema={"node": pa.int64(), "label": pa.int64()})
         total = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if total == prev:
             converged = True
@@ -638,29 +640,25 @@ def dedup_keep_best(sf_dir: str, n: int = 3,
     min-id.
 
     Distributed shape: component labels are pair-list-scale (broadcast
-    dict); quality computes in ONE streaming map_batches that also
-    emits per-batch per-component (quality, doc) MAX partials — the
-    driver merges component-count-scale partials and broadcasts the
-    winner set; a second streaming pass stamps keep flags. No shuffle
-    beyond the LSH pipeline's own. Returns (doc_id, component_id,
-    quality_milli, keep)."""
-    import re as _re
+    dict); quality computes in ONE streaming map_batches; a per-batch
+    PARTIAL MAX over each batch's multi-doc components ships at most
+    one (component, doc, quality) row per component per batch to the
+    driver, which merges component-count-scale partials and broadcasts
+    the winner set; a second streaming pass stamps keep flags. No
+    shuffle beyond the LSH pipeline's own. Returns (doc_id,
+    component_id, quality_milli, keep)."""
     import ray as _ray
+
+    from .text import quality_milli
 
     pairs = minhash_lsh_pairs(sf_dir, n=n, threshold_milli=threshold_milli)
     comp = union_find_components(pairs)
     comp_ref = _ray.put(comp)
-    alpha_re = _re.compile(r"[A-Za-z]")
 
-    def quality_and_partials(t: pa.Table, _c=comp_ref) -> pa.Table:
+    def score_batch(t: pa.Table, _c=comp_ref) -> pa.Table:
         cmap = _ray.get(_c)
         ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        q = [int(1000 * len(alpha_re.findall(x)) // max(1, len(x))
-                 + (1 if (1000 * len(alpha_re.findall(x))
-                          % max(1, len(x))) * 2 >= max(1, len(x))
-                    else 0))
-             for x in texts]
+        q = [quality_milli(x) for x in t.column("text").to_pylist()]
         comps = [cmap.get(d, d) for d in ids]
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "component_id": pa.array(comps, pa.int64()),
@@ -668,28 +666,38 @@ def dedup_keep_best(sf_dir: str, n: int = 3,
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    scored = ds.map_batches(quality_and_partials, batch_format="pyarrow",
+    scored = ds.map_batches(score_batch, batch_format="pyarrow",
                             **remote_args()).materialize()
 
     # winner per MULTI-document component: (quality desc, doc_id asc).
-    # Multi-doc components exist only where dup pairs exist, so this
-    # reduce handles pair-list-scale rows; batches stream to the driver
-    # already filtered to those components. The component LABELS are
-    # the union-find roots = comp.values() (roots themselves are not
-    # keys of the union-find map).
+    # The component LABELS are the union-find roots = comp.values()
+    # (roots themselves are not keys of the union-find map). Each batch
+    # pre-reduces to one best row per component it saw, so the driver
+    # merge is component-count x batch-count scale, never corpus scale.
     multi = frozenset(comp.values())
     best: dict = {}
     if multi:
         mref = _ray.put(multi)
 
-        def only_multi(t: pa.Table, _m=mref) -> pa.Table:
+        def partial_max(t: pa.Table, _m=mref) -> pa.Table:
             mm = _ray.get(_m)
-            keep = [i for i, c in
-                    enumerate(t.column("component_id").to_pylist())
-                    if c in mm]
-            return t.take(pa.array(keep, pa.int64()))
+            loc: dict = {}
+            for d, c, q in zip(t.column("doc_id").to_pylist(),
+                               t.column("component_id").to_pylist(),
+                               t.column("quality_milli").to_pylist()):
+                if c not in mm:
+                    continue
+                cur = loc.get(c)
+                if cur is None or (q, -d) > (cur[0], -cur[1]):
+                    loc[c] = (q, d)
+            return pa.table({
+                "component_id": pa.array(list(loc.keys()), pa.int64()),
+                "quality_milli": pa.array([v[0] for v in loc.values()],
+                                          pa.int64()),
+                "doc_id": pa.array([v[1] for v in loc.values()],
+                                   pa.int64())})
 
-        for b in scored.map_batches(only_multi, batch_format="pyarrow",
+        for b in scored.map_batches(partial_max, batch_format="pyarrow",
                                     **remote_args())\
                 .iter_batches(batch_format="pyarrow", batch_size=None):
             for d, c, q in zip(b.column("doc_id").to_pylist(),

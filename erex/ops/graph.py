@@ -171,7 +171,8 @@ def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS,
 
     from .._env import drop_schemaless_blocks
     deg = drop_schemaless_blocks(
-        edges.groupby("src").aggregate(Count(alias_name="deg")))
+        edges.groupby("src").aggregate(Count(alias_name="deg")),
+        empty_schema={"src": pa.int64(), "deg": pa.int64()})
     # (src, dst, deg_src) joined ONCE before the loop
     e_deg = edges.join(deg, "inner", num_partitions,
                        on=("src",)).materialize()
@@ -193,11 +194,15 @@ def copurchase_pagerank(sf_dir: str, iters: int = PR_ITERS,
                          "rank_micro": pa.array(r, pa.int64())})
 
     for _ in range(iters):
-        sums = (e_deg.join(ranks.rename_columns({"part": "src"}),
-                           "inner", num_partitions, on=("src",))
-                .map_batches(contrib, batch_format="pyarrow",
-                             **remote_args())
-                .groupby("part").aggregate(Sum("c", alias_name="s")))
+        # the per-round aggregate feeds a join too — same schema-less
+        # empty-block seam as the deg aggregate above
+        sums = drop_schemaless_blocks(
+            e_deg.join(ranks.rename_columns({"part": "src"}),
+                       "inner", num_partitions, on=("src",))
+            .map_batches(contrib, batch_format="pyarrow",
+                         **remote_args())
+            .groupby("part").aggregate(Sum("c", alias_name="s")),
+            empty_schema={"part": pa.int64(), "s": pa.int64()})
         ranks = (nodes.join(sums, "left_outer", num_partitions,
                             on=("part",))
                  .map_batches(apply_rule, batch_format="pyarrow",
@@ -369,7 +374,8 @@ def copurchase_triangles(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         deg_ds = drop_schemaless_blocks(
             edges.map_batches(deg_partial, batch_format="pyarrow",
                               **remote_args())
-            .groupby("part").aggregate(Sum("d", alias_name="d")))
+            .groupby("part").aggregate(Sum("d", alias_name="d")),
+            empty_schema={"part": pa.int64(), "d": pa.int64()})
         npart = 8
         e_du = edges.join(
             deg_ds.rename_columns({"part": "u", "d": "du"}),

@@ -108,6 +108,15 @@ def token_count(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def quality_milli(text: str) -> int:
+    """round(1000 * alpha_chars / max(1, n_chars)) — THE quality
+    milli-score, shared by quality_score, quality_filter's input and
+    dedup_keep_best (and replicated in their SQL oracles)."""
+    a = len(_ALPHA.findall(text))
+    c = max(1, len(text))
+    return int(1000 * a // c + (1 if (1000 * a % c) * 2 >= c else 0))
+
+
 def quality_score(sf_dir: str) -> pd.DataFrame:
     """Char-class ratios as integer milli-scores:
     quality_milli = round(1000 * alpha_chars / max(1, n_chars))."""
@@ -609,7 +618,8 @@ def _tfidf_join(ds: "rd.Dataset", dfs_ds: "rd.Dataset", n_docs: int,
     # the DF aggregate emits schema-less empty blocks when the
     # vocabulary is smaller than its partition count — fatal inside the
     # pyarrow hash join below
-    dfs_ds = drop_schemaless_blocks(dfs_ds)
+    dfs_ds = drop_schemaless_blocks(
+        dfs_ds, empty_schema={"token": pa.string(), "d": pa.int64()})
 
     def tf_explode(t: pa.Table) -> pa.Table:
         from collections import Counter

@@ -144,6 +144,16 @@ def test_train_dual_bit_exact_vs_liblinear_java(tmp_path):
         assert jl == m.labels and jnrf == m.nr_feature
         _assert_bit_equal(jw, m.weights.reshape(-1))
 
+    # groupClasses' -1/+1 exception: -1 first swaps to ['1', '-1'] so
+    # the binary SVM's positive weight is for +1
+    X = np.round(rng.normal(size=(40, 6)) * 4) / 4.0
+    y = np.where(rng.random(40) < 0.5, -1, 1)
+    y[:2] = (-1, 1)                     # -1 occurs first
+    jl, jnrf, jw = _java_train(X, y, td)
+    m = train_liblinear_dual(X, y)
+    assert jl == m.labels == [1, -1]
+    _assert_bit_equal(jw, m.weights.reshape(-1))
+
     # real extraction features (one-hot blocks + wnlin doubles)
     from erex.corpus import generate_txp
     from erex.training import collect_training_data
