@@ -362,16 +362,18 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
              "inter": np.fromiter(agg.values(), dtype=np.int64,
                                   count=len(agg))})
 
-    def sum_inter(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["doc_a", "doc_b"], as_index=False)["inter"].sum()
-
-    inter = _pair_agg(
-        exploded.map_batches(_shingle_shard, batch_format="pyarrow",
-                             **remote_args())
-        .groupby("shard")
-        .map_groups(shard_inter, batch_format="pandas", **remote_args()),
-        sum_inter)
+    # per-shard partial intersection counts are candidate-pair-scale
+    # (the `allowed` filter applies inside the shard), so the
+    # cross-shard sum folds into the driver merge the contract already
+    # pays for the candidate list — one less all-to-all exchange than
+    # a pair-sharded groupby
+    inter = (exploded.map_batches(_shingle_shard, batch_format="pyarrow",
+                                  **remote_args())
+             .groupby("shard")
+             .map_groups(shard_inter, batch_format="pandas",
+                         **remote_args()))
     df = inter.to_pandas()
+    df = df.groupby(["doc_a", "doc_b"], as_index=False)["inter"].sum()
     na = df["doc_a"].map(sizes)
     nb = df["doc_b"].map(sizes)
     union = (na + nb - df["inter"]).clip(lower=1)

@@ -564,11 +564,15 @@ def test_sketches_invariant_under_block_size(ray_session):
     base_topk = topk_ngrams(SF)
     ctx = DataContext.get_current()
     old = ctx.target_max_block_size
+    from erex.ops.dedup import dedup_keep_best
+    base_kb = dedup_keep_best(SF)
     try:
         ctx.target_max_block_size = 16 * 1024   # ~tiny blocks
         assert distinct_shingles_hll(SF).equals(base_hll)
         assert heavy_hitter_ngrams(SF).equals(base_hh)
         assert topk_ngrams(SF).equals(base_topk)
+        # keep_best's per-batch partial max must be batching-invariant
+        assert dedup_keep_best(SF).equals(base_kb)
     finally:
         ctx.target_max_block_size = old
 
