@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pagerank": graph.copurchase_pagerank,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "dedup_keep_best": dedup.dedup_keep_best,
+        "bm25_topk": text.bm25_topk,
         # --- relational operators (A1/A2, J4, O3, windows) -----------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -652,10 +653,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,
         "repetition_stats": text.repetition_stats,
         "topk_ngrams": text.topk_ngrams,
-        # --- structural extraction oracles ---------------------------
-        "catena_parse_stats": _catena_parse_stats,
+        # --- structural extraction oracle (S11 changed this round) ---
         "timeml_to_columns_stats": _timeml_to_columns_stats,
         # --- hash-green in r3, code unchanged since -------------------
+        "catena_parse_stats": _catena_parse_stats,
         "label_collapse_variants": _label_collapse_variants,
         "label_inverse_map": _label_inverse_map,
         "token_count": text.token_count,
@@ -705,6 +706,53 @@ _TFIDF_SQL = """
     SELECT doc_id, rn AS rank, w AS token, tm AS tfidf_micro
     FROM r WHERE rn <= 3 ORDER BY doc_id, rank
 """
+
+
+def _bm25_sql(query: str = "hash join order", k: int = 10) -> str:
+    """DuckDB replica of bm25_topk with the engine's exact float64 op
+    order: constants injected as repr() round-trip literals (1.2 + 1.0
+    is NOT the double 2.2), per-term contributions added left-to-right
+    in query-term order (absent terms contribute an exact 0.0), idf and
+    avgdl built from the same integer inputs."""
+    import re as _re
+    from erex.ops.text import BM25_B, BM25_K1
+    terms = list(dict.fromkeys(_re.findall(r"[a-z0-9]+", query.lower())))
+    k1r, br = repr(BM25_K1), repr(BM25_B)
+    k1p1 = repr(BM25_K1 + 1.0)
+    omb = repr(1.0 - BM25_B)
+    tf_cols = ", ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    contribs = " + ".join(
+        f"(CASE WHEN t.tf{i} > 0 THEN "
+        f"ln((s.n - d.df{i} + 0.5) / (d.df{i} + 0.5) + 1.0)"
+        f" * (t.tf{i} * {k1p1})"
+        f" / (t.tf{i} + {k1r} * ({omb} + ({br} * t.dl) / s.avgdl))"
+        f" ELSE 0.0 END)"
+        for i in range(len(terms)))
+    any_hit = " OR ".join(f"t.tf{i} > 0" for i in range(len(terms)))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents),
+        t AS (SELECT doc_id, len(ws) AS dl, {tf_cols} FROM toks),
+        s AS (SELECT COUNT(*) AS n, SUM(dl) / COUNT(*) AS avgdl FROM t),
+        d AS (SELECT {df_cols} FROM t),
+        sc AS (SELECT t.doc_id,
+                      CAST(FLOOR(({contribs}) * 1000000 + 0.5)
+                           AS BIGINT) AS score_micro
+               FROM t, s, d WHERE {any_hit}),
+        r AS (SELECT doc_id, score_micro,
+                     ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                                        doc_id) AS rank
+              FROM sc)
+        SELECT rank, doc_id, score_micro FROM r
+        WHERE rank <= {k} ORDER BY rank
+    """
 
 
 def _nemb_cte() -> str:
@@ -1857,4 +1905,5 @@ def oracle_sql() -> dict[str, str]:
         # the recursive walk enumerates reachability, MIN collapses it)
         "dedup_components": _components_sql(),
         "dedup_keep_best": _keep_best_sql(),
+        "bm25_topk": _bm25_sql(),
     }

@@ -664,3 +664,100 @@ def _tfidf_join(ds: "rd.Dataset", dfs_ds: "rd.Dataset", n_docs: int,
                        **remote_args()))
     return out.to_pandas().sort_values(["doc_id", "rank"])\
         .reset_index(drop=True)
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(sf_dir: str, query: str = "hash join order",
+              k: int = 10) -> pd.DataFrame:
+    """BM25 retrieval: top-k documents for a query string — the
+    lexical-retrieval primitive behind RAG corpus serving and search
+    eval. Two streaming passes, no shuffle: (1) per-batch partials for
+    document frequencies of the query terms + total token count gather
+    to the driver (query-term-scale rows); (2) scoring map_batches with
+    the tiny (df, N, avgdl) state broadcast, per-batch partial top-k by
+    (score desc, doc_id), driver merges k rows.
+
+    Float64 ops are ordered EXACTLY as in the SQL oracle (idf =
+    ln((N - df + 0.5) / (df + 0.5) + 1.0); per-term contributions added
+    in query-term order; absent terms contribute an exact 0.0), so the
+    micro-rounded scores hash-match. Returns (rank, doc_id,
+    score_micro)."""
+    import math
+    import ray
+    import pyarrow.parquet as pq
+    tok = LOWER_TOKEN_RE
+    path = f"{sf_dir}/documents.parquet"
+    terms = list(dict.fromkeys(tok.findall(query.lower())))
+    if not terms:
+        return pd.DataFrame(columns=["rank", "doc_id", "score_micro"])
+    n_docs = pq.read_metadata(path).num_rows
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    terms_ref = ray.put(terms)
+
+    def stats_partial(t: pa.Table, _t=terms_ref) -> pa.Table:
+        ts = ray.get(_t)
+        df_c = [0] * len(ts)
+        dl_sum = 0
+        for x in t.column("text").to_pylist():
+            ws = tok.findall(x.lower())
+            dl_sum += len(ws)
+            s = set(ws)
+            for i, term in enumerate(ts):
+                if term in s:
+                    df_c[i] += 1
+        return pa.table({"term": pa.array(ts + ["__DL__"], pa.string()),
+                         "v": pa.array(df_c + [dl_sum], pa.int64())})
+
+    df_map = {t: 0 for t in terms}
+    total_dl = 0
+    for b in ds.map_batches(stats_partial, batch_format="pyarrow",
+                            **remote_args())\
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for term, v in zip(b.column("term").to_pylist(),
+                           b.column("v").to_pylist()):
+            if term == "__DL__":
+                total_dl += v
+            else:
+                df_map[term] += v
+    avgdl = total_dl / n_docs
+    idf = [math.log((n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)
+                    + 1.0) for t in terms]
+    state_ref = ray.put((terms, idf, avgdl))
+    k1, b_ = BM25_K1, BM25_B
+
+    def score_partial(t: pa.Table, _s=state_ref) -> pa.Table:
+        from collections import Counter
+        ts, idf_, avg = ray.get(_s)
+        rows = []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            tf = Counter(tok.findall(x.lower()))
+            dl = sum(tf.values())
+            score = 0.0
+            hit = False
+            for i, term in enumerate(ts):
+                f = tf.get(term, 0)
+                if not f:
+                    continue
+                hit = True
+                score += idf_[i] * (f * (k1 + 1.0)) \
+                    / (f + k1 * (1.0 - b_ + b_ * dl / avg))
+            if hit:
+                rows.append((int(math.floor(score * 1_000_000 + 0.5)),
+                             d))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        rows = rows[:k]
+        return pa.table({
+            "score_micro": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64())})
+
+    parts = ds.map_batches(score_partial, batch_format="pyarrow",
+                           **remote_args()).to_pandas()
+    parts = parts.sort_values(["score_micro", "doc_id"],
+                              ascending=[False, True]).head(k)
+    parts = parts.reset_index(drop=True)
+    parts.insert(0, "rank", np.arange(1, len(parts) + 1, dtype=np.int64))
+    return parts[["rank", "doc_id", "score_micro"]]

@@ -748,3 +748,39 @@ def test_dedup_keep_best_semantics(ray_session):
     # at least one multi-doc component exercises the decision
     sizes = out.groupby("component_id").size()
     assert (sizes > 1).any()
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    import math
+    from collections import Counter
+    from erex.ops.text import BM25_B, BM25_K1, bm25_topk
+    out = bm25_topk(SF, query="hash join order", k=10)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    terms = ["hash", "join", "order"]
+    tfs = {d: Counter(tok.findall(x.lower()))
+           for d, x in zip(docs["doc_id"], docs["text"])}
+    n = len(docs)
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    avgdl = sum(dls.values()) / n
+    dfm = {t: sum(1 for c in tfs.values() if c[t] > 0) for t in terms}
+    rows = []
+    for d, c in tfs.items():
+        score, hit = 0.0, False
+        for t in terms:
+            f = c.get(t, 0)
+            if not f:
+                continue
+            hit = True
+            idf = math.log((n - dfm[t] + 0.5) / (dfm[t] + 0.5) + 1.0)
+            score += idf * (f * (BM25_K1 + 1.0)) \
+                / (f + BM25_K1 * (1.0 - BM25_B
+                                  + BM25_B * dls[d] / avgdl))
+        if hit:
+            rows.append((int(math.floor(score * 1e6 + 0.5)), int(d)))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    want = rows[:10]
+    got = list(zip(out["score_micro"], out["doc_id"]))
+    assert got == want
+    assert list(out["rank"]) == list(range(1, len(want) + 1))
