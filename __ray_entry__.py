@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "dedup_keep_best": dedup.dedup_keep_best,
         "bm25_topk": text.bm25_topk,
+        "stratified_sample": text.stratified_sample,
         # --- relational operators (A1/A2, J4, O3, windows) -----------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -627,7 +628,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_customers_without_orders": relational.q_customers_without_orders,
         "q_asof_latest_order": relational.q_asof_latest_order,
-        "q_distinct_event_types": relational.q_distinct_event_types,
         # --- dedup family --------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -662,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text.token_count,
         "quality_score": text.quality_score,
         "hash_sample": text.hash_sample,
+        "q_distinct_event_types": relational.q_distinct_event_types,
         # --- CATENA flagship (SURVEY.md §2/§3; parity-pinned,
         # rows-only at the driver) -------------------------------------
         "catena_edges": _catena_edges,
@@ -1906,4 +1907,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _components_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "bm25_topk": _bm25_sql(),
+        "stratified_sample": """
+            WITH cnt AS (SELECT lang, COUNT(*) AS n
+                         FROM documents GROUP BY lang),
+            m AS (SELECT MIN(n) AS mn FROM cnt),
+            thr AS (SELECT lang,
+                           CAST(CAST(4294967296 AS HUGEINT) * m.mn
+                                // cnt.n AS BIGINT) AS t
+                    FROM cnt, m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON thr.lang = d.lang
+            WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                           1, 8)) AS UBIGINT) < thr.t
+            ORDER BY d.doc_id
+        """,
     }

@@ -761,3 +761,36 @@ def bm25_topk(sf_dir: str, query: str = "hash join order",
     parts = parts.reset_index(drop=True)
     parts.insert(0, "rank", np.arange(1, len(parts) + 1, dtype=np.int64))
     return parts[["rank", "doc_id", "score_micro"]]
+
+
+def stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Language-balanced deterministic sample — the rebalancing step of
+    multilingual pretraining mixes: every lang stratum is downsampled
+    to (approximately) the SMALLEST stratum's size with the same
+    hash-filter machinery as hash_sample (reproducible, shuffle-free,
+    composes with resumable output). Per-stratum threshold =
+    (2^32 * min_count) // count in EXACT integer arithmetic (the float
+    form loses precision past 2^53 at web-corpus counts); keep iff
+    md5_32(doc_id) < threshold(lang). Pass 1 gathers stratum counts
+    (strata-scale rows); pass 2 is a stateless broadcast filter.
+    Returns kept (doc_id, lang)."""
+    import ray
+    from ray.data.aggregate import Count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    cnt = ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    mn = int(cnt["n"].min())
+    thr = {lang: (4294967296 * mn) // int(n)
+           for lang, n in zip(cnt["lang"], cnt["n"])}
+    tref = ray.put(thr)
+
+    def f(t: pa.Table, _t=tref) -> pa.Table:
+        th = ray.get(_t)
+        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                < th[lg]
+                for d, lg in zip(t.column("doc_id").to_pylist(),
+                                 t.column("lang").to_pylist())]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -784,3 +784,23 @@ def test_bm25_topk_matches_bruteforce(ray_session):
     got = list(zip(out["score_micro"], out["doc_id"]))
     assert got == want
     assert list(out["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_stratified_sample_balances_strata(ray_session):
+    from erex.ops.text import stratified_sample
+    out = stratified_sample(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    counts = docs.groupby("lang").size()
+    mn = int(counts.min())
+    # brute-force replay of the per-stratum hash filter
+    thr = {lg: (4294967296 * mn) // int(n) for lg, n in counts.items()}
+    keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            < thr[lg]
+            for d, lg in zip(docs["doc_id"], docs["lang"])]
+    want = docs[keep].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+    # each stratum lands near the smallest stratum's size
+    got_counts = out.groupby("lang").size()
+    assert (got_counts <= mn + 3).all()
+    assert len(out) > 0
