@@ -595,6 +595,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # catena extraction family (whose correctness is pinned by
     # compiled-reference parity, not SQL) closes the list.
     return {
+        # --- round-4 additions: need their first driver row ----------
+        "semantic_dedup": similarity.semantic_dedup,
+        "unigram_logprob": text.unigram_logprob,
+        "unigram_logprob_join": lambda sf: text.unigram_logprob(
+            sf, mode="join"),
+        "group_quantiles": relational.group_quantiles,
         # --- newest families: no driver row yet / new oracle ---------
         "mm_image_meta": multimodal.image_meta,
         "mm_frame_sample": multimodal.frame_sample,
@@ -708,6 +714,42 @@ _TFIDF_SQL = """
     FROM r WHERE rn <= 3 ORDER BY doc_id, rank
 """
 
+# erex/ops/text.py::unigram_logprob — the per-token-TYPE surprisal is
+# micro-rounded to an int64 BEFORE the tf-weighted per-doc sum, so both
+# sides reduce in exact integer arithmetic (ln() float64 parity is the
+# same libm-double property _TFIDF_SQL relies on)
+_UNIGRAM_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                                         '[a-z0-9]+')) AS t
+        FROM documents),
+    cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    sm AS (SELECT t, CAST(FLOOR(ln(CAST((SELECT n FROM tot) AS DOUBLE)
+                                   / c) * 1000000 + 0.5) AS BIGINT) AS s
+           FROM cnt),
+    tf AS (SELECT doc_id, t, COUNT(*) AS f FROM tok GROUP BY doc_id, t)
+    SELECT f.doc_id, CAST(SUM(f.f) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.f * sm.s) AS BIGINT) AS surprisal_micro
+    FROM tf f JOIN sm ON sm.t = f.t
+    GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+# erex/ops/relational.py::group_quantiles — the engine's cumulative
+# count walk implements exactly percentile_disc's smallest-value-at-
+# ceil(p*n) semantics
+_GROUP_QUANTILES_SQL = """
+    SELECT lang, COUNT(*) AS n_rows,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+                AS BIGINT) AS q25,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                AS BIGINT) AS q50,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+                AS BIGINT) AS q75
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
 
 def _bm25_sql(query: str = "hash join order", k: int = 10) -> str:
     """DuckDB replica of bm25_topk with the engine's exact float64 op
@@ -778,20 +820,17 @@ def _nemb_cte() -> str:
                      FROM eraw)"""
 
 
-def _ivf_sql(n_lists: int = 16, iters: int = 3, n_queries: int = 8,
-             k: int = 5, nprobe: int = 4) -> str:
-    """Exact DuckDB replica of ann_ivf_topk INCLUDING the k-means
-    coarse quantizer, unrolled one CTE chain per Lloyd iteration (the
-    same technique as _pagerank_sql): init = normalized embeddings of
-    the n_lists lowest vec_ids; assignment = argmax centroid dot with
-    ties to the lowest list id (np.argmax semantics); update = mean of
-    assigned normalized vectors then renormalize, empty lists keeping
-    the previous centroid; probes = top-nprobe lists per query (stable
-    tie-break); final top-k ranked by the micro-rounded cosine with
-    vec_id tie-break — the same total order the engine applies at both
-    batch and driver level."""
+def _kmeans_ctes(n_lists: int, iters: int) -> tuple[str, str]:
+    """Shared unrolled-k-means CTE fragment (appended after nemb),
+    replicating erex/ops/similarity.py::_kmeans_centroids one CTE chain
+    per Lloyd iteration (the same technique as _pagerank_sql): init =
+    normalized embeddings of the n_lists lowest vec_ids; assignment =
+    argmax centroid dot with ties to the lowest list id (np.argmax
+    semantics); update = mean of assigned normalized vectors then
+    renormalize, empty lists keeping the previous centroid. Ends with
+    `af` = the final (vec_id, cid) assignment; returns (fragment,
+    final_centroid_cte_name) so callers can also probe the centroids."""
     parts = [f"""
-        WITH {_nemb_cte()},
         uf AS (SELECT vec_id, unnest(u) AS v,
                       unnest(range(1, len(u)+1)) AS i FROM nemb),
         c0 AS (SELECT vec_id AS cid, u AS cv FROM nemb
@@ -826,7 +865,20 @@ def _ivf_sql(n_lists: int = 16, iters: int = 3, n_queries: int = 8,
                    ROW_NUMBER() OVER (PARTITION BY n.vec_id
                        ORDER BY list_inner_product(n.u, c.cv) DESC,
                                 c.cid) AS rn
-            FROM nemb n CROSS JOIN {prev} c) WHERE rn = 1),
+            FROM nemb n CROSS JOIN {prev} c) WHERE rn = 1)""")
+    return "".join(parts), prev
+
+
+def _ivf_sql(n_lists: int = 16, iters: int = 3, n_queries: int = 8,
+             k: int = 5, nprobe: int = 4) -> str:
+    """Exact DuckDB replica of ann_ivf_topk INCLUDING the k-means
+    coarse quantizer (shared fragment: _kmeans_ctes); probes =
+    top-nprobe lists per query (stable tie-break); final top-k ranked
+    by the micro-rounded cosine with vec_id tie-break — the same total
+    order the engine applies at both batch and driver level."""
+    kchain, prev = _kmeans_ctes(n_lists, iters)
+    return f"""
+        WITH {_nemb_cte()},{kchain},
         pq AS (SELECT qid, cid FROM (
             SELECT q.vec_id AS qid, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -848,8 +900,31 @@ def _ivf_sql(n_lists: int = 16, iters: int = 3, n_queries: int = 8,
                FROM cand)
         SELECT qid AS query_id, rn AS rank, vid AS vec_id,
                cm AS cos_micro
-        FROM rr WHERE rn <= {k} ORDER BY query_id, rank""")
-    return "".join(parts)
+        FROM rr WHERE rn <= {k} ORDER BY query_id, rank"""
+
+
+def _semantic_dedup_sql(n_lists: int = 16, iters: int = 3,
+                        threshold_micro: int = 300_000) -> str:
+    """Exact DuckDB replica of similarity.semantic_dedup: the SAME
+    unrolled k-means assignment (_kmeans_ctes), then a vector is a
+    duplicate iff some lower-vec_id vector in its cluster clears the
+    micro-rounded cosine threshold (normalize-then-dot, matching the
+    engine's per-cluster matmul op order)."""
+    kchain, _ = _kmeans_ctes(n_lists, iters)
+    return f"""
+        WITH {_nemb_cte()},{kchain},
+        dup AS (SELECT DISTINCT a.vec_id
+                FROM af a JOIN af b
+                  ON a.cid = b.cid AND b.vec_id < a.vec_id
+                JOIN nemb x ON x.vec_id = a.vec_id
+                JOIN nemb y ON y.vec_id = b.vec_id
+                WHERE CAST(FLOOR(list_inner_product(x.u, y.u)
+                      * 1000000 + 0.5) AS BIGINT) >= {threshold_micro})
+        SELECT a.vec_id, a.cid,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep
+        FROM af a LEFT JOIN dup d ON d.vec_id = a.vec_id
+        ORDER BY a.vec_id"""
 
 
 def _embedding_lsh_sql() -> str:
@@ -1777,6 +1852,10 @@ def oracle_sql() -> dict[str, str]:
         # value-for-value: same libm doubles on both sides)
         "tfidf_top_terms": _TFIDF_SQL,
         "tfidf_top_terms_join": _TFIDF_SQL,
+        "unigram_logprob": _UNIGRAM_SQL,
+        "unigram_logprob_join": _UNIGRAM_SQL,
+        "group_quantiles": _GROUP_QUANTILES_SQL,
+        "semantic_dedup": _semantic_dedup_sql(),
         "inverted_index": """
             WITH td AS (
                 SELECT DISTINCT doc_id, w AS token

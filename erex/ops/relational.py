@@ -471,3 +471,42 @@ def profile_table(sf_dir: str, table: str = "orders") -> pd.DataFrame:
                       Min("min_val", alias_name="min_val"),
                       Max("max_val", alias_name="max_val")))
     return out.to_pandas().sort_values("column").reset_index(drop=True)
+
+
+def group_quantiles(sf_dir: str,
+                    ps: tuple = (0.25, 0.5, 0.75)) -> pd.DataFrame:
+    """Exact per-group quantiles of documents.n_chars by lang — the
+    corpus length-distribution audit every pretraining mix starts with.
+    Shape: instead of a per-group sort (an all-to-all that moves every
+    row), each batch emits its (lang, n_chars) value-histogram partial;
+    one groupby-sum collapses them to the distinct-value scale (groups
+    x value-range, NOT row count — bounded regardless of corpus size),
+    and the quantile walk over cumulative counts runs on that small
+    table. percentile_disc semantics: the smallest value whose
+    cumulative count reaches ceil(p * n). Returns one row per lang:
+    (lang, n_rows, q25, q50, q75), ordered by lang."""
+    import math
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "c"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           **remote_args())
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(np.int64)
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        qs = [int(vals[np.searchsorted(cum, math.ceil(p * n))])
+              for p in ps]
+        rows.append((lang, n, *qs))
+    return pd.DataFrame(
+        rows, columns=["lang", "n_rows"]
+        + [f"q{int(p * 100)}" for p in ps])

@@ -548,3 +548,63 @@ def knn_graph_mutual(sf_dir: str, k: int = 5) -> pd.DataFrame:
            .map_groups(mutual, batch_format="pandas", **remote_args()))
     return out.to_pandas().sort_values(["vec_a", "vec_b"])\
         .reset_index(drop=True)
+
+
+# Guard for semantic_dedup's within-cluster pairwise pass: the published
+# algorithm is quadratic in CLUSTER size (not corpus size) — at corpus
+# scale the cluster count must grow with the data so clusters stay
+# bounded; refuse to densify one that clearly hasn't.
+_SEMDEDUP_MAX_CLUSTER = 200_000
+
+
+def semantic_dedup(sf_dir: str, n_lists: int = 16,
+                   threshold_micro: int = 300_000) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means-cluster the embedding space with the SAME deterministic
+    distributed Lloyd quantizer IVF uses, then prune within each
+    cluster — a vector is a duplicate iff some LOWER-vec_id vector in
+    its cluster has cosine >= threshold (micro-rounded, vid-ordered, so
+    the kept set is deterministic and order-independent). Pairwise work
+    is confined to cluster shards (`groupby(cid).map_groups`): the
+    corpus-level O(n^2) of exact embedding dedup becomes
+    sum_c O(m_c^2), and at scale n_lists grows with the corpus to keep
+    m_c bounded (guarded loudly at _SEMDEDUP_MAX_CLUSTER).
+
+    Returns every vector as (vec_id, cid, keep) ordered by vec_id."""
+    C = _kmeans_centroids(sf_dir, k=n_lists)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C_ = ray.get(cref)
+        X = _normalize(np.stack(
+            t.column("embedding").to_pylist()).astype(np.float64))
+        a = np.argmax(X @ C_.T, axis=1)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "cid": pa.array(a.astype(np.int64)),
+                         "embedding": t.column("embedding")})
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > _SEMDEDUP_MAX_CLUSTER:
+            raise ValueError(
+                f"semantic_dedup cluster of {len(g)} rows exceeds "
+                f"{_SEMDEDUP_MAX_CLUSTER}: raise n_lists so clusters "
+                "stay bounded before densifying the pairwise pass")
+        g = g.sort_values("vec_id")
+        X = _normalize(np.stack(g["embedding"].to_numpy())
+                       .astype(np.float64))
+        cm = np.floor(X @ X.T * 1_000_000 + 0.5).astype(np.int64)
+        # duplicate iff ANY strictly-earlier (lower vec_id) row in the
+        # cluster clears the threshold — the strict lower triangle
+        dup = np.tril(cm >= threshold_micro, -1).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(),
+            "cid": g["cid"].to_numpy(),
+            "keep": (~dup).astype(np.int64)})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow", **remote_args())
+           .groupby("cid")
+           .map_groups(per_cluster, batch_format="pandas",
+                       **remote_args()))
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)

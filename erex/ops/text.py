@@ -794,3 +794,135 @@ def stratified_sample(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(f, batch_format="pyarrow", **remote_args())\
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def unigram_logprob(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """Per-document unigram-LM surprisal — the cheap perplexity proxy
+    CCNet-style pipelines use to quality-rank web documents before the
+    expensive KenLM pass (Wenzek et al. 2020). Two streaming passes:
+    (1) corpus unigram counts via per-batch partial Counters -> one
+    vocabulary-scale groupby-sum; (2) score every document as
+    sum(tf(w) * floor(ln(N / count(w)) * 1e6 + 0.5)) over its token
+    TYPES — the per-type surprisal is micro-rounded to an int64 BEFORE
+    the weighted sum, so the result is exact integer arithmetic,
+    independent of summation order, and hash-identical to the DuckDB
+    oracle.
+
+    Modes mirror tfidf_top_terms (same scale reasoning, tested equal):
+
+    - 'broadcast' (auto below TFIDF_BROADCAST_MAX_VOCAB distinct
+      tokens): the count table collapses to a token -> surprisal int
+      dict broadcast via ray.put; one scoring pass.
+    - 'join' (auto above): counts STAY a token-keyed Dataset;
+      per-doc (doc_id, token, tf) rows hash-join against it and the
+      per-doc sums reduce by doc-shard groupby — nothing
+      vocabulary-sized on the driver or in a worker heap.
+
+    Returns (doc_id, n_tokens, surprisal_micro) for docs with >= 1
+    token, ordered by doc_id."""
+    import ray
+    from ray.data.aggregate import Sum
+    tok = LOWER_TOKEN_RE
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            c.update(tok.findall(x.lower()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    cnt_ds = (ds.map_batches(cnt_partial, batch_format="pyarrow",
+                             **remote_args())
+              .groupby("token").aggregate(Sum("c", alias_name="c")))
+    cnt_ds = cnt_ds.materialize()
+    # total corpus tokens: one tiny aggregate over the count table
+    n_total = int(cnt_ds.aggregate(Sum("c", alias_name="n"))["n"])
+    if mode == "auto":
+        mode = "broadcast" if cnt_ds.count() <= TFIDF_BROADCAST_MAX_VOCAB \
+            else "join"
+    if mode == "join":
+        return _unigram_logprob_join(ds, cnt_ds, n_total)
+    if mode != "broadcast":
+        raise ValueError(f"mode must be auto/broadcast/join: {mode}")
+    cnt = cnt_ds.to_pandas()
+    # per-type surprisal micro-rounded ONCE, driver-side, with the same
+    # np.log the join mode applies post-join (identical float64 path)
+    sm = np.floor(np.log(n_total / cnt["c"].to_numpy(np.float64))
+                  * 1_000_000 + 0.5).astype(np.int64)
+    sm_ref = ray.put(dict(zip(cnt["token"], (int(v) for v in sm))))
+
+    def score(t: pa.Table, _s=sm_ref) -> pa.Table:
+        import ray as _ray
+        from collections import Counter
+        smap = _ray.get(_s)
+        ids, ntok, surp = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            tf = Counter(tok.findall(x.lower()))
+            if not tf:
+                continue
+            ids.append(d)
+            ntok.append(sum(tf.values()))
+            surp.append(sum(c * smap[w] for w, c in tf.items()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(ntok, pa.int64()),
+                         "surprisal_micro": pa.array(surp, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _unigram_logprob_join(ds: "rd.Dataset", cnt_ds: "rd.Dataset",
+                          n_total: int) -> pd.DataFrame:
+    """Join-mode unigram surprisal: (doc_id, token, tf) explode ->
+    hash join with the count Dataset on token -> vectorized int64
+    scoring -> per-doc integer sums via doc-shard groupby (partial
+    sums are exact, so shard-local aggregation then a doc-scale merge
+    loses nothing)."""
+    from .._env import drop_schemaless_blocks
+    import ray as _ray
+    tok = LOWER_TOKEN_RE
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    npart = max(2, min(64, ncpu // 2))
+    cnt_ds = drop_schemaless_blocks(
+        cnt_ds, empty_schema={"token": pa.string(), "c": pa.int64()})
+
+    def tf_explode(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, toks, tfs = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            for w, c in Counter(tok.findall(x.lower())).items():
+                ids.append(d)
+                toks.append(w)
+                tfs.append(c)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    joined = ds.map_batches(tf_explode, batch_format="pyarrow",
+                            **remote_args())\
+        .join(cnt_ds, "inner", npart, on=("token",))
+
+    def score_shard(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy()
+        c = t.column("c").to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        s = np.floor(np.log(n_total / c) * 1_000_000 + 0.5)\
+            .astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(tf, pa.int64()),
+                         "surprisal_micro": pa.array(tf * s, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = (joined.map_batches(score_shard, batch_format="pyarrow",
+                              **remote_args())
+           .groupby("doc_id")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("surprisal_micro",
+                          alias_name="surprisal_micro")))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -804,3 +804,91 @@ def test_stratified_sample_balances_strata(ray_session):
     got_counts = out.groupby("lang").size()
     assert (got_counts <= mn + 3).all()
     assert len(out) > 0
+
+
+def test_unigram_logprob_matches_serial(ray_session):
+    """Broadcast-mode unigram surprisal == a serial Counter
+    recomputation with the same micro-round-then-weighted-sum rule."""
+    import math
+    from collections import Counter
+    from erex.ops.text import unigram_logprob
+    out = unigram_logprob(SF, mode="broadcast")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    corpus = Counter()
+    per_doc = {}
+    for d, x in zip(docs["doc_id"], docs["text"]):
+        tf = Counter(tok.findall(x.lower()))
+        per_doc[int(d)] = tf
+        corpus.update(tf)
+    n = sum(corpus.values())
+    sm = {w: math.floor(math.log(n / c) * 1_000_000 + 0.5)
+          for w, c in corpus.items()}
+    assert len(out) == sum(1 for tf in per_doc.values() if tf)
+    for _, r in out.head(50).iterrows():
+        tf = per_doc[int(r["doc_id"])]
+        assert int(r["n_tokens"]) == sum(tf.values())
+        assert int(r["surprisal_micro"]) == \
+            sum(c * sm[w] for w, c in tf.items())
+
+
+def test_unigram_logprob_join_mode_identical(ray_session):
+    from erex.ops.text import unigram_logprob
+    a = unigram_logprob(SF, mode="broadcast").reset_index(drop=True)
+    b = unigram_logprob(SF, mode="join").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_semantic_dedup_matches_serial(ray_session):
+    """The distributed cluster-sharded prune == a serial numpy
+    recomputation from the SAME deterministic centroids; basic
+    SemDeDup invariants hold (lowest vec_id per cluster always kept)."""
+    from erex.ops.similarity import (_kmeans_centroids, _normalize,
+                                     semantic_dedup)
+    out = semantic_dedup(SF, threshold_micro=300_000)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .sort_values("vec_id")
+    C = _kmeans_centroids(SF, k=16)
+    X = _normalize(np.stack(emb["embedding"].to_numpy())
+                   .astype(np.float64))
+    assign = np.argmax(X @ C.T, axis=1)
+    vid = emb["vec_id"].to_numpy()
+    keep = np.ones(len(vid), dtype=bool)
+    for c in np.unique(assign):
+        idx = np.nonzero(assign == c)[0]  # vid-sorted already
+        cm = np.floor(X[idx] @ X[idx].T * 1_000_000 + 0.5)
+        dup = np.tril(cm >= 300_000, -1).any(axis=1)
+        keep[idx] = ~dup
+    got = out.sort_values("vec_id")
+    assert (got["vec_id"].to_numpy() == vid).all()
+    assert (got["cid"].to_numpy() == assign).all()
+    assert (got["keep"].to_numpy().astype(bool) == keep).all()
+    # per cluster, the lowest vec_id is never a duplicate
+    first = got.groupby("cid", sort=False).first()
+    assert (first["keep"] == 1).all()
+    assert 0 < int(got["keep"].sum()) < len(got)
+
+
+def test_semantic_dedup_cluster_guard(ray_session, monkeypatch):
+    from erex.ops import similarity
+    monkeypatch.setattr(similarity, "_SEMDEDUP_MAX_CLUSTER", 3)
+    with pytest.raises(Exception, match="exceeds"):
+        similarity.semantic_dedup(SF)
+
+
+def test_group_quantiles_matches_pandas(ray_session):
+    """Histogram-walk quantiles == pandas' 'inverted_cdf'
+    (= percentile_disc) per group."""
+    from erex.ops.relational import group_quantiles
+    out = group_quantiles(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    for _, r in out.iterrows():
+        vals = np.sort(
+            docs.loc[docs["lang"] == r["lang"], "n_chars"].to_numpy())
+        assert int(r["n_rows"]) == len(vals)
+        import math
+        for p, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            assert int(r[col]) == int(vals[math.ceil(p * len(vals)) - 1])
