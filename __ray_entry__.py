@@ -597,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 additions: need their first driver row ----------
         "semantic_dedup": similarity.semantic_dedup,
+        "source_overlap": dedup.source_overlap,
+        "embedding_project": similarity.embedding_project,
         "unigram_logprob": text.unigram_logprob,
         "unigram_logprob_join": lambda sf: text.unigram_logprob(
             sf, mode="join"),
@@ -735,6 +737,55 @@ _UNIGRAM_SQL = """
     FROM tf f JOIN sm ON sm.t = f.t
     GROUP BY f.doc_id ORDER BY f.doc_id
 """
+
+# erex/ops/dedup.py::source_overlap — the same shingle relational
+# explode as the jaccard oracles, keyed by source; all-integer jaccard
+# (1000*i // union) so no FP is involved at all
+_SOURCE_OVERLAP_SQL = """
+    WITH toks AS (
+        SELECT source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT source,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+        WHERE len(ws) >= 3
+        UNION
+        SELECT DISTINCT source, array_to_string(ws, ' ')
+        FROM toks WHERE len(ws) < 3 AND len(ws) > 0),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    it AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.source < b.source
+           GROUP BY a.source, b.source)
+    SELECT sa AS source_a, sb AS source_b, CAST(i AS BIGINT) AS inter,
+           CAST(x.n + y.n - i AS BIGINT) AS n_union,
+           CAST((1000 * i) // (x.n + y.n - i) AS BIGINT) AS jaccard_milli
+    FROM it JOIN sizes x ON x.source = sa JOIN sizes y ON y.source = sb
+    ORDER BY source_a, source_b
+"""
+
+
+def _embedding_project_sql(out_dim: int = 16) -> str:
+    """Replica of similarity.embedding_project: the SAME seeded
+    Gaussian matrix injected as repr() round-trip literal arrays, one
+    list_inner_product per output component, micro-rounded."""
+    import numpy as np
+    from erex.ops.similarity import _RP_SEED
+    R = np.random.RandomState(_RP_SEED).normal(size=(out_dim, 64))
+    cols = ", ".join(
+        "CAST(FLOOR(list_inner_product(e, [%s]) * 1000000 + 0.5)"
+        " AS BIGINT) AS p%d"
+        % (",".join(repr(float(v)) for v in R[j]), j)
+        for j in range(out_dim))
+    return f"""
+        SELECT vec_id, {cols}
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings)
+        ORDER BY vec_id
+    """
+
 
 # erex/ops/relational.py::group_quantiles — the engine's cumulative
 # count walk implements exactly percentile_disc's smallest-value-at-
@@ -1856,6 +1907,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_join": _UNIGRAM_SQL,
         "group_quantiles": _GROUP_QUANTILES_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
+        "source_overlap": _SOURCE_OVERLAP_SQL,
+        "embedding_project": _embedding_project_sql(),
         "inverted_index": """
             WITH td AS (
                 SELECT DISTINCT doc_id, w AS token

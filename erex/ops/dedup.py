@@ -723,3 +723,67 @@ def dedup_keep_best(sf_dir: str, n: int = 3,
     return scored.map_batches(stamp, batch_format="pyarrow",
                               **remote_args()).to_pandas()\
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def source_overlap(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Cross-source corpus overlap matrix — the contamination/diversity
+    diagnostic run before mixing crawl snapshots: EXACT shingle Jaccard
+    between every pair of sources. Shape: distinct (source, shingle)
+    explode -> shingle-hash shards (all copies of a shingle co-locate,
+    so per-shard dedup is global dedup) -> per shard, each shingle's
+    tiny source set emits pair/size partial counts -> one
+    source-pair-scale merge. The shuffle carries distinct
+    (source, shingle) rows (vocabulary-scale, not corpus-scale) and the
+    driver sees only |sources|^2 rows. All-integer arithmetic
+    (jaccard_milli = 1000*inter // union) so the DuckDB oracle matches
+    exactly. Returns (source_a, source_b, inter, n_union,
+    jaccard_milli) for overlapping pairs, ordered by (source_a,
+    source_b)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        seen = set()
+        for src, x in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for s in shingle_set(x, n):
+                seen.add((src, s))
+        srcs, shs = zip(*seen) if seen else ((), ())
+        return pa.table({"source": pa.array(list(srcs), pa.string()),
+                         "shingle": pa.array(list(shs), pa.string())})
+
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "shingle"])
+        sizes: dict = {}
+        inter: dict = {}
+        for _s, srcs in g.groupby("shingle")["source"]:
+            u = sorted(srcs.unique())
+            for i, a in enumerate(u):
+                sizes[a] = sizes.get(a, 0) + 1
+                for b in u[i + 1:]:
+                    inter[(a, b)] = inter.get((a, b), 0) + 1
+        rows = [(a, b, c, 0) for (a, b), c in inter.items()]
+        rows += [(a, "", 0, c) for a, c in sizes.items()]
+        return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                           "inter", "size"])
+
+    parts = (ds.map_batches(explode, batch_format="pyarrow",
+                            **remote_args())
+             .map_batches(_shingle_shard, batch_format="pyarrow",
+                          **remote_args())
+             .groupby("shard")
+             .map_groups(shard_counts, batch_format="pandas",
+                         **remote_args())
+             .to_pandas())
+    sizes = parts[parts["source_b"] == ""].groupby("source_a")["size"] \
+        .sum().to_dict()
+    pairs = parts[parts["source_b"] != ""] \
+        .groupby(["source_a", "source_b"], as_index=False)["inter"].sum()
+    na = pairs["source_a"].map(sizes).to_numpy(np.int64)
+    nb = pairs["source_b"].map(sizes).to_numpy(np.int64)
+    it = pairs["inter"].to_numpy(np.int64)
+    un = na + nb - it
+    pairs["n_union"] = un
+    pairs["jaccard_milli"] = 1000 * it // un
+    return pairs.sort_values(["source_a", "source_b"]) \
+        .reset_index(drop=True)

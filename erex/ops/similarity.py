@@ -608,3 +608,32 @@ def semantic_dedup(sf_dir: str, n_lists: int = 16,
            .map_groups(per_cluster, batch_format="pandas",
                        **remote_args()))
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+_RP_SEED = 24680
+
+
+def embedding_project(sf_dir: str, out_dim: int = 16) -> pd.DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> out_dim — the
+    compression stage ahead of ANN indexing / clustering at corpus
+    scale. One seeded Gaussian matrix broadcast via ray.put, one
+    map-only pass (one matmul per batch, no shuffle, streams at any
+    scale); components micro-rounded to int64 so the SQL replica (the
+    same matrix as literal arrays) matches bit-for-bit. Returns
+    (vec_id, p0..p{out_dim-1}) ordered by vec_id."""
+    R = np.random.RandomState(_RP_SEED).normal(size=(out_dim, 64))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    rref = ray.put(R)
+
+    def f(t: pa.Table) -> pa.Table:
+        R_ = ray.get(rref)
+        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        Y = np.floor(X @ R_.T * 1_000_000 + 0.5).astype(np.int64)
+        cols = {"vec_id": t.column("vec_id")}
+        for j in range(R_.shape[0]):
+            cols[f"p{j}"] = pa.array(Y[:, j])
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args())\
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)

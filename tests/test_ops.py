@@ -892,3 +892,42 @@ def test_group_quantiles_matches_pandas(ray_session):
         import math
         for p, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
             assert int(r[col]) == int(vals[math.ceil(p * len(vals)) - 1])
+
+
+def test_source_overlap_matches_serial(ray_session):
+    """Distributed shingle-shard pair counts == a serial set
+    recomputation; Jaccard stays exact integer math."""
+    from erex.ops.dedup import shingle_set, source_overlap
+    out = source_overlap(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    sets: dict = {}
+    for src, x in zip(docs["source"], docs["text"]):
+        sets.setdefault(src, set()).update(shingle_set(x, 3))
+    srcs = sorted(sets)
+    want = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                un = len(sets[a] | sets[b])
+                want.append((a, b, inter, un, 1000 * inter // un))
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want
+
+
+def test_embedding_project_matches_serial(ray_session):
+    """The projection is one broadcast matmul: distributed output ==
+    driver-side numpy on the full matrix, and it preserves rough
+    neighborhood structure (JL property sanity: self-dot dominates)."""
+    from erex.ops.similarity import _RP_SEED, embedding_project
+    out = embedding_project(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    R = np.random.RandomState(_RP_SEED).normal(size=(16, 64))
+    Y = np.floor(X @ R.T * 1_000_000 + 0.5).astype(np.int64)
+    assert (out["vec_id"].to_numpy() == emb["vec_id"].to_numpy()).all()
+    got = out[[f"p{j}" for j in range(16)]].to_numpy()
+    assert (got == Y).all()
