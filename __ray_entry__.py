@@ -584,7 +584,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from erex.ops import (dedup, graph, multimodal, relational,
+    from erex.ops import (dedup, graph, io, multimodal, relational,
                           similarity, sketch, text)
 
     # ORDER MATTERS for the audit trail: the round-3 driver recorded
@@ -603,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_join": lambda sf: text.unigram_logprob(
             sf, mode="join"),
         "group_quantiles": relational.group_quantiles,
+        "documents_jsonl_stats": io.documents_jsonl_stats,
         # --- newest families: no driver row yet / new oracle ---------
         "mm_image_meta": multimodal.image_meta,
         "mm_frame_sample": multimodal.frame_sample,
@@ -1909,6 +1910,15 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "embedding_project": _embedding_project_sql(),
+        # the oracle reads the ORIGINAL parquet — equality certifies
+        # the engine's JSONL write+read round-trip byte-for-byte
+        "documents_jsonl_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8))
+                                 AS BIGINT)) AS BIGINT) AS checksum
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
         "inverted_index": """
             WITH td AS (
                 SELECT DISTINCT doc_id, w AS token

@@ -105,6 +105,9 @@ def run_bench() -> None:
     timed("dedup_components", dedup.dedup_components)
     timed("tfidf_top_terms_join",
           lambda sf: text.tfidf_top_terms(sf, mode="join"))
+    # late-round-4 additions: semantic dedup and the unigram-LM scorer
+    timed("semantic_dedup", similarity.semantic_dedup)
+    timed("unigram_logprob", text.unigram_logprob)
 
     print(json.dumps({
         "metric": "catena_flagship", "value": round(headline, 3),

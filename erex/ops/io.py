@@ -1,0 +1,71 @@
+"""Interchange source/sink coverage beyond parquet: line-delimited
+JSON. The round-trip operator proves the JSONL read AND write paths
+are lossless by aggregating a content checksum after the round-trip —
+the DuckDB oracle computes the same aggregate from the original
+parquet, so a hash-green row certifies both directions at once.
+
+At 100 TB the same shape holds: `write_json` emits one file per block
+(the resumable partitioned-output layout), `read_json` streams them
+back block-per-file; nothing is driver-materialized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from .._env import remote_args
+
+
+def documents_jsonl_stats(sf_dir: str) -> pd.DataFrame:
+    """Write the documents table to sharded JSONL, read it back, and
+    aggregate per language: row count, total chars, and the sum of a
+    32-bit md5 text checksum (int64 — overflow-free at any corpus
+    size the sum fits ~2^31 rows * 2^32; exact integer reduce). Equal
+    output to the parquet-side oracle == the JSONL round-trip
+    preserved every text byte, every lang tag, and every n_chars
+    value. Returns (lang, n_docs, sum_chars, checksum), ordered by
+    lang."""
+    from ray.data.aggregate import Sum
+    out_dir = tempfile.mkdtemp(prefix="erex_jsonl_")
+    try:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang",
+                                      "n_chars"])
+        ds.write_json(out_dir)
+        back = rd.read_json(out_dir)
+
+        def partial(t: pa.Table) -> pa.Table:
+            langs = t.column("lang").to_pylist()
+            texts = t.column("text").to_pylist()
+            nch = t.column("n_chars").to_pylist()
+            agg: dict = {}
+            for lg, x, c in zip(langs, texts, nch):
+                cs = int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+                n, s, k = agg.get(lg, (0, 0, 0))
+                agg[lg] = (n + 1, s + int(c), k + cs)
+            return pa.table({
+                "lang": pa.array(list(agg.keys()), pa.string()),
+                "n_docs": pa.array([v[0] for v in agg.values()],
+                                   pa.int64()),
+                "sum_chars": pa.array([v[1] for v in agg.values()],
+                                      pa.int64()),
+                "checksum": pa.array([v[2] for v in agg.values()],
+                                     pa.int64())})
+
+        res = (back.map_batches(partial, batch_format="pyarrow",
+                                **remote_args())
+               .groupby("lang")
+               .aggregate(Sum("n_docs", alias_name="n_docs"),
+                          Sum("sum_chars", alias_name="sum_chars"),
+                          Sum("checksum", alias_name="checksum"))
+               .to_pandas())
+        return res.sort_values("lang").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

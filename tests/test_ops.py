@@ -931,3 +931,19 @@ def test_embedding_project_matches_serial(ray_session):
     assert (out["vec_id"].to_numpy() == emb["vec_id"].to_numpy()).all()
     got = out[[f"p{j}" for j in range(16)]].to_numpy()
     assert (got == Y).all()
+
+
+def test_jsonl_roundtrip_stats_match_parquet(ray_session):
+    """The JSONL write->read round-trip preserves every byte: the
+    checksum aggregate equals the same aggregate computed straight off
+    the parquet."""
+    from erex.ops.io import documents_jsonl_stats
+    out = documents_jsonl_stats(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = []
+    for lang, g in docs.groupby("lang", sort=True):
+        cs = sum(int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+                 for x in g["text"])
+        want.append((lang, len(g), int(g["n_chars"].sum()), cs))
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want
