@@ -604,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, mode="join"),
         "group_quantiles": relational.group_quantiles,
         "documents_jsonl_stats": io.documents_jsonl_stats,
+        "q_user_retention": relational.q_user_retention,
         # --- newest families: no driver row yet / new oracle ---------
         "mm_image_meta": multimodal.image_meta,
         "mm_frame_sample": multimodal.frame_sample,
@@ -1910,6 +1911,23 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "embedding_project": _embedding_project_sql(),
+        "q_user_retention": """
+            WITH ad AS (SELECT DISTINCT user_id,
+                               date_trunc('day', ts) AS day FROM events),
+            act AS (SELECT day, COUNT(*) AS n_active FROM ad
+                    GROUP BY day),
+            ret AS (SELECT a.day, COUNT(*) AS n_ret
+                    FROM ad a JOIN ad b
+                      ON b.user_id = a.user_id
+                     AND b.day = a.day + INTERVAL 1 DAY
+                    GROUP BY a.day)
+            SELECT act.day, CAST(act.n_active AS BIGINT) AS n_active,
+                   CAST(COALESCE(ret.n_ret, 0) AS BIGINT) AS n_retained,
+                   CAST((1000 * COALESCE(ret.n_ret, 0)) // act.n_active
+                        AS BIGINT) AS retention_milli
+            FROM act LEFT JOIN ret ON ret.day = act.day
+            ORDER BY act.day
+        """,
         # the oracle reads the ORIGINAL parquet — equality certifies
         # the engine's JSONL write+read round-trip byte-for-byte
         "documents_jsonl_stats": """

@@ -510,3 +510,53 @@ def group_quantiles(sf_dir: str,
     return pd.DataFrame(
         rows, columns=["lang", "n_rows"]
         + [f"q{int(p * 100)}" for p in ps])
+
+
+def q_user_retention(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day user retention — the engagement metric behind
+    training-data freshness dashboards: for each day, how many of its
+    active users are also active the NEXT day, plus the integer-milli
+    retention rate. Shape: per-batch distinct (user, day) partials →
+    user-hash shards (a user's full history co-locates, so the
+    day-transition scan is shard-local and vectorized) → day-scale
+    partial counts → tiny merge. The shuffle carries distinct
+    (user, day) pairs, never raw events. Returns (day, n_active,
+    n_retained, retention_milli) ordered by day."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        tt = pa.table({"user_id": t.column("user_id"), "day": day})
+        tt = tt.group_by(["user_id", "day"]).aggregate([])
+        u = tt.column("user_id").to_numpy()
+        return tt.append_column(
+            "ushard", pa.array((u & 63).astype(np.int32)))
+
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]) \
+             .sort_values(["user_id", "day"])
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy("datetime64[us]").astype(np.int64)
+        same = u[1:] == u[:-1]
+        nextday = (d[1:] - d[:-1]) == 86_400_000_000
+        ret_days = d[:-1][same & nextday]
+        act = pd.Series(d).value_counts()
+        ret = pd.Series(ret_days).value_counts()
+        out = pd.DataFrame({"day_us": act.index.to_numpy(np.int64),
+                            "n_active": act.to_numpy(np.int64)})
+        out["n_retained"] = out["day_us"].map(ret).fillna(0) \
+            .astype(np.int64)
+        return out
+
+    parts = (ds.map_batches(days, batch_format="pyarrow",
+                            **remote_args())
+             .groupby("ushard")
+             .map_groups(shard_counts, batch_format="pandas",
+                         **remote_args())
+             .to_pandas())
+    m = parts.groupby("day_us", as_index=False)[
+        ["n_active", "n_retained"]].sum().sort_values("day_us")
+    m["retention_milli"] = (1000 * m["n_retained"]) // m["n_active"]
+    m.insert(0, "day", m.pop("day_us").astype("datetime64[us]"))
+    return m.reset_index(drop=True)

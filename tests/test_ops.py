@@ -947,3 +947,24 @@ def test_jsonl_roundtrip_stats_match_parquet(ray_session):
         want.append((lang, len(g), int(g["n_chars"].sum()), cs))
     got = [tuple(r) for r in out.itertuples(index=False)]
     assert got == want
+
+
+def test_user_retention_matches_serial(ray_session):
+    """Shard-local day-transition scan == a serial set recomputation
+    over distinct (user, day) pairs."""
+    from erex.ops.relational import q_user_retention
+    out = q_user_retention(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    ad = ev.drop_duplicates(["user_id", "day"])
+    byday = {d: set(g["user_id"]) for d, g in ad.groupby("day")}
+    one = pd.Timedelta(days=1)
+    want = []
+    for d in sorted(byday):
+        act = byday[d]
+        ret = len(act & byday.get(d + one, set()))
+        want.append((d, len(act), ret, 1000 * ret // len(act)))
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want
+    assert (out["n_retained"] <= out["n_active"]).all()
