@@ -753,19 +753,23 @@ def source_overlap(sf_dir: str, n: int = 3) -> pd.DataFrame:
                          "shingle": pa.array(list(shs), pa.string())})
 
     def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: sizes = one groupby-size; intersections = a
+        # self-merge on shingle (per-shingle fan-out is bounded by the
+        # source count, so the merge is |shard| * avg_sources rows,
+        # never quadratic in the shard) + one pair groupby-size
         g = g.drop_duplicates(["source", "shingle"])
-        sizes: dict = {}
-        inter: dict = {}
-        for _s, srcs in g.groupby("shingle")["source"]:
-            u = sorted(srcs.unique())
-            for i, a in enumerate(u):
-                sizes[a] = sizes.get(a, 0) + 1
-                for b in u[i + 1:]:
-                    inter[(a, b)] = inter.get((a, b), 0) + 1
-        rows = [(a, b, c, 0) for (a, b), c in inter.items()]
-        rows += [(a, "", 0, c) for a, c in sizes.items()]
-        return pd.DataFrame(rows, columns=["source_a", "source_b",
-                                           "inter", "size"])
+        sizes = g.groupby("source").size()
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        inter = m.groupby(["source_a", "source_b"]).size()
+        rows = pd.DataFrame({
+            "source_a": inter.index.get_level_values(0),
+            "source_b": inter.index.get_level_values(1),
+            "inter": inter.to_numpy(np.int64), "size": 0})
+        srows = pd.DataFrame({
+            "source_a": sizes.index, "source_b": "",
+            "inter": 0, "size": sizes.to_numpy(np.int64)})
+        return pd.concat([rows, srows], ignore_index=True)
 
     parts = (ds.map_batches(explode, batch_format="pyarrow",
                             **remote_args())

@@ -4,9 +4,14 @@ are lossless by aggregating a content checksum after the round-trip —
 the DuckDB oracle computes the same aggregate from the original
 parquet, so a hash-green row certifies both directions at once.
 
-At 100 TB the same shape holds: `write_json` emits one file per block
-(the resumable partitioned-output layout), `read_json` streams them
-back block-per-file; nothing is driver-materialized.
+The Dataset shape holds at 100 TB (`write_json` emits one file per
+block — the resumable partitioned-output layout — and `read_json`
+streams them back block-per-file; nothing is driver-materialized),
+but the STORAGE must be shared: on a multi-node cluster write tasks
+land on each executing node's filesystem, so `out_dir` must point at
+object storage / a shared mount, never a node-local path. The default
+tempdir is therefore a single-node (test/CI) convenience only, and
+cleanup of a caller-supplied `out_dir` is the caller's job.
 """
 
 from __future__ import annotations
@@ -23,7 +28,8 @@ import ray.data as rd
 from .._env import remote_args
 
 
-def documents_jsonl_stats(sf_dir: str) -> pd.DataFrame:
+def documents_jsonl_stats(sf_dir: str,
+                          out_dir: str | None = None) -> pd.DataFrame:
     """Write the documents table to sharded JSONL, read it back, and
     aggregate per language: row count, total chars, and the sum of a
     32-bit md5 text checksum (int64 — overflow-free at any corpus
@@ -33,7 +39,9 @@ def documents_jsonl_stats(sf_dir: str) -> pd.DataFrame:
     value. Returns (lang, n_docs, sum_chars, checksum), ordered by
     lang."""
     from ray.data.aggregate import Sum
-    out_dir = tempfile.mkdtemp(prefix="erex_jsonl_")
+    own_dir = out_dir is None
+    if own_dir:
+        out_dir = tempfile.mkdtemp(prefix="erex_jsonl_")
     try:
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                              columns=["doc_id", "text", "lang",
@@ -68,4 +76,5 @@ def documents_jsonl_stats(sf_dir: str) -> pd.DataFrame:
                .to_pandas())
         return res.sort_values("lang").reset_index(drop=True)
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if own_dir:
+            shutil.rmtree(out_dir, ignore_errors=True)

@@ -491,7 +491,11 @@ def group_quantiles(sf_dir: str,
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
-        return g.rename_columns(["lang", "n_chars", "c"])
+        # rename the aggregate column BY NAME — positional renames
+        # would silently scramble keys if pyarrow reorders group_by
+        # output across versions
+        return g.select(["lang", "n_chars", "count_all"]) \
+            .rename_columns(["lang", "n_chars", "c"])
 
     hist = (ds.map_batches(partial, batch_format="pyarrow",
                            **remote_args())
@@ -531,7 +535,7 @@ def q_user_retention(sf_dir: str) -> pd.DataFrame:
         tt = tt.group_by(["user_id", "day"]).aggregate([])
         u = tt.column("user_id").to_numpy()
         return tt.append_column(
-            "ushard", pa.array((u & 63).astype(np.int32)))
+            "ushard", pa.array((u & (_N_SHARDS - 1)).astype(np.int32)))
 
     def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["user_id", "day"]) \

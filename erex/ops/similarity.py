@@ -551,10 +551,14 @@ def knn_graph_mutual(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
 
 # Guard for semantic_dedup's within-cluster pairwise pass: the published
-# algorithm is quadratic in CLUSTER size (not corpus size) — at corpus
+# algorithm is quadratic in CLUSTER TIME (not corpus size) — at corpus
 # scale the cluster count must grow with the data so clusters stay
-# bounded; refuse to densify one that clearly hasn't.
+# bounded; refuse to densify one that clearly hasn't. Memory is NOT
+# quadratic (the scan runs in row blocks of <= _SEMDEDUP_BLOCK x m),
+# so the guard bounds compute time and the m x dim matrix, and it can
+# actually fire before the worker OOMs.
 _SEMDEDUP_MAX_CLUSTER = 200_000
+_SEMDEDUP_BLOCK_ELEMS = 8_000_000    # block_rows * m cap (~64 MB f64)
 
 
 def semantic_dedup(sf_dir: str, n_lists: int = 16,
@@ -594,10 +598,19 @@ def semantic_dedup(sf_dir: str, n_lists: int = 16,
         g = g.sort_values("vec_id")
         X = _normalize(np.stack(g["embedding"].to_numpy())
                        .astype(np.float64))
-        cm = np.floor(X @ X.T * 1_000_000 + 0.5).astype(np.int64)
+        m = len(X)
         # duplicate iff ANY strictly-earlier (lower vec_id) row in the
-        # cluster clears the threshold — the strict lower triangle
-        dup = np.tril(cm >= threshold_micro, -1).any(axis=1)
+        # cluster clears the threshold. The pairwise scan runs in row
+        # BLOCKS (block x m, never m x m) so peak memory stays at
+        # _SEMDEDUP_BLOCK_ELEMS floats however large the cluster is.
+        dup = np.zeros(m, dtype=bool)
+        block = max(1, _SEMDEDUP_BLOCK_ELEMS // max(1, m))
+        cols = np.arange(m)
+        for s in range(0, m, block):
+            e = min(m, s + block)
+            cm = np.floor(X[s:e] @ X.T * 1_000_000 + 0.5)
+            earlier = cols[None, :] < np.arange(s, e)[:, None]
+            dup[s:e] = ((cm >= threshold_micro) & earlier).any(axis=1)
         return pd.DataFrame({
             "vec_id": g["vec_id"].to_numpy(),
             "cid": g["cid"].to_numpy(),

@@ -822,6 +822,11 @@ def unigram_logprob(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     token, ordered by doc_id."""
     import ray
     from ray.data.aggregate import Sum
+    if mode not in ("auto", "broadcast", "join"):
+        # validate BEFORE the count passes execute — a typo'd mode must
+        # not cost two full Ray jobs (tfidf_top_terms has the same
+        # fail-fast property because its dataset stays lazy)
+        raise ValueError(f"mode must be auto/broadcast/join: {mode}")
     tok = LOWER_TOKEN_RE
     path = f"{sf_dir}/documents.parquet"
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
@@ -845,8 +850,6 @@ def unigram_logprob(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
             else "join"
     if mode == "join":
         return _unigram_logprob_join(ds, cnt_ds, n_total)
-    if mode != "broadcast":
-        raise ValueError(f"mode must be auto/broadcast/join: {mode}")
     cnt = cnt_ds.to_pandas()
     # per-type surprisal micro-rounded ONCE, driver-side, with the same
     # np.log the join mode applies post-join (identical float64 path)
