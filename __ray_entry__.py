@@ -605,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": relational.group_quantiles,
         "documents_jsonl_stats": io.documents_jsonl_stats,
         "q_user_retention": relational.q_user_retention,
+        "weighted_sample": text.weighted_sample,
         # --- newest families: no driver row yet / new oracle ---------
         "mm_image_meta": multimodal.image_meta,
         "mm_frame_sample": multimodal.frame_sample,
@@ -1911,6 +1912,25 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "embedding_project": _embedding_project_sql(),
+        # A-ES keys: FP op order matches the engine exactly
+        # (((-ln(u)) / w) * 1e9, u = (md5_32 + 0.5) / 2^32), nano-round
+        # + doc_id tie-break give both sides one total order
+        "weighted_sample": """
+            WITH h AS (SELECT doc_id, lang, n_chars,
+                   CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS DOUBLE) AS hv
+                   FROM documents),
+            k AS (SELECT doc_id, lang,
+                   CAST(FLOOR(-ln((hv + 0.5) / 4294967296.0) / n_chars
+                        * 1000000000 + 0.5) AS BIGINT) AS key_nano
+                  FROM h),
+            r AS (SELECT doc_id, lang, key_nano,
+                   ROW_NUMBER() OVER (ORDER BY key_nano, doc_id)
+                       AS rank FROM k)
+            SELECT rank, doc_id, lang, key_nano FROM r
+            WHERE rank <= 100 ORDER BY rank
+        """,
         "q_user_retention": """
             WITH ad AS (SELECT DISTINCT user_id,
                                date_trunc('day', ts) AS day FROM events),

@@ -929,3 +929,41 @@ def _unigram_logprob_join(ds: "rd.Dataset", cnt_ds: "rd.Dataset",
                       Sum("surprisal_micro",
                           alias_name="surprisal_micro")))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-ES) — the data-mixing primitive for upweighting long/high-
+    quality documents: each doc draws key = -ln(u) / w (w = n_chars,
+    u deterministic from md5(doc_id), so the sample is reproducible
+    and shuffle-free) and the k SMALLEST keys are the weighted sample.
+    Shape: per-batch partial top-k (k rows per batch leave the worker),
+    driver merges k*batches rows — the ann_cosine_topk pattern; no
+    shuffle, no materialization. Keys are nano-rounded with doc_id
+    tie-break so the total order (and the SQL replica) is exact.
+    Returns (rank, doc_id, lang, key_nano) ordered by rank."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        h = np.fromiter(
+            (int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+             for x in d), dtype=np.float64, count=len(d))
+        u = (h + 0.5) / 4294967296.0          # in (0, 1), never 0 or 1
+        key = np.floor(-np.log(u) / w * 1_000_000_000 + 0.5)\
+            .astype(np.int64)
+        order = np.lexsort((d, key))[:k]
+        return pa.table({"doc_id": pa.array(d[order].astype(np.int64)),
+                         "lang": t.column("lang").take(
+                             pa.array(order)),
+                         "key_nano": pa.array(key[order])})
+
+    df = ds.map_batches(partial, batch_format="pyarrow",
+                        **remote_args()).to_pandas()
+    df = df.sort_values(["key_nano", "doc_id"]).head(k)\
+        .reset_index(drop=True)
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df[["rank", "doc_id", "lang", "key_nano"]]

@@ -968,3 +968,27 @@ def test_user_retention_matches_serial(ray_session):
     got = [tuple(r) for r in out.itertuples(index=False)]
     assert got == want
     assert (out["n_retained"] <= out["n_active"]).all()
+
+
+def test_weighted_sample_matches_serial_and_biases_long_docs(ray_session):
+    """Distributed partial top-k == the serial A-ES computation, and
+    the sample is genuinely weight-biased: mean n_chars of the sample
+    exceeds the corpus mean (n_chars IS the weight)."""
+    import math
+    from erex.ops.text import weighted_sample
+    out = weighted_sample(SF, k=50)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    keys = []
+    for d, lg, w in zip(docs["doc_id"], docs["lang"], docs["n_chars"]):
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        keys.append((math.floor(-math.log(u) / w * 1_000_000_000 + 0.5),
+                     int(d), lg))
+    keys.sort()
+    want = [(i + 1, d, lg, kn) for i, (kn, d, lg)
+            in enumerate(keys[:50])]
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want
+    sampled = docs[docs["doc_id"].isin(out["doc_id"])]
+    assert sampled["n_chars"].mean() > docs["n_chars"].mean()
