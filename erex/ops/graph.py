@@ -323,11 +323,12 @@ def copurchase_triangles(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
 
     # node-keyed degree table from per-batch partials (both endpoints)
     def deg_partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter(t.column("u").to_pylist())
-        c.update(t.column("v").to_pylist())
-        return pa.table({"part": pa.array(list(c.keys()), pa.int64()),
-                         "d": pa.array(list(c.values()), pa.int64())})
+        ends = np.concatenate([
+            t.column("u").to_numpy(zero_copy_only=False),
+            t.column("v").to_numpy(zero_copy_only=False)])
+        part, d = np.unique(ends, return_counts=True)
+        return pa.table({"part": pa.array(part.astype(np.int64)),
+                         "d": pa.array(d.astype(np.int64))})
 
     if mode == "auto":
         # node count is bounded by the part table's row count (parquet
