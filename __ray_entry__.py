@@ -606,6 +606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_jsonl_stats": io.documents_jsonl_stats,
         "q_user_retention": relational.q_user_retention,
         "weighted_sample": text.weighted_sample,
+        "bigram_logprob": text.bigram_logprob,
+        "bigram_logprob_join": lambda sf: text.bigram_logprob(
+            sf, mode="join"),
         # --- newest families: no driver row yet / new oracle ---------
         "mm_image_meta": multimodal.image_meta,
         "mm_frame_sample": multimodal.frame_sample,
@@ -739,6 +742,31 @@ _UNIGRAM_SQL = """
            CAST(SUM(f.f * sm.s) AS BIGINT) AS surprisal_micro
     FROM tf f JOIN sm ON sm.t = f.t
     GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+# erex/ops/text.py::bigram_logprob — conditional surprisal
+# s(w1,w2) = ln(c(w1,*)/c(w1,w2)), per-TYPE micro-round before the
+# tf-weighted integer sum (same convention as _UNIGRAM_SQL)
+_BIGRAM_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           FROM tok, UNNEST(range(1, len(ws))) AS t(i)
+           WHERE len(ws) >= 2),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    w1c AS (SELECT w1, SUM(c) AS cw FROM bc GROUP BY w1),
+    sm AS (SELECT b.w1, b.w2,
+                  CAST(FLOOR(ln(CAST(cw AS DOUBLE) / c) * 1000000
+                             + 0.5) AS BIGINT) AS s
+           FROM bc b JOIN w1c USING (w1)),
+    tf AS (SELECT doc_id, w1, w2, COUNT(*) AS f FROM bg
+           GROUP BY doc_id, w1, w2)
+    SELECT tf.doc_id, CAST(SUM(f) AS BIGINT) AS n_bigrams,
+           CAST(SUM(f * s) AS BIGINT) AS surprisal_micro
+    FROM tf JOIN sm ON sm.w1 = tf.w1 AND sm.w2 = tf.w2
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
 """
 
 # erex/ops/dedup.py::source_overlap — the same shingle relational
@@ -1908,6 +1936,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms_join": _TFIDF_SQL,
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_join": _UNIGRAM_SQL,
+        "bigram_logprob": _BIGRAM_SQL,
+        "bigram_logprob_join": _BIGRAM_SQL,
         "group_quantiles": _GROUP_QUANTILES_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
         "source_overlap": _SOURCE_OVERLAP_SQL,

@@ -967,3 +967,144 @@ def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
         .reset_index(drop=True)
     df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
     return df[["rank", "doc_id", "lang", "key_nano"]]
+
+
+def bigram_logprob(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """Per-document BIGRAM conditional surprisal — the next step up
+    from unigram_logprob in the CCNet-style LM-quality ladder:
+    s(w1,w2) = ln(c(w1,*) / c(w1,w2)) summed over the doc's bigram
+    occurrences (per-TYPE surprisal micro-rounded BEFORE the
+    tf-weighted integer sum, the same order-independent convention).
+    Modes mirror unigram_logprob: 'broadcast' ships a bigram->int
+    dict; 'join' keeps counts as a (w1,w2)-keyed Dataset and
+    hash-joins the per-doc explode against it — the scale path when
+    the bigram vocabulary outgrows worker heaps. Returns (doc_id,
+    n_bigrams, surprisal_micro) for docs with >= 2 tokens, ordered by
+    doc_id."""
+    import ray
+    from ray.data.aggregate import Sum
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"mode must be auto/broadcast/join: {mode}")
+    tok = LOWER_TOKEN_RE
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            ws = tok.findall(x.lower())
+            c.update(zip(ws, ws[1:]))
+        w1, w2 = zip(*c.keys()) if c else ((), ())
+        return pa.table({"w1": pa.array(list(w1), pa.string()),
+                         "w2": pa.array(list(w2), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    cnt_ds = (ds.map_batches(bg_partial, batch_format="pyarrow",
+                             **remote_args())
+              .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
+              .materialize())
+    if mode == "auto":
+        mode = "broadcast" if cnt_ds.count() <= TFIDF_BROADCAST_MAX_VOCAB \
+            else "join"
+    if mode == "join":
+        return _bigram_logprob_join(ds, cnt_ds)
+    bc = cnt_ds.to_pandas()
+    cw = bc.groupby("w1")["c"].transform("sum").to_numpy(np.float64)
+    s = np.floor(np.log(cw / bc["c"].to_numpy(np.float64))
+                 * 1_000_000 + 0.5).astype(np.int64)
+    sm_ref = ray.put({(a, b): int(v) for a, b, v
+                      in zip(bc["w1"], bc["w2"], s)})
+
+    def score(t: pa.Table, _s=sm_ref) -> pa.Table:
+        import ray as _ray
+        from collections import Counter
+        smap = _ray.get(_s)
+        ids, nbg, surp = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            ws = tok.findall(x.lower())
+            tf = Counter(zip(ws, ws[1:]))
+            if not tf:
+                continue
+            ids.append(d)
+            nbg.append(sum(tf.values()))
+            surp.append(sum(c * smap[k] for k, c in tf.items()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_bigrams": pa.array(nbg, pa.int64()),
+                         "surprisal_micro": pa.array(surp, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _bigram_logprob_join(ds: "rd.Dataset",
+                         cnt_ds: "rd.Dataset") -> pd.DataFrame:
+    """Join-mode bigram surprisal: the (w1,w2) count Dataset first
+    hash-joins a w1-keyed totals Dataset (both stay distributed), the
+    per-doc (doc_id, w1, w2, tf) explode then joins the scored table on
+    the composite key, and per-doc integer sums reduce by groupby."""
+    from .._env import drop_schemaless_blocks
+    import ray as _ray
+    from ray.data.aggregate import Sum
+    tok = LOWER_TOKEN_RE
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    npart = max(2, min(64, ncpu // 2))
+    cnt_ds = drop_schemaless_blocks(
+        cnt_ds, empty_schema={"w1": pa.string(), "w2": pa.string(),
+                              "c": pa.int64()})
+    totals = cnt_ds.groupby("w1").aggregate(Sum("c", alias_name="cw"))
+    totals = drop_schemaless_blocks(
+        totals, empty_schema={"w1": pa.string(), "cw": pa.int64()})
+    scored = cnt_ds.join(totals, "inner", npart, on=("w1",))
+
+    def add_s(t: pa.Table) -> pa.Table:
+        cw = t.column("cw").to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        c = t.column("c").to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        s = np.floor(np.log(cw / c) * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                         "s": pa.array(s)})
+
+    scored = scored.map_batches(add_s, batch_format="pyarrow",
+                                **remote_args()).materialize()
+    scored = drop_schemaless_blocks(
+        scored, empty_schema={"w1": pa.string(), "w2": pa.string(),
+                              "s": pa.int64()})
+
+    def tf_explode(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, a, b, tfs = [], [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            ws = tok.findall(x.lower())
+            for (w1, w2), c in Counter(zip(ws, ws[1:])).items():
+                ids.append(d)
+                a.append(w1)
+                b.append(w2)
+                tfs.append(c)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "w1": pa.array(a, pa.string()),
+                         "w2": pa.array(b, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    joined = ds.map_batches(tf_explode, batch_format="pyarrow",
+                            **remote_args())\
+        .join(scored, "inner", npart, on=("w1", "w2"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy()
+        s = t.column("s").to_numpy()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bigrams": pa.array(tf, pa.int64()),
+                         "surprisal_micro": pa.array(tf * s, pa.int64())})
+
+    out = (joined.map_batches(fold, batch_format="pyarrow",
+                              **remote_args())
+           .groupby("doc_id")
+           .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                      Sum("surprisal_micro",
+                          alias_name="surprisal_micro")))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -992,3 +992,35 @@ def test_weighted_sample_matches_serial_and_biases_long_docs(ray_session):
     assert got == want
     sampled = docs[docs["doc_id"].isin(out["doc_id"])]
     assert sampled["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_bigram_logprob_matches_serial_and_modes_agree(ray_session):
+    """Both execution modes == a serial Counter recomputation of the
+    bigram conditional surprisal."""
+    import math
+    from collections import Counter
+    from erex.ops.text import bigram_logprob
+    a = bigram_logprob(SF, mode="broadcast").reset_index(drop=True)
+    b = bigram_logprob(SF, mode="join").reset_index(drop=True)
+    assert a.equals(b)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    corpus: Counter = Counter()
+    per_doc = {}
+    for d, x in zip(docs["doc_id"], docs["text"]):
+        ws = tok.findall(x.lower())
+        tf = Counter(zip(ws, ws[1:]))
+        per_doc[int(d)] = tf
+        corpus.update(tf)
+    w1tot: Counter = Counter()
+    for (w1, _), c in corpus.items():
+        w1tot[w1] += c
+    sm = {k: math.floor(math.log(w1tot[k[0]] / c) * 1_000_000 + 0.5)
+          for k, c in corpus.items()}
+    assert len(a) == sum(1 for tf in per_doc.values() if tf)
+    for _, r in a.head(40).iterrows():
+        tf = per_doc[int(r["doc_id"])]
+        assert int(r["n_bigrams"]) == sum(tf.values())
+        assert int(r["surprisal_micro"]) == \
+            sum(c * sm[k] for k, c in tf.items())
