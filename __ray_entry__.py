@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_jsonl_stats": io.documents_jsonl_stats,
         "q_user_retention": relational.q_user_retention,
         "weighted_sample": text.weighted_sample,
+        "neardup_contamination": dedup.neardup_contamination,
         "bigram_logprob": text.bigram_logprob,
         "bigram_logprob_join": lambda sf: text.bigram_logprob(
             sf, mode="join"),
@@ -1190,6 +1191,30 @@ def _minhash_sql() -> str:
         WHERE CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i)) AS BIGINT)
               >= 200
         ORDER BY doc_a, doc_b
+    """
+
+
+def _neardup_contamination_sql(n_bench: int = 100,
+                               threshold_milli: int = 200) -> str:
+    """Replica of dedup.neardup_contamination: the shared minhash-LSH
+    CTE chain, pairs restricted to benchmark x corpus (doc_a < doc_b
+    always, so that split is exactly da < n_bench <= db), aggregated
+    per contaminated corpus doc."""
+    return f"""
+        WITH {_minhash_pair_ctes()},
+        hits AS (
+            SELECT i.db AS doc_id,
+                   CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i))
+                        AS BIGINT) AS jm
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.da
+            JOIN sizes sb ON sb.doc_id = i.db
+            WHERE i.da < {n_bench} AND i.db >= {n_bench}
+              AND CAST(FLOOR(1000.0 * i.i / (sa.n + sb.n - i.i))
+                       AS BIGINT) >= {threshold_milli})
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+               MAX(jm) AS max_jaccard_milli
+        FROM hits GROUP BY doc_id ORDER BY doc_id
     """
 
 
@@ -1938,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_join": _UNIGRAM_SQL,
         "bigram_logprob": _BIGRAM_SQL,
         "bigram_logprob_join": _BIGRAM_SQL,
+        "neardup_contamination": _neardup_contamination_sql(),
         "group_quantiles": _GROUP_QUANTILES_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
         "source_overlap": _SOURCE_OVERLAP_SQL,

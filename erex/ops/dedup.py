@@ -293,9 +293,14 @@ class MinHasher:
 
 
 def minhash_lsh_pairs(sf_dir: str, n: int = 3,
-                      threshold_milli: int = 200) -> pd.DataFrame:
+                      threshold_milli: int = 200,
+                      cand_filter=None) -> pd.DataFrame:
     """Candidates from LSH band buckets, verified with exact Jaccard.
-    Returns (doc_a, doc_b, jaccard_milli) for verified pairs."""
+    Returns (doc_a, doc_b, jaccard_milli) for verified pairs.
+    `cand_filter` (optional, df -> df on the candidate-scale pair
+    frame) restricts which candidates get the exact-Jaccard pass —
+    e.g. neardup_contamination keeps only benchmark x corpus pairs so
+    corpus-corpus collisions never cost a verification."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     buckets = ds.map_batches(MinHasher(n), batch_format="pyarrow",
@@ -328,6 +333,8 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
     # only); collecting it is the intended small output, and the
     # frozenset broadcast below dedupes cross-band repeats for free
     cand_df = cand.to_pandas().drop_duplicates()
+    if cand_filter is not None:
+        cand_df = cand_filter(cand_df)
 
     # verification: exact shingle Jaccard computed DISTRIBUTED — the
     # candidate pair/doc sets (small) are broadcast, shingles of
@@ -791,3 +798,33 @@ def source_overlap(sf_dir: str, n: int = 3) -> pd.DataFrame:
     pairs["jaccard_milli"] = 1000 * it // un
     return pairs.sort_values(["source_a", "source_b"]) \
         .reset_index(drop=True)
+
+
+def neardup_contamination(sf_dir: str, n_bench: int = 100,
+                          threshold_milli: int = 200) -> pd.DataFrame:
+    """NEAR-duplicate benchmark contamination — the fuzzy sibling of
+    ngram_contamination's exact 8-gram check: a corpus document is
+    contaminated iff it is a verified minhash near-dup (shingle
+    Jaccard >= threshold) of any benchmark document (doc_id <
+    n_bench, the same deterministic split ngram_contamination uses).
+    Reuses the full banded-LSH machinery; the candidate filter keeps
+    only benchmark x corpus collisions, so corpus-corpus bucket
+    collisions never reach the exact-Jaccard verification — at scale
+    the verify cost is O(contaminated candidates), not O(all near-dup
+    pairs). Returns (doc_id, n_bench_matches, max_jaccard_milli) for
+    contaminated corpus docs, ordered by doc_id."""
+    pairs = minhash_lsh_pairs(
+        sf_dir, threshold_milli=threshold_milli,
+        # doc_a < doc_b always, so bench x corpus pairs are exactly
+        # (doc_a < n_bench, doc_b >= n_bench)
+        cand_filter=lambda df: df[(df["doc_a"] < n_bench)
+                                  & (df["doc_b"] >= n_bench)])
+    if pairs.empty:
+        return pd.DataFrame(columns=["doc_id", "n_bench_matches",
+                                     "max_jaccard_milli"])
+    g = pairs.groupby("doc_b", as_index=False).agg(
+        n_bench_matches=("doc_a", "size"),
+        max_jaccard_milli=("jaccard_milli", "max"))
+    g = g.rename(columns={"doc_b": "doc_id"})
+    g["n_bench_matches"] = g["n_bench_matches"].astype(np.int64)
+    return g.sort_values("doc_id").reset_index(drop=True)

@@ -1024,3 +1024,22 @@ def test_bigram_logprob_matches_serial_and_modes_agree(ray_session):
         assert int(r["n_bigrams"]) == sum(tf.values())
         assert int(r["surprisal_micro"]) == \
             sum(c * sm[k] for k, c in tf.items())
+
+
+def test_neardup_contamination_matches_pair_filter(ray_session):
+    """The candidate-filtered run == post-filtering the full verified
+    pair set (the filter only prunes work, never results), and every
+    contaminated doc is corpus-side."""
+    from erex.ops.dedup import minhash_lsh_pairs, neardup_contamination
+    out = neardup_contamination(SF, n_bench=100)
+    full = minhash_lsh_pairs(SF)
+    bc = full[(full["doc_a"] < 100) & (full["doc_b"] >= 100)]
+    want = bc.groupby("doc_b").agg(
+        n=("doc_a", "size"), mx=("jaccard_milli", "max"))
+    got = out.set_index("doc_id")
+    assert (out["doc_id"] >= 100).all()
+    assert sorted(got.index) == sorted(want.index)
+    assert (got["n_bench_matches"].sort_index().to_numpy()
+            == want["n"].sort_index().to_numpy()).all()
+    assert (got["max_jaccard_milli"].sort_index().to_numpy()
+            == want["mx"].sort_index().to_numpy()).all()
