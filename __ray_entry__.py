@@ -607,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_retention": relational.q_user_retention,
         "weighted_sample": text.weighted_sample,
         "neardup_contamination": dedup.neardup_contamination,
+        "pmi_topk": text.pmi_topk,
         "bigram_logprob": text.bigram_logprob,
         "bigram_logprob_join": lambda sf: text.bigram_logprob(
             sf, mode="join"),
@@ -1964,6 +1965,33 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _BIGRAM_SQL,
         "bigram_logprob_join": _BIGRAM_SQL,
         "neardup_contamination": _neardup_contamination_sql(),
+        # PMI: engine computes ln((c12*Nb)/(c1s*c2e)) with doubles in
+        # exactly this association; micro-round + (w1,w2) tie-break
+        "pmi_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-z0-9]+') AS ws
+                FROM documents),
+            bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+                   FROM tok, UNNEST(range(1, len(ws))) AS t(i)
+                   WHERE len(ws) >= 2),
+            bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+            nb AS (SELECT SUM(c) AS n FROM bc),
+            m1 AS (SELECT w1, SUM(c) AS c1s FROM bc GROUP BY w1),
+            m2 AS (SELECT w2, SUM(c) AS c2e FROM bc GROUP BY w2),
+            s AS (SELECT b.w1, b.w2, b.c AS c12,
+                  CAST(FLOOR(ln((CAST(b.c AS DOUBLE)
+                                 * (SELECT n FROM nb))
+                                / (CAST(m1.c1s AS DOUBLE) * m2.c2e))
+                             * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+                  FROM bc b JOIN m1 USING (w1) JOIN m2 USING (w2)
+                  WHERE b.c >= 5),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY pmi_micro DESC, w1, w2) AS rank FROM s)
+            SELECT rank, w1, w2, CAST(c12 AS BIGINT) AS c12, pmi_micro
+            FROM r WHERE rank <= 20 ORDER BY rank
+        """,
         "group_quantiles": _GROUP_QUANTILES_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
         "source_overlap": _SOURCE_OVERLAP_SQL,

@@ -1108,3 +1108,86 @@ def _bigram_logprob_join(ds: "rd.Dataset",
                       Sum("surprisal_micro",
                           alias_name="surprisal_micro")))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def pmi_topk(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
+    """Corpus-wide top-k PMI collocations — the phrase-mining /
+    tokenizer-merge-candidate primitive: pmi(w1,w2) =
+    ln(c12 * Nb / (c1s * c2e)) over bigram occurrences, where c1s/c2e
+    are the first-/second-position margins and Nb the total bigram
+    count. Everything stays distributed: the bigram count Dataset
+    hash-joins its two margin Datasets (w1- and w2-keyed groupby
+    sums), scoring + per-batch partial top-k run inside map_batches,
+    and the driver merges k rows per batch. `min_count` drops
+    singleton noise pairs BEFORE the joins. Micro-rounded score with
+    (w1, w2) tie-break = one total order shared with the SQL replica.
+    Returns (rank, w1, w2, c12, pmi_micro)."""
+    import ray
+    from .._env import drop_schemaless_blocks
+    from ray.data.aggregate import Sum
+    tok = LOWER_TOKEN_RE
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            ws = tok.findall(x.lower())
+            c.update(zip(ws, ws[1:]))
+        w1, w2 = zip(*c.keys()) if c else ((), ())
+        return pa.table({"w1": pa.array(list(w1), pa.string()),
+                         "w2": pa.array(list(w2), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    bc = (ds.map_batches(bg_partial, batch_format="pyarrow",
+                         **remote_args())
+          .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
+          .materialize())
+    bc = drop_schemaless_blocks(
+        bc, empty_schema={"w1": pa.string(), "w2": pa.string(),
+                          "c": pa.int64()})
+    n_b = int(bc.aggregate(Sum("c", alias_name="n"))["n"])
+    m1 = bc.groupby("w1").aggregate(Sum("c", alias_name="c1s"))
+    m1 = drop_schemaless_blocks(
+        m1, empty_schema={"w1": pa.string(), "c1s": pa.int64()})
+    m2 = bc.groupby("w2").aggregate(Sum("c", alias_name="c2e"))
+    m2 = drop_schemaless_blocks(
+        m2, empty_schema={"w2": pa.string(), "c2e": pa.int64()})
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    npart = max(2, min(64, ncpu // 2))
+    def freq_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t.column("c"), min_count))
+
+    freq = bc.map_batches(freq_filter, batch_format="pyarrow",
+                          **remote_args())
+    joined = freq.join(m1, "inner", npart, on=("w1",))\
+        .join(m2, "inner", npart, on=("w2",))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        c12 = t.column("c").to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        c1 = t.column("c1s").to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        c2 = t.column("c2e").to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        pmi = np.floor(np.log((c12 * n_b) / (c1 * c2))
+                       * 1_000_000 + 0.5).astype(np.int64)
+        w1 = np.asarray(t.column("w1").to_pylist())
+        w2 = np.asarray(t.column("w2").to_pylist())
+        order = np.lexsort((w2, w1, -pmi))[:k]
+        return pa.table({
+            "w1": pa.array(w1[order]), "w2": pa.array(w2[order]),
+            "c12": pa.array(c12[order].astype(np.int64)),
+            "pmi_micro": pa.array(pmi[order])})
+
+    df = joined.map_batches(partial_topk, batch_format="pyarrow",
+                            **remote_args()).to_pandas()
+    df = df.sort_values(["pmi_micro", "w1", "w2"],
+                        ascending=[False, True, True]).head(k)\
+        .reset_index(drop=True)
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df[["rank", "w1", "w2", "c12", "pmi_micro"]]

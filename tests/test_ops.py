@@ -1043,3 +1043,33 @@ def test_neardup_contamination_matches_pair_filter(ray_session):
             == want["n"].sort_index().to_numpy()).all()
     assert (got["max_jaccard_milli"].sort_index().to_numpy()
             == want["mx"].sort_index().to_numpy()).all()
+
+
+def test_pmi_topk_matches_serial(ray_session):
+    """Distributed margin joins + partial top-k == a serial Counter
+    recomputation of the PMI ranking."""
+    import math
+    from collections import Counter
+    from erex.ops.text import pmi_topk
+    out = pmi_topk(SF, k=10, min_count=5)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text"])
+    tok = re.compile(r"[a-z0-9]+")
+    bc: Counter = Counter()
+    for x in docs["text"]:
+        ws = tok.findall(x.lower())
+        bc.update(zip(ws, ws[1:]))
+    nb = sum(bc.values())
+    m1: Counter = Counter()
+    m2: Counter = Counter()
+    for (w1, w2), c in bc.items():
+        m1[w1] += c
+        m2[w2] += c
+    scored = sorted(
+        ((-math.floor(math.log((c * nb) / (m1[w1] * m2[w2]))
+                      * 1_000_000 + 0.5), w1, w2, c)
+         for (w1, w2), c in bc.items() if c >= 5))[:10]
+    want = [(i + 1, w1, w2, c, -neg)
+            for i, (neg, w1, w2, c) in enumerate(scored)]
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want
