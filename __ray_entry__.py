@@ -607,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_retention": relational.q_user_retention,
         "weighted_sample": text.weighted_sample,
         "neardup_contamination": dedup.neardup_contamination,
+        "pretrain_mix": text.pretrain_mix,
         "pmi_topk": text.pmi_topk,
         "bigram_logprob": text.bigram_logprob,
         "bigram_logprob_join": lambda sf: text.bigram_logprob(
@@ -1965,6 +1966,47 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _BIGRAM_SQL,
         "bigram_logprob_join": _BIGRAM_SQL,
         "neardup_contamination": _neardup_contamination_sql(),
+        # the composed pipeline: quality keep rule -> exact dedup over
+        # survivors -> stratified thresholds over keepers, each stage
+        # byte-identical to its standalone operator's oracle
+        "pretrain_mix": """
+            WITH sig AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text),
+                                              '[a-z0-9]+')) AS n,
+                       len(list_filter(
+                           regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w IN ('the','a','an','and','or','of',
+                                      'to','in','is','it','that','for',
+                                      'on','with','as','at','by',
+                                      'from'))) AS n_stop,
+                       len(list_distinct(regexp_extract_all(lower(text),
+                                                            '[a-z0-9]+')))
+                           AS n_dist
+                FROM documents),
+            keepq AS (SELECT doc_id FROM sig
+                      WHERE n >= 20
+                        AND 1000 * n_stop // GREATEST(1, n) >= 10
+                        AND 1000 * (n - n_dist) // GREATEST(1, n)
+                            <= 900),
+            surv AS (SELECT d.doc_id, d.lang, md5(d.text) AS h
+                     FROM documents d JOIN keepq USING (doc_id)),
+            keepers AS (SELECT h, MIN(doc_id) AS doc_id FROM surv
+                        GROUP BY h),
+            kd AS (SELECT s.doc_id, s.lang FROM surv s
+                   JOIN keepers k ON k.doc_id = s.doc_id),
+            cnt AS (SELECT lang, COUNT(*) AS n FROM kd GROUP BY lang),
+            m AS (SELECT MIN(n) AS mn FROM cnt),
+            thr AS (SELECT lang,
+                           CAST(CAST(4294967296 AS HUGEINT) * m.mn
+                                // cnt.n AS BIGINT) AS t
+                    FROM cnt, m)
+            SELECT kd.doc_id, kd.lang FROM kd JOIN thr USING (lang)
+            WHERE CAST(concat('0x',
+                       substr(md5(CAST(kd.doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) < thr.t
+            ORDER BY kd.doc_id
+        """,
         # PMI: engine computes ln((c12*Nb)/(c1s*c2e)) with doubles in
         # exactly this association; micro-round + (w1,w2) tie-break
         "pmi_topk": """

@@ -1191,3 +1191,77 @@ def pmi_topk(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
         .reset_index(drop=True)
     df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
     return df[["rank", "w1", "w2", "c12", "pmi_micro"]]
+
+
+def pretrain_mix(sf_dir: str) -> pd.DataFrame:
+    """The end-to-end pretraining-data mix — the three stages a real
+    corpus actually flows through, COMPOSED as one streaming pipeline
+    (not three dataset passes): (1) the composite quality keep rule
+    (quality_filter's exact semantics) fused with md5 content hashing
+    in a single map_batches; (2) exact dedup over the survivors
+    (groupby(text_hash) min doc_id, keeper rows recovered by a
+    distributed hash join — no driver state); (3) language-stratified
+    downsampling of the keepers with stratified_sample's exact
+    integer thresholds (strata-scale state only). Every stage reuses
+    the SAME constants/semantics as its standalone operator, so the
+    chained SQL oracle is exact. Returns the final kept (doc_id,
+    lang), ordered by doc_id."""
+    import ray
+    from .._env import drop_schemaless_blocks
+    from ray.data.aggregate import Count, Min
+    sw = frozenset(STOPWORDS)
+    tok = LOWER_TOKEN_RE
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids, langs, hs = [], [], []
+        for d, lg, x in zip(t.column("doc_id").to_pylist(),
+                            t.column("lang").to_pylist(),
+                            t.column("text").to_pylist()):
+            ws = tok.findall(x.lower())
+            n = len(ws)
+            stop_m = 1000 * sum(1 for w in ws if w in sw) // max(1, n)
+            dup_m = 1000 * (n - len(set(ws))) // max(1, n)
+            if (n < QF_MIN_TOKENS or stop_m < QF_MIN_STOPWORD_MILLI
+                    or dup_m > QF_MAX_DUP_MILLI):
+                continue
+            ids.append(d)
+            langs.append(lg)
+            hs.append(hashlib.md5(x.encode()).hexdigest())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "lang": pa.array(langs, pa.string()),
+                         "text_hash": pa.array(hs, pa.string())})
+
+    surv = ds.map_batches(survivors, batch_format="pyarrow",
+                          **remote_args()).materialize()
+    keep_ids = surv.groupby("text_hash")\
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    keep_ids = drop_schemaless_blocks(
+        keep_ids, empty_schema={"text_hash": pa.string(),
+                                "doc_id": pa.int64()})
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    npart = max(2, min(64, ncpu // 2))
+    keepers = surv.select_columns(["doc_id", "lang"])\
+        .join(keep_ids.select_columns(["doc_id"]), "inner", npart,
+              on=("doc_id",)).materialize()
+    cnt = keepers.groupby("lang").aggregate(Count(alias_name="n"))\
+        .to_pandas()
+    mn = int(cnt["n"].min())
+    thr = {lang: (4294967296 * mn) // int(n)
+           for lang, n in zip(cnt["lang"], cnt["n"])}
+    tref = ray.put(thr)
+
+    def sample(t: pa.Table, _t=tref) -> pa.Table:
+        th = ray.get(_t)
+        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                < th[lg]
+                for d, lg in zip(t.column("doc_id").to_pylist(),
+                                 t.column("lang").to_pylist())]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return keepers.map_batches(sample, batch_format="pyarrow",
+                               **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

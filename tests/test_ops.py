@@ -1073,3 +1073,43 @@ def test_pmi_topk_matches_serial(ray_session):
             for i, (neg, w1, w2, c) in enumerate(scored)]
     got = [tuple(r) for r in out.itertuples(index=False)]
     assert got == want
+
+
+def test_pretrain_mix_composes_standalone_stages(ray_session):
+    """The fused pipeline == chaining the three standalone operators'
+    semantics serially (quality keep -> min-doc_id exact dedup ->
+    per-lang integer-threshold sampling)."""
+    from erex.ops.text import (QF_MAX_DUP_MILLI, QF_MIN_STOPWORD_MILLI,
+                               QF_MIN_TOKENS, STOPWORDS, pretrain_mix)
+    out = pretrain_mix(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    sw = frozenset(STOPWORDS)
+    surv = []
+    for d, lg, x in docs.itertuples(index=False):
+        ws = tok.findall(x.lower())
+        n = len(ws)
+        if n < QF_MIN_TOKENS:
+            continue
+        if 1000 * sum(1 for w in ws if w in sw) // max(1, n) \
+                < QF_MIN_STOPWORD_MILLI:
+            continue
+        if 1000 * (n - len(set(ws))) // max(1, n) > QF_MAX_DUP_MILLI:
+            continue
+        surv.append((int(d), lg, hashlib.md5(x.encode()).hexdigest()))
+    keep_of = {}
+    for d, lg, h in surv:
+        if h not in keep_of or d < keep_of[h][0]:
+            keep_of[h] = (d, lg)
+    kd = sorted(keep_of.values())
+    from collections import Counter
+    cnt = Counter(lg for _, lg in kd)
+    mn = min(cnt.values())
+    thr = {lg: (4294967296 * mn) // n for lg, n in cnt.items()}
+    want = [(d, lg) for d, lg in kd
+            if int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            < thr[lg]]
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want
+    assert 0 < len(got) < len(docs)
