@@ -2046,7 +2046,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(concat('0x',
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                         AS BIGINT) AS DOUBLE) AS hv
-                   FROM documents),
+                   FROM documents
+                   WHERE n_chars > 0),
             k AS (SELECT doc_id, lang,
                    CAST(FLOOR(-ln((hv + 0.5) / 4294967296.0) / n_chars
                         * 1000000000 + 0.5) AS BIGINT) AS key_nano

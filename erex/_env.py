@@ -121,3 +121,14 @@ class _LazyRemote:
 
 _block_check = _LazyRemote(0)
 _block_to_arrow = _LazyRemote(1)
+
+
+def default_join_partitions(lo: int = 2, hi: int = 64) -> int:
+    """Hash-join partition count sized to the cluster: each partition
+    is an aggregator actor, so more partitions than CPUs stalls small
+    sessions; at scale this should track total cores. ONE definition
+    for every Dataset.join call site."""
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    return max(lo, min(hi, ncpu // 2))

@@ -86,13 +86,10 @@ def _shingle_sizes_ds(sf_dir: str, n: int, col: str) -> "rd.Dataset":
 
 
 def _join_partitions() -> int:
-    """Hash-join partition count sized to the cluster: each partition is
-    an aggregator actor, so more partitions than CPUs stalls small
-    sessions; at scale this should track total cores."""
-    import ray as _ray
-    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
-        if _ray.is_initialized() else 4
-    return max(2, min(64, ncpu // 2))
+    """Hash-join partition count — delegates to the ONE shared
+    definition in erex._env (see default_join_partitions)."""
+    from .._env import default_join_partitions
+    return default_join_partitions()
 
 
 def _finish_jaccard(pairs: "rd.Dataset", sf_dir: str, n: int,
@@ -806,7 +803,10 @@ def neardup_contamination(sf_dir: str, n_bench: int = 100,
     ngram_contamination's exact 8-gram check: a corpus document is
     contaminated iff it is a verified minhash near-dup (shingle
     Jaccard >= threshold) of any benchmark document (doc_id <
-    n_bench, the same deterministic split ngram_contamination uses).
+    n_bench — the same SPLIT RULE as ngram_contamination, but note
+    its exact pass defaults to a smaller benchmark, doc_id < 20; pass
+    n_bench=text.DECON_BENCH_MAX_ID to compose the two passes over
+    one benchmark set).
     Reuses the full banded-LSH machinery; the candidate filter keeps
     only benchmark x corpus collisions, so corpus-corpus bucket
     collisions never reach the exact-Jaccard verification — at scale

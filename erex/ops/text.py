@@ -611,10 +611,8 @@ def _tfidf_join(ds: "rd.Dataset", dfs_ds: "rd.Dataset", n_docs: int,
     (asserted in tests value-for-value)."""
     from .._env import drop_schemaless_blocks
     tok = LOWER_TOKEN_RE
-    import ray as _ray
-    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
-        if _ray.is_initialized() else 4
-    npart = max(2, min(64, ncpu // 2))
+    from .._env import default_join_partitions
+    npart = default_join_partitions()
     # the DF aggregate emits schema-less empty blocks when the
     # vocabulary is smaller than its partition count — fatal inside the
     # pyarrow hash join below
@@ -886,11 +884,9 @@ def _unigram_logprob_join(ds: "rd.Dataset", cnt_ds: "rd.Dataset",
     sums are exact, so shard-local aggregation then a doc-scale merge
     loses nothing)."""
     from .._env import drop_schemaless_blocks
-    import ray as _ray
+    from .._env import default_join_partitions
     tok = LOWER_TOKEN_RE
-    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
-        if _ray.is_initialized() else 4
-    npart = max(2, min(64, ncpu // 2))
+    npart = default_join_partitions()
     cnt_ds = drop_schemaless_blocks(
         cnt_ds, empty_schema={"token": pa.string(), "c": pa.int64()})
 
@@ -949,6 +945,11 @@ def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         w = t.column("n_chars").to_numpy(zero_copy_only=False)\
             .astype(np.float64)
+        # A-ES semantics: zero/negative weight is never sampled — and
+        # -ln(u)/0 would be inf (int64 garbage, SQL error), so filter
+        pos = w > 0
+        d, w = d[pos], w[pos]
+        t = t.filter(pa.array(pos))
         h = np.fromiter(
             (int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
              for x in d), dtype=np.float64, count=len(d))
@@ -967,6 +968,22 @@ def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
         .reset_index(drop=True)
     df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
     return df[["rank", "doc_id", "lang", "key_nano"]]
+
+
+def _bigram_counts_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (w1, w2, count) bigram partial — the ONE definition
+    shared by bigram_logprob and pmi_topk so their bigram universes
+    can never drift apart."""
+    from collections import Counter
+    tok = LOWER_TOKEN_RE
+    c: Counter = Counter()
+    for x in t.column("text").to_pylist():
+        ws = tok.findall(x.lower())
+        c.update(zip(ws, ws[1:]))
+    w1, w2 = zip(*c.keys()) if c else ((), ())
+    return pa.table({"w1": pa.array(list(w1), pa.string()),
+                     "w2": pa.array(list(w2), pa.string()),
+                     "c": pa.array(list(c.values()), pa.int64())})
 
 
 def bigram_logprob(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
@@ -989,19 +1006,8 @@ def bigram_logprob(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
-    def bg_partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
-        for x in t.column("text").to_pylist():
-            ws = tok.findall(x.lower())
-            c.update(zip(ws, ws[1:]))
-        w1, w2 = zip(*c.keys()) if c else ((), ())
-        return pa.table({"w1": pa.array(list(w1), pa.string()),
-                         "w2": pa.array(list(w2), pa.string()),
-                         "c": pa.array(list(c.values()), pa.int64())})
-
-    cnt_ds = (ds.map_batches(bg_partial, batch_format="pyarrow",
-                             **remote_args())
+    cnt_ds = (ds.map_batches(_bigram_counts_partial,
+                             batch_format="pyarrow", **remote_args())
               .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
               .materialize())
     if mode == "auto":
@@ -1045,12 +1051,10 @@ def _bigram_logprob_join(ds: "rd.Dataset",
     per-doc (doc_id, w1, w2, tf) explode then joins the scored table on
     the composite key, and per-doc integer sums reduce by groupby."""
     from .._env import drop_schemaless_blocks
-    import ray as _ray
+    from .._env import default_join_partitions
     from ray.data.aggregate import Sum
     tok = LOWER_TOKEN_RE
-    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
-        if _ray.is_initialized() else 4
-    npart = max(2, min(64, ncpu // 2))
+    npart = default_join_partitions()
     cnt_ds = drop_schemaless_blocks(
         cnt_ds, empty_schema={"w1": pa.string(), "w2": pa.string(),
                               "c": pa.int64()})
@@ -1069,7 +1073,7 @@ def _bigram_logprob_join(ds: "rd.Dataset",
                          "s": pa.array(s)})
 
     scored = scored.map_batches(add_s, batch_format="pyarrow",
-                                **remote_args()).materialize()
+                                **remote_args())
     scored = drop_schemaless_blocks(
         scored, empty_schema={"w1": pa.string(), "w2": pa.string(),
                               "s": pa.int64()})
@@ -1122,26 +1126,14 @@ def pmi_topk(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
     singleton noise pairs BEFORE the joins. Micro-rounded score with
     (w1, w2) tie-break = one total order shared with the SQL replica.
     Returns (rank, w1, w2, c12, pmi_micro)."""
-    import ray
     from .._env import drop_schemaless_blocks
     from ray.data.aggregate import Sum
     tok = LOWER_TOKEN_RE
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
-    def bg_partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
-        for x in t.column("text").to_pylist():
-            ws = tok.findall(x.lower())
-            c.update(zip(ws, ws[1:]))
-        w1, w2 = zip(*c.keys()) if c else ((), ())
-        return pa.table({"w1": pa.array(list(w1), pa.string()),
-                         "w2": pa.array(list(w2), pa.string()),
-                         "c": pa.array(list(c.values()), pa.int64())})
-
-    bc = (ds.map_batches(bg_partial, batch_format="pyarrow",
-                         **remote_args())
+    bc = (ds.map_batches(_bigram_counts_partial,
+                         batch_format="pyarrow", **remote_args())
           .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
           .materialize())
     bc = drop_schemaless_blocks(
@@ -1154,10 +1146,8 @@ def pmi_topk(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
     m2 = bc.groupby("w2").aggregate(Sum("c", alias_name="c2e"))
     m2 = drop_schemaless_blocks(
         m2, empty_schema={"w2": pa.string(), "c2e": pa.int64()})
-    import ray as _ray
-    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
-        if _ray.is_initialized() else 4
-    npart = max(2, min(64, ncpu // 2))
+    from .._env import default_join_partitions
+    npart = default_join_partitions()
     def freq_filter(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         return t.filter(pc.greater_equal(t.column("c"), min_count))
@@ -1235,15 +1225,18 @@ def pretrain_mix(sf_dir: str) -> pd.DataFrame:
 
     surv = ds.map_batches(survivors, batch_format="pyarrow",
                           **remote_args()).materialize()
+    if surv.count() == 0:
+        # every document failed the quality rule — the oracle returns
+        # zero rows, so must the engine (the hash join below cannot
+        # take an all-empty input)
+        return pd.DataFrame(columns=["doc_id", "lang"])
     keep_ids = surv.groupby("text_hash")\
         .aggregate(Min("doc_id", alias_name="doc_id"))
     keep_ids = drop_schemaless_blocks(
         keep_ids, empty_schema={"text_hash": pa.string(),
                                 "doc_id": pa.int64()})
-    import ray as _ray
-    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
-        if _ray.is_initialized() else 4
-    npart = max(2, min(64, ncpu // 2))
+    from .._env import default_join_partitions
+    npart = default_join_partitions()
     keepers = surv.select_columns(["doc_id", "lang"])\
         .join(keep_ids.select_columns(["doc_id"]), "inner", npart,
               on=("doc_id",)).materialize()

@@ -1113,3 +1113,35 @@ def test_pretrain_mix_composes_standalone_stages(ray_session):
     got = [tuple(r) for r in out.itertuples(index=False)]
     assert got == want
     assert 0 < len(got) < len(docs)
+
+
+def test_weighted_sample_excludes_zero_weight(ray_session, tmp_path):
+    """A-ES: zero-weight rows are never sampled (and never poison the
+    key computation with inf)."""
+    from erex.ops.text import weighted_sample
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "lang": ["en"] * 10,
+        "n_chars": np.array([0, 0] + [100] * 8, dtype=np.int64),
+        "text": ["x"] * 10, "source": ["s"] * 10})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = weighted_sample(str(tmp_path), k=10)
+    assert len(out) == 8
+    assert not set(out["doc_id"]) & {0, 1}
+    assert (out["key_nano"] > 0).all()
+
+
+def test_pretrain_mix_empty_survivors(ray_session, tmp_path):
+    """All docs failing the quality rule yields an empty frame, not a
+    crash (matches the oracle's zero rows)."""
+    from erex.ops.text import pretrain_mix
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "lang": ["en"] * 5,
+        "text": ["too short"] * 5,
+        "n_chars": np.array([9] * 5, dtype=np.int64),
+        "source": ["s"] * 5})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = pretrain_mix(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "lang"]
