@@ -597,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 additions: need their first driver row ----------
         "semantic_dedup": similarity.semantic_dedup,
+        "embedding_clusters": similarity.embedding_clusters,
         "source_overlap": dedup.source_overlap,
         "embedding_project": similarity.embedding_project,
         "unigram_logprob": text.unigram_logprob,
@@ -605,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": relational.group_quantiles,
         "documents_jsonl_stats": io.documents_jsonl_stats,
         "q_user_retention": relational.q_user_retention,
+        "event_transitions": relational.event_transitions,
         "weighted_sample": text.weighted_sample,
         "neardup_contamination": dedup.neardup_contamination,
         "pretrain_mix": text.pretrain_mix,
@@ -986,6 +988,25 @@ def _ivf_sql(n_lists: int = 16, iters: int = 3, n_queries: int = 8,
         SELECT qid AS query_id, rn AS rank, vid AS vec_id,
                cm AS cos_micro
         FROM rr WHERE rn <= {k} ORDER BY query_id, rank"""
+
+
+def _embedding_clusters_sql(n_lists: int = 16, iters: int = 3) -> str:
+    """Replica of similarity.embedding_clusters: the shared unrolled
+    k-means, with the winning centroid's micro-rounded similarity kept
+    alongside the assignment."""
+    kchain, prev = _kmeans_ctes(n_lists, iters)
+    return f"""
+        WITH {_nemb_cte()},{kchain},
+        afs AS (SELECT vec_id, cid,
+                       CAST(FLOOR(ip * 1000000 + 0.5) AS BIGINT)
+                           AS cos_micro
+                FROM (SELECT n.vec_id, c.cid,
+                             list_inner_product(n.u, c.cv) AS ip,
+                             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                 ORDER BY list_inner_product(n.u, c.cv)
+                                              DESC, c.cid) AS rn
+                      FROM nemb n CROSS JOIN {prev} c) WHERE rn = 1)
+        SELECT vec_id, cid, cos_micro FROM afs ORDER BY vec_id"""
 
 
 def _semantic_dedup_sql(n_lists: int = 16, iters: int = 3,
@@ -2036,8 +2057,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "group_quantiles": _GROUP_QUANTILES_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
+        "embedding_clusters": _embedding_clusters_sql(),
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "embedding_project": _embedding_project_sql(),
+        "event_transitions": """
+            WITH s AS (SELECT user_id, event_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT event_type AS src_type, nxt AS dst_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY src_type, dst_type ORDER BY src_type, dst_type
+        """,
         # A-ES keys: FP op order matches the engine exactly
         # (((-ln(u)) / w) * 1e9, u = (md5_32 + 0.5) / 2^32), nano-round
         # + doc_id tie-break give both sides one total order

@@ -564,3 +564,46 @@ def q_user_retention(sf_dir: str) -> pd.DataFrame:
     m["retention_milli"] = (1000 * m["n_retained"]) // m["n_active"]
     m.insert(0, "day", m.pop("day_us").astype("datetime64[us]"))
     return m.reset_index(drop=True)
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition matrix (Markov counts) — the
+    behavioral-analytics primitive behind funnel and next-action
+    models: for each user's (ts, event_id)-ordered stream, count
+    consecutive (src_type, dst_type) pairs. Shape: user-hash shards
+    co-locate each user's events, the adjacent-pair scan is
+    vectorized shard-locally, and only type-pair-scale partial counts
+    (|event_types|^2 rows per shard) reach the merge. Deterministic
+    ordering: (ts, event_id) breaks timestamp ties exactly as the SQL
+    window does. Returns (src_type, dst_type, n) ordered by
+    (src_type, dst_type)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ushard", pa.array((u & (_N_SHARDS - 1)).astype(np.int32)))
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        et = g["event_type"].to_numpy()
+        pairs = pd.DataFrame({"src_type": et[:-1][same],
+                              "dst_type": et[1:][same]})
+        out = pairs.groupby(["src_type", "dst_type"],
+                            as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = (ds.map_batches(shard, batch_format="pyarrow",
+                            **remote_args())
+             .groupby("ushard")
+             .map_groups(transitions, batch_format="pandas",
+                         **remote_args())
+             .to_pandas())
+    out = parts.groupby(["src_type", "dst_type"], as_index=False)["n"]\
+        .sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["src_type", "dst_type"])\
+        .reset_index(drop=True)

@@ -650,3 +650,33 @@ def embedding_project(sf_dir: str, out_dim: int = 16) -> pd.DataFrame:
 
     return ds.map_batches(f, batch_format="pyarrow", **remote_args())\
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def embedding_clusters(sf_dir: str, n_lists: int = 16) -> pd.DataFrame:
+    """K-means cluster assignment as a first-class output — the
+    partitioning step SemDeDup, IVF and per-cluster analytics all
+    build on: the deterministic distributed quantizer, then one
+    map-only assignment pass (centroid matrix broadcast once). Also
+    emits the micro-rounded centroid similarity so downstream outlier
+    filters (far-from-centroid) can threshold it. Returns (vec_id,
+    cid, cos_micro) ordered by vec_id."""
+    C = _kmeans_centroids(sf_dir, k=n_lists)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C_ = ray.get(cref)
+        X = _normalize(np.stack(
+            t.column("embedding").to_pylist()).astype(np.float64))
+        sims = X @ C_.T
+        a = np.argmax(sims, axis=1)
+        cm = np.floor(sims[np.arange(len(a)), a] * 1_000_000 + 0.5)\
+            .astype(np.int64)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "cid": pa.array(a.astype(np.int64)),
+                         "cos_micro": pa.array(cm)})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          **remote_args())\
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)

@@ -1145,3 +1145,41 @@ def test_pretrain_mix_empty_survivors(ray_session, tmp_path):
     out = pretrain_mix(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "lang"]
+
+
+def test_embedding_clusters_consistent_with_semantic_dedup(ray_session):
+    """Assignment output == semantic_dedup's (same quantizer), and the
+    winning similarity is the row's max over the centroid matrix."""
+    from erex.ops.similarity import (_kmeans_centroids, _normalize,
+                                     embedding_clusters, semantic_dedup)
+    out = embedding_clusters(SF)
+    sd = semantic_dedup(SF)
+    assert (out["cid"].to_numpy()
+            == sd.sort_values("vec_id")["cid"].to_numpy()).all()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .sort_values("vec_id")
+    C = _kmeans_centroids(SF, k=16)
+    X = _normalize(np.stack(emb["embedding"].to_numpy())
+                   .astype(np.float64))
+    sims = X @ C.T
+    want = np.floor(sims.max(axis=1) * 1_000_000 + 0.5).astype(np.int64)
+    assert (out["cos_micro"].to_numpy() == want).all()
+
+
+def test_event_transitions_matches_serial(ray_session):
+    """Shard-local adjacent-pair scan == serial per-user recount."""
+    from collections import Counter
+    from erex.ops.relational import event_transitions
+    out = event_transitions(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    c: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        et = g["event_type"].to_list()
+        c.update(zip(et, et[1:]))
+    want = sorted((a, b, n) for (a, b), n in c.items())
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want
