@@ -995,18 +995,18 @@ def _embedding_clusters_sql(n_lists: int = 16, iters: int = 3) -> str:
     k-means, with the winning centroid's micro-rounded similarity kept
     alongside the assignment."""
     kchain, prev = _kmeans_ctes(n_lists, iters)
+    # assignment comes from the SHARED `af` CTE (one source of truth
+    # for the argmax/tie-break semantics); only the winning centroid's
+    # inner product is recomputed here
     return f"""
-        WITH {_nemb_cte()},{kchain},
-        afs AS (SELECT vec_id, cid,
-                       CAST(FLOOR(ip * 1000000 + 0.5) AS BIGINT)
-                           AS cos_micro
-                FROM (SELECT n.vec_id, c.cid,
-                             list_inner_product(n.u, c.cv) AS ip,
-                             ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                                 ORDER BY list_inner_product(n.u, c.cv)
-                                              DESC, c.cid) AS rn
-                      FROM nemb n CROSS JOIN {prev} c) WHERE rn = 1)
-        SELECT vec_id, cid, cos_micro FROM afs ORDER BY vec_id"""
+        WITH {_nemb_cte()},{kchain}
+        SELECT a.vec_id, a.cid,
+               CAST(FLOOR(list_inner_product(n.u, c.cv) * 1000000
+                          + 0.5) AS BIGINT) AS cos_micro
+        FROM af a
+        JOIN nemb n ON n.vec_id = a.vec_id
+        JOIN {prev} c ON c.cid = a.cid
+        ORDER BY a.vec_id"""
 
 
 def _semantic_dedup_sql(n_lists: int = 16, iters: int = 3,
