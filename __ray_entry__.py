@@ -607,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_jsonl_stats": io.documents_jsonl_stats,
         "q_user_retention": relational.q_user_retention,
         "event_transitions": relational.event_transitions,
+        "event_anomalies": relational.event_anomalies,
         "weighted_sample": text.weighted_sample,
         "neardup_contamination": dedup.neardup_contamination,
         "pretrain_mix": text.pretrain_mix,
@@ -2060,6 +2061,22 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": _embedding_clusters_sql(),
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "embedding_project": _embedding_project_sql(),
+        "event_anomalies": """
+            WITH dc AS (SELECT event_type, date_trunc('day', ts) AS day,
+                               COUNT(*) AS n
+                        FROM events GROUP BY 1, 2),
+            med AS (SELECT event_type,
+                           CAST(percentile_disc(0.5)
+                                WITHIN GROUP (ORDER BY n) AS BIGINT)
+                               AS median_n
+                    FROM dc GROUP BY event_type)
+            SELECT dc.event_type, dc.day, CAST(dc.n AS BIGINT) AS n,
+                   med.median_n,
+                   CAST(CASE WHEN dc.n >= 2 * med.median_n THEN 1
+                        ELSE 0 END AS BIGINT) AS is_spike
+            FROM dc JOIN med USING (event_type)
+            ORDER BY dc.event_type, dc.day
+        """,
         "event_transitions": """
             WITH s AS (SELECT user_id, event_type,
                        LEAD(event_type) OVER (PARTITION BY user_id

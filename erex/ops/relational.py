@@ -607,3 +607,42 @@ def event_transitions(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["src_type", "dst_type"])\
         .reset_index(drop=True)
+
+
+def event_anomalies(sf_dir: str, factor: int = 2) -> pd.DataFrame:
+    """Daily-volume spike detection per event type — the monitoring
+    primitive over an ingestion stream: a day is a spike iff its event
+    count >= factor x the type's median daily count (median with
+    percentile_disc semantics, so the whole operator is exact integer
+    arithmetic). Shape: per-batch (type, day) partial counts -> one
+    small groupby-sum (types x days rows, bounded); the median walk and
+    flagging run on that result-scale table. Returns (event_type, day,
+    n, median_n, is_spike) ordered by (event_type, day)."""
+    import math
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        g = pa.table({"event_type": t.column("event_type"),
+                      "day": day})\
+            .group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.select(["event_type", "day", "count_all"])\
+            .rename_columns(["event_type", "day", "n"])
+
+    dc = (ds.map_batches(partial, batch_format="pyarrow",
+                         **remote_args())
+          .groupby(["event_type", "day"])
+          .aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    out = []
+    for et, g in dc.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        ns = np.sort(g["n"].to_numpy(np.int64))
+        med = int(ns[math.ceil(0.5 * len(ns)) - 1])
+        for _, r in g.iterrows():
+            n = int(r["n"])
+            out.append((et, r["day"], n, med,
+                        1 if n >= factor * med else 0))
+    return pd.DataFrame(out, columns=["event_type", "day", "n",
+                                      "median_n", "is_spike"])

@@ -1183,3 +1183,24 @@ def test_event_transitions_matches_serial(ray_session):
     want = sorted((a, b, n) for (a, b), n in c.items())
     got = [tuple(r) for r in out.itertuples(index=False)]
     assert got == want
+
+
+def test_event_anomalies_matches_serial(ray_session):
+    """Distributed daily counts + integer-median spike rule == serial
+    pandas recount (percentile_disc median semantics)."""
+    import math
+    from erex.ops.relational import event_anomalies
+    out = event_anomalies(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    dc = ev.groupby(["event_type", "day"]).size().reset_index(name="n")
+    for et, g in dc.groupby("event_type"):
+        ns = np.sort(g["n"].to_numpy())
+        med = int(ns[math.ceil(0.5 * len(ns)) - 1])
+        sub = out[out["event_type"] == et].set_index("day")
+        for _, r in g.iterrows():
+            row = sub.loc[r["day"]]
+            assert int(row["n"]) == int(r["n"])
+            assert int(row["median_n"]) == med
+            assert int(row["is_spike"]) == int(r["n"] >= 2 * med)
