@@ -639,6 +639,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "bm25_topk": text.bm25_topk,
         "stratified_sample": text.stratified_sample,
+        # --- late-round-4 additions ----------------------------------
+        "q_running_total": relational.q_running_total,
+        "q_order_gaps": relational.q_order_gaps,
+        "q_hopping_window": relational.q_hopping_window,
+        "rollup_counts": relational.rollup_counts,
+        "token_freq_histogram": text.token_freq_histogram,
+        "histogram_quantiles": sketch.histogram_quantiles,
         # --- relational operators (A1/A2, J4, O3, windows) -----------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -1480,6 +1487,90 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS n_clinks
             FROM d ORDER BY path
         """ % (_tml_token_pat, _TIMEML_COLS_INPUT),
+        "q_running_total": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+                        AS BIGINT) AS run_cents
+            FROM orders ORDER BY o_orderkey
+        """,
+        "q_order_gaps": """
+            WITH g AS (
+                SELECT o_custkey,
+                       (epoch_us(o_orderdate)
+                        - epoch_us(lag(o_orderdate) OVER
+                            (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)))
+                           // 1000000 AS gap
+                FROM orders)
+            SELECT o_custkey, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_sec,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_sec
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "q_hopping_window": """
+            SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR
+                       AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events, range(3) t(k)
+            GROUP BY 1 ORDER BY window_start
+        """,
+        "rollup_counts": """
+            SELECT COALESCE(source, '(all)') AS source,
+                   COALESCE(lang, '(all)') AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP (source, lang)
+            ORDER BY 1, 2
+        """,
+        "token_freq_histogram": """
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS token
+                FROM documents),
+            cnt AS (SELECT token, COUNT(*) AS cnt FROM tok
+                    GROUP BY token)
+            SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(cnt) AS BIGINT) AS total_occ
+            FROM cnt GROUP BY 1 ORDER BY bucket
+        """,
+        "histogram_quantiles": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            mm AS (SELECT event_type, MIN(cents) AS mn,
+                          MAX(cents) AS mx, COUNT(*) AS n
+                   FROM c GROUP BY 1),
+            b AS (SELECT c.event_type,
+                         CASE WHEN mx = mn THEN 0
+                              ELSE LEAST(1023,
+                                   (cents - mn) * 1024 // (mx - mn))
+                         END AS bin
+                  FROM c JOIN mm USING (event_type)),
+            h AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b
+                  GROUP BY 1, 2),
+            cum AS (SELECT event_type, bin,
+                           SUM(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY bin) AS cum
+                    FROM h),
+            r AS (SELECT mm.event_type, t.q_pct,
+                         (t.q_pct * mm.n + 99) // 100 AS rnk,
+                         mm.mn, mm.mx
+                  FROM mm CROSS JOIN (VALUES (50), (95), (99))
+                      t(q_pct))
+            SELECT r.event_type, CAST(r.q_pct AS BIGINT) AS q_pct,
+                   CAST(r.mn + MIN(cum.bin) * (r.mx - r.mn) // 1024
+                        AS BIGINT) AS approx_cents
+            FROM r JOIN cum ON cum.event_type = r.event_type
+                            AND cum.cum >= r.rnk
+            GROUP BY r.event_type, r.q_pct, r.mn, r.mx
+            ORDER BY r.event_type, r.q_pct
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity*1000+0.5) AS BIGINT))

@@ -646,3 +646,162 @@ def event_anomalies(sf_dir: str, factor: int = 2) -> pd.DataFrame:
                         1 if n >= factor * med else 0))
     return pd.DataFrame(out, columns=["event_type", "day", "n",
                                       "median_n", "is_spike"])
+
+
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running order balance — the cumulative-window
+    primitive (SUM ... OVER (PARTITION BY key ORDER BY time)) Ray Data
+    has no native operator for. Shape for scale: customers hash into
+    `_N_SHARDS` co-locating shards (one exchange, shard count fixed,
+    not per-key); inside a shard one vectorized pandas sort + per-key
+    cumsum covers every customer at once. Monetary values become
+    integer cents BEFORE the scan so the running sum is exact and
+    order-stable vs the SQL oracle's window function. Returns
+    (o_orderkey, run_cents) ordered by o_orderkey."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t.column("o_totalprice"), pa.float64()), 100.0),
+            0.5)), pa.int64())
+        sh = pc.cast(pc.bit_wise_and(t.column("o_custkey"),
+                                     _N_SHARDS - 1), pa.int32())
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "o_orderdate": t.column("o_orderdate"),
+                         "cents": cents, "cshard": sh})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        run = g.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "run_cents": run.astype("int64")})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby("cshard")
+             .map_groups(scan, batch_format="pandas", **remote_args()))
+    return out.to_pandas().sort_values("o_orderkey")\
+        .reset_index(drop=True)
+
+
+def q_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-customer inter-order gap statistics (the LAG/LEAD shape):
+    for every customer with >= 2 orders, the number of gaps plus the
+    total and maximum gap in whole seconds. Same shard-then-scan
+    layout as q_running_total — the only exchange is the fixed-width
+    customer-hash shard; gaps are one vectorized diff per shard.
+    Integer seconds keep the oracle comparison exact. Returns
+    (o_custkey, n_gaps, sum_gap_sec, max_gap_sec) ordered by
+    o_custkey."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sh = pc.cast(pc.bit_wise_and(t.column("o_custkey"),
+                                     _N_SHARDS - 1), pa.int32())
+        return t.append_column("cshard", sh)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        ck = g["o_custkey"].to_numpy(np.int64)
+        ts = g["o_orderdate"].to_numpy("datetime64[us]")
+        same = ck[1:] == ck[:-1]
+        if not same.any():
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "sum_gap_sec": pd.Series([], dtype="int64"),
+                "max_gap_sec": pd.Series([], dtype="int64")})
+        dsec = ((ts[1:] - ts[:-1]) // np.timedelta64(1, "s"))\
+            .astype(np.int64)[same]
+        keys = ck[1:][same]
+        df = pd.DataFrame({"o_custkey": keys, "gap": dsec})
+        agg = df.groupby("o_custkey", sort=False)["gap"]\
+            .agg(n_gaps="count", sum_gap_sec="sum", max_gap_sec="max")\
+            .reset_index()
+        for c in ("n_gaps", "sum_gap_sec", "max_gap_sec"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby("cshard")
+             .map_groups(gaps, batch_format="pandas", **remote_args()))
+    return out.to_pandas().sort_values("o_custkey")\
+        .reset_index(drop=True)
+
+
+def q_hopping_window(sf_dir: str, width_hours: int = 3) -> pd.DataFrame:
+    """Hopping-window event counts (width 3h, hop 1h) — the fourth
+    windowed shape next to tumbling (q_events_daily), session
+    (q_sessionize) and trailing-per-key (q_rolling_window). Shape for
+    scale: each event belongs to exactly `width_hours` hour-grid
+    windows, so the map side emits per-batch PARTIAL counts per
+    (window_start) — the exchange moves at most batches x windows
+    partial rows, never one row per (event, window). Returns
+    (window_start, n_events) for every window with at least one event,
+    ordered by window_start."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        parts = []
+        for k in range(width_hours):
+            start = pc.subtract(
+                hour, pa.scalar(k * 3_600_000_000,
+                                pa.duration("us")))
+            parts.append(pa.table({"window_start": pc.cast(
+                start, pa.timestamp("us"))}))
+        allw = pa.concat_tables(parts)
+        g = allw.group_by("window_start").aggregate([([], "count_all")])
+        return g.rename_columns(["window_start", "n_events"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **remote_args())
+           .groupby("window_start")
+           .aggregate(Sum("n_events", alias_name="n_events")))
+    return out.to_pandas().sort_values("window_start")\
+        .reset_index(drop=True)
+
+
+def rollup_counts(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (source, lang) over documents — hierarchical
+    totals in ONE pass: each batch pre-aggregates all three rollup
+    levels locally (leaf, per-source, grand total) with the sentinel
+    '(all)' standing in for the rolled-up column, so the exchange is
+    one small groupby over partial rows (3 x |sources x langs| keys,
+    data-size-independent). Returns (source, lang, n_docs, sum_chars)
+    ordered by (source, lang)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang", "n_chars"])
+    ALL = "(all)"
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table({"source": t.column("source"),
+                         "lang": t.column("lang"),
+                         "n_chars": t.column("n_chars")})
+        levels = []
+        for cols in (("source", "lang"), ("source",), ()):
+            g = base.group_by(list(cols)).aggregate(
+                [([], "count_all"), ("n_chars", "sum")])
+            n = len(g)
+            d = {"source": (g.column("source") if "source" in cols
+                            else pa.array([ALL] * n, pa.string())),
+                 "lang": (g.column("lang") if "lang" in cols
+                          else pa.array([ALL] * n, pa.string())),
+                 "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+                 "sum_chars": pc.cast(g.column("n_chars_sum"),
+                                      pa.int64())}
+            levels.append(pa.table(d))
+        return pa.concat_tables(levels)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **remote_args())
+           .groupby(["source", "lang"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars")))
+    return out.to_pandas().sort_values(["source", "lang"])\
+        .reset_index(drop=True)

@@ -193,3 +193,98 @@ def heavy_hitter_ngrams(sf_dir: str) -> pd.DataFrame:
     return cand.drop_duplicates()\
         .sort_values(["est_count", "ngram"], ascending=[False, True])\
         .reset_index(drop=True)
+
+
+# --- fixed-bin histogram quantiles --------------------------------------
+HISTQ_BINS = 1024
+HISTQ_PCTS = (50, 95, 99)
+
+
+def histogram_quantiles(sf_dir: str, bins: int = HISTQ_BINS,
+                        pcts: tuple = HISTQ_PCTS) -> pd.DataFrame:
+    """Approximate per-group quantiles from a fixed-width histogram —
+    the O(bins) scale path next to group_quantiles' exact sort: pass 1
+    finds each event_type's (min, max) in integer cents (per-batch
+    partial min/max, tiny combine); pass 2 folds each batch into
+    <= types x bins partial bin counts before one bounded groupby-sum.
+    The quantile walk runs on the result-scale (types x bins) table.
+    All arithmetic is non-negative integer (half-up cents, truncating
+    division == floor), so the DuckDB replica matches bit-for-bit:
+    bin = min(bins-1, (cents-mn)*bins // (mx-mn)), rank = ceil(q*n/100)
+    as (q*n+99)//100, answer = mn + bin*(mx-mn) // bins. Returns
+    (event_type, q_pct, approx_cents) ordered by (event_type, q_pct)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    path = f"{sf_dir}/events.parquet"
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t.column("value"), pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": cents})
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        g = cents_tbl(t).group_by("event_type").aggregate(
+            [("cents", "min"), ("cents", "max"), ([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "mn": g.column("cents_min"),
+                         "mx": g.column("cents_max"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    mm = (rd.read_parquet(path, columns=["event_type", "value"])
+          .map_batches(mm_partial, batch_format="pyarrow",
+                       **remote_args())
+          .groupby("event_type")
+          .aggregate(Min("mn", alias_name="mn"),
+                     Max("mx", alias_name="mx"),
+                     Sum("n", alias_name="n"))
+          .to_pandas())
+    stats = {r.event_type: (int(r.mn), int(r.mx), int(r.n))
+             for r in mm.itertuples()}
+    import ray as _ray
+    sref = _ray.put(stats)
+
+    def bin_partial(t: pa.Table, _s=sref) -> pa.Table:
+        st = _ray.get(_s)
+        tt = cents_tbl(t)
+        et = tt.column("event_type").to_pylist()
+        cents = tt.column("cents").to_numpy(zero_copy_only=False)
+        mn = np.array([st[e][0] for e in et], np.int64)
+        mx = np.array([st[e][1] for e in et], np.int64)
+        width = mx - mn
+        b = np.where(width == 0, 0,
+                     np.minimum(bins - 1,
+                                (cents - mn) * bins
+                                // np.where(width == 0, 1, width)))
+        g = pa.table({"event_type": tt.column("event_type"),
+                      "bin": pa.array(b, pa.int64())})\
+            .group_by(["event_type", "bin"])\
+            .aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "bin": g.column("bin"),
+                         "cnt": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    hist = (rd.read_parquet(path, columns=["event_type", "value"])
+            .map_batches(bin_partial, batch_format="pyarrow",
+                         **remote_args())
+            .groupby(["event_type", "bin"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+
+    out = []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("bin")
+        mn, mx, n = stats[et]
+        cum = g["cnt"].cumsum().to_numpy(np.int64)
+        bvals = g["bin"].to_numpy(np.int64)
+        for q in pcts:
+            rank = (q * n + 99) // 100
+            b = int(bvals[int(np.searchsorted(cum, rank))])
+            out.append((et, q, mn + b * (mx - mn) // bins))
+    return pd.DataFrame(out, columns=["event_type", "q_pct",
+                                      "approx_cents"])\
+        .astype({"q_pct": "int64", "approx_cents": "int64"})

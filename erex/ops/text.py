@@ -1258,3 +1258,58 @@ def pretrain_mix(sf_dir: str) -> pd.DataFrame:
     return keepers.map_batches(sample, batch_format="pyarrow",
                                **remote_args())\
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def token_freq_histogram(sf_dir: str) -> pd.DataFrame:
+    """Zipf-curve census: bucket the corpus vocabulary by
+    floor(log2(token frequency)) and report how many distinct tokens
+    and total occurrences land in each power-of-two frequency band —
+    the one-page fingerprint of a corpus' head/tail balance that
+    pretraining filters are tuned against. Shape for scale: per-batch
+    partial token counts (combiner) -> groupby(token).sum is the only
+    vocabulary-sized exchange; the bucket fold then reduces each
+    count-table block to <= 64 partial rows before a constant-size
+    final groupby. The bucket rule is pure integer bit-length so the
+    SQL oracle (length(bin(cnt)) - 1) matches exactly. Returns
+    (bucket, n_tokens, total_occ) ordered by bucket."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    tok = LOWER_TOKEN_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            c.update(tok.findall(x.lower()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             **remote_args())
+              .groupby("token")
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        # floor(log2(cnt)) via bit length: exact for all positive ints
+        # (np.log2 would misround near 2^53); buckets 0..63
+        b = np.frompyfunc(int.bit_length, 1, 1)(cnt).astype(np.int64) - 1
+        g = pa.table({"bucket": pa.array(b, pa.int64()),
+                      "cnt": pa.array(cnt, pa.int64())})\
+            .group_by("bucket")\
+            .aggregate([([], "count_all"), ("cnt", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "n_tokens": pc.cast(g.column("count_all"),
+                                             pa.int64()),
+                         "total_occ": pc.cast(g.column("cnt_sum"),
+                                              pa.int64())})
+
+    out = (counts.map_batches(bucket_fold, batch_format="pyarrow",
+                              **remote_args())
+           .groupby("bucket")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("total_occ", alias_name="total_occ")))
+    return out.to_pandas().sort_values("bucket").reset_index(drop=True)

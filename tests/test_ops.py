@@ -1204,3 +1204,111 @@ def test_event_anomalies_matches_serial(ray_session):
             assert int(row["n"]) == int(r["n"])
             assert int(row["median_n"]) == med
             assert int(row["is_spike"]) == int(r["n"] >= 2 * med)
+
+
+def test_q_running_total_matches_pandas(ray_session):
+    """Sharded cumulative scan == pandas window over sorted orders."""
+    from erex.ops.relational import q_running_total
+    out = q_running_total(SF)
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    od["cents"] = np.floor(od["o_totalprice"] * 100 + 0.5).astype("int64")
+    od = od.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    od["run_cents"] = od.groupby("o_custkey")["cents"].cumsum()
+    ref = od[["o_orderkey", "run_cents"]]\
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert list(out["o_orderkey"]) == list(ref["o_orderkey"])
+    assert list(out["run_cents"]) == list(ref["run_cents"])
+
+
+def test_q_order_gaps_matches_pandas(ray_session):
+    """Sharded LAG-diff == serial per-customer gap recount."""
+    from erex.ops.relational import q_order_gaps
+    out = q_order_gaps(SF)
+    od = pd.read_parquet(f"{SF}/orders.parquet")\
+        .sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    rows = {}
+    for ck, g in od.groupby("o_custkey"):
+        ts = g["o_orderdate"].to_numpy("datetime64[us]")
+        if len(ts) < 2:
+            continue
+        gaps = ((ts[1:] - ts[:-1]) // np.timedelta64(1, "s"))\
+            .astype(np.int64)
+        rows[ck] = (len(gaps), int(gaps.sum()), int(gaps.max()))
+    assert {int(r.o_custkey): (int(r.n_gaps), int(r.sum_gap_sec),
+                               int(r.max_gap_sec))
+            for r in out.itertuples()} == rows
+
+
+def test_q_hopping_window_covers_width(ray_session):
+    """Every event lands in exactly 3 windows; totals and a spot
+    window recount agree with a serial pass."""
+    from erex.ops.relational import q_hopping_window
+    out = q_hopping_window(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    assert out["n_events"].sum() == 3 * len(ev)
+    hours = ev["ts"].dt.floor("h")
+    w0 = hours.value_counts()
+    spot = w0.index[0]
+    want = int(sum(w0.get(spot + pd.Timedelta(hours=k), 0)
+                   for k in range(3)))
+    got = int(out.loc[out["window_start"] == spot, "n_events"].iloc[0])
+    assert got == want
+
+
+def test_rollup_counts_levels(ray_session):
+    """Leaf rows sum to per-source rows sum to the grand total."""
+    from erex.ops.relational import rollup_counts
+    out = rollup_counts(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "lang", "n_chars"])
+    total = out[(out["source"] == "(all)") & (out["lang"] == "(all)")]
+    assert int(total["n_docs"].iloc[0]) == len(docs)
+    assert int(total["sum_chars"].iloc[0]) == int(docs["n_chars"].sum())
+    leafs = out[(out["source"] != "(all)") & (out["lang"] != "(all)")]
+    assert int(leafs["n_docs"].sum()) == len(docs)
+    per_src = out[(out["source"] != "(all)") & (out["lang"] == "(all)")]
+    assert int(per_src["n_docs"].sum()) == len(docs)
+    one = docs.groupby(["source", "lang"]).size()
+    for r in leafs.itertuples():
+        assert int(r.n_docs) == int(one[(r.source, r.lang)])
+
+
+def test_token_freq_histogram_matches_serial(ray_session):
+    """Distributed Zipf buckets == serial Counter + bit_length."""
+    from collections import Counter
+
+    from erex.ops.text import LOWER_TOKEN_RE, token_freq_histogram
+    out = token_freq_histogram(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter()
+    for x in docs["text"]:
+        c.update(LOWER_TOKEN_RE.findall(x.lower()))
+    buckets = Counter()
+    occ = Counter()
+    for _, n in c.items():
+        b = n.bit_length() - 1
+        buckets[b] += 1
+        occ[b] += n
+    got = {int(r.bucket): (int(r.n_tokens), int(r.total_occ))
+           for r in out.itertuples()}
+    assert got == {b: (buckets[b], occ[b]) for b in buckets}
+
+
+def test_histogram_quantiles_bounds_exact(ray_session):
+    """The histogram quantile's bin lower edge is <= the exact
+    quantile and within one bin width of it, per event type."""
+    import math
+    from erex.ops.sketch import HISTQ_BINS, histogram_quantiles
+    out = histogram_quantiles(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for et, g in ev.groupby("event_type"):
+        cents = np.sort(g["cents"].to_numpy())
+        mn, mx = int(cents[0]), int(cents[-1])
+        width = max(1, (mx - mn + HISTQ_BINS - 1) // HISTQ_BINS)
+        sub = out[out["event_type"] == et]
+        for r in sub.itertuples():
+            exact = int(cents[math.ceil(r.q_pct / 100 * len(cents)) - 1])
+            assert r.approx_cents <= exact
+            assert exact - r.approx_cents <= width + 1
