@@ -646,6 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": relational.rollup_counts,
         "token_freq_histogram": text.token_freq_histogram,
         "histogram_quantiles": sketch.histogram_quantiles,
+        "normalized_dedup": dedup.normalized_dedup,
+        "incremental_dedup": dedup.incremental_dedup,
+        "dup_shingle_fraction": dedup.dup_shingle_fraction,
         # --- relational operators (A1/A2, J4, O3, windows) -----------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -1487,6 +1490,47 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS n_clinks
             FROM d ORDER BY path
         """ % (_tml_token_pat, _TIMEML_COLS_INPUT),
+        "normalized_dedup": """
+            SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                           ' ', 'g'))) AS norm_hash,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY 1 ORDER BY norm_hash
+        """,
+        "incremental_dedup": """
+            WITH p AS (SELECT doc_id,
+                array_to_string(regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+')[1:10],
+                                ' ') AS pre
+                FROM documents)
+            SELECT i.doc_id, CAST(MIN(s.doc_id) AS BIGINT) AS dup_of
+            FROM p i JOIN p s ON s.pre = i.pre
+            WHERE i.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+            GROUP BY i.doc_id ORDER BY i.doc_id
+        """,
+        "dup_shingle_fraction": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           AS shingle
+                FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 3),
+            df AS (SELECT shingle, COUNT(*) AS d FROM sh
+                   GROUP BY shingle)
+            SELECT sh.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN df.d > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup,
+                   CAST(1000 * SUM(CASE WHEN df.d > 1 THEN 1 ELSE 0
+                                   END) // COUNT(*) AS BIGINT)
+                       AS dup_milli
+            FROM sh JOIN df USING (shingle)
+            GROUP BY sh.doc_id ORDER BY sh.doc_id
+        """,
         "q_running_total": """
             SELECT o_orderkey,
                    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)

@@ -828,3 +828,136 @@ def neardup_contamination(sf_dir: str, n_bench: int = 100,
     g = g.rename(columns={"doc_b": "doc_id"})
     g["n_bench_matches"] = g["n_bench_matches"].astype(np.int64)
     return g.sort_values("doc_id").reset_index(drop=True)
+
+
+def normalized_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup after text normalization (lowercase + collapse
+    every non-alphanumeric run to one space + trim) — the first rung
+    of the near-dup ladder: it catches case/punctuation/whitespace
+    variants with dedup_exact's shuffle shape (hash groupby over
+    md5(normalized)) at zero extra exchange cost. The normalizer is
+    one regex shared verbatim with the DuckDB oracle
+    (regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')). Returns
+    (norm_hash, keep_id, n_dups) ordered by norm_hash."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    norm_re = re.compile(r"[^a-z0-9]+")
+
+    def f(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(norm_re.sub(" ", x.lower()).strip().encode())
+              .hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table({"norm_hash": pa.array(hs, pa.string()),
+                         "doc_id": t.column("doc_id")})
+
+    out = (ds.map_batches(f, batch_format="pyarrow", **remote_args())
+             .groupby("norm_hash")
+             .aggregate(Min("doc_id", alias_name="keep_id"),
+                        Count(alias_name="n_dups")))
+    return out.to_pandas().sort_values("norm_hash").reset_index(drop=True)
+
+
+def incremental_dedup(sf_dir: str, prefix_tokens: int = 10) -> pd.DataFrame:
+    """Snapshot-incremental dedup on a lead-content key — the shape an
+    always-on ingestion pipeline needs: new documents (odd doc_id
+    here) dedup against an existing corpus snapshot (even doc_id)
+    WITHOUT broadcasting the snapshot (corpus-sized, so a driver-side
+    set is the anti-pattern). The match key is the first
+    `prefix_tokens` lowercase tokens (re-crawls and boilerplate
+    variants share their lead even when tails diverge; swap in
+    md5(text) for byte-exact incremental dedup). Both sides hash-shard
+    on the key in one read; inside each shard one pandas merge matches
+    incoming rows to the snapshot's min doc_id per key. The only
+    exchange is the fixed-width shard groupby. Returns
+    (doc_id, dup_of) for incoming docs whose key exists in the
+    snapshot, ordered by doc_id."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = [" ".join(_tokens(x)[:prefix_tokens])
+                for x in t.column("text").to_pylist()]
+        hs = [hashlib.md5(k.encode()).hexdigest() for k in keys]
+        sh = [int(h[:4], 16) % 64 for h in hs]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "key_hash": pa.array(hs, pa.string()),
+                         "hshard": pa.array(sh, pa.int32())})
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["doc_id"] % 2 == 0]
+        new = g[g["doc_id"] % 2 == 1]
+        snap = old.groupby("key_hash", as_index=False)["doc_id"].min()\
+            .rename(columns={"doc_id": "dup_of"})
+        m = new.merge(snap, on="key_hash", how="inner")
+        return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                             "dup_of": m["dup_of"].astype("int64")})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby("hshard")
+             .map_groups(match, batch_format="pandas", **remote_args()))
+    df = out.to_pandas()
+    if "doc_id" not in df.columns:
+        # every shard matched nothing: empty pandas groups surface as a
+        # schema-less frame, so rebuild the typed empty result
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "dup_of": pd.Series([], dtype="int64")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def dup_shingle_fraction(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Cross-document duplicate-shingle fraction per document (the
+    RefinedWeb/Gopher 'duplicate n-gram fraction' quality signal): of
+    a doc's DISTINCT 3-gram shingles, how many also occur in at least
+    one other document. Shape for scale: distinct (doc_id, shingle)
+    explode -> shingle-hash shard (each shingle wholly owned by one
+    shard, so its document frequency is global within the shard) ->
+    per-shard vectorized df count + per-doc partials -> one
+    groupby(doc_id).sum over <= docs x 64 partial rows. Docs with
+    fewer than n tokens have no shingles and are absent, matching the
+    SQL oracle. Returns (doc_id, n_shingles, n_dup, dup_milli) ordered
+    by doc_id."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, shs, shards = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = _tokens(x)
+            if len(toks) < n:
+                continue
+            for s in {" ".join(toks[i:i + n])
+                      for i in range(len(toks) - n + 1)}:
+                ids.append(d)
+                shs.append(s)
+                shards.append(int(hashlib.md5(s.encode())
+                                  .hexdigest()[:4], 16) % 64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shingle": pa.array(shs, pa.string()),
+                         "shard": pa.array(shards, pa.int32())})
+
+    def shard_partials(g: pd.DataFrame) -> pd.DataFrame:
+        df_cnt = g.groupby("shingle")["doc_id"].transform("size")
+        dup = (df_cnt > 1).astype("int64")
+        agg = pd.DataFrame({"doc_id": g["doc_id"], "dup": dup})\
+            .groupby("doc_id", as_index=False)\
+            .agg(n_shingles=("dup", "size"), n_dup=("dup", "sum"))
+        return agg.astype({"doc_id": "int64", "n_shingles": "int64",
+                           "n_dup": "int64"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = t.column("n_shingles").to_numpy(zero_copy_only=False)
+        nd = t.column("n_dup").to_numpy(zero_copy_only=False)
+        milli = (1000 * nd) // ns
+        return t.append_column("dup_milli", pa.array(milli, pa.int64()))
+
+    out = (ds.map_batches(explode, batch_format="pyarrow",
+                          **remote_args())
+             .groupby("shard")
+             .map_groups(shard_partials, batch_format="pandas",
+                         **remote_args())
+             .groupby("doc_id")
+             .aggregate(Sum("n_shingles", alias_name="n_shingles"),
+                        Sum("n_dup", alias_name="n_dup"))
+             .map_batches(finish, batch_format="pyarrow",
+                          **remote_args()))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -1312,3 +1312,63 @@ def test_histogram_quantiles_bounds_exact(ray_session):
             exact = int(cents[math.ceil(r.q_pct / 100 * len(cents)) - 1])
             assert r.approx_cents <= exact
             assert exact - r.approx_cents <= width + 1
+
+
+def test_normalized_dedup_catches_case_variants(ray_session):
+    """Normalization groups case/punctuation variants that exact
+    dedup keeps apart; group counts match a serial recount."""
+    from erex.ops.dedup import normalized_dedup
+    out = normalized_dedup(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    norm = re.compile(r"[^a-z0-9]+")
+    key = [norm.sub(" ", t.lower()).strip() for t in docs["text"]]
+    ref = pd.DataFrame({"k": key, "doc_id": docs["doc_id"]})\
+        .groupby("k").agg(keep_id=("doc_id", "min"),
+                          n_dups=("doc_id", "size"))
+    assert len(out) == len(ref)
+    assert int(out["n_dups"].sum()) == len(docs)
+    assert sorted(out["keep_id"]) == sorted(ref["keep_id"])
+
+
+def test_incremental_dedup_matches_serial(ray_session):
+    """Sharded snapshot match == serial prefix-key join."""
+    from erex.ops.dedup import _tokens, incremental_dedup
+    out = incremental_dedup(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs["pre"] = [" ".join(_tokens(t)[:10]) for t in docs["text"]]
+    old = docs[docs["doc_id"] % 2 == 0]
+    new = docs[docs["doc_id"] % 2 == 1]
+    snap = old.groupby("pre")["doc_id"].min()
+    want = {int(r.doc_id): int(snap[r.pre]) for r in new.itertuples()
+            if r.pre in snap.index}
+    assert {int(r.doc_id): int(r.dup_of)
+            for r in out.itertuples()} == want
+
+
+def test_dup_shingle_fraction_matches_serial(ray_session):
+    """Sharded cross-doc duplicate-shingle fraction == serial set
+    arithmetic over all documents."""
+    from collections import Counter
+
+    from erex.ops.dedup import _tokens, dup_shingle_fraction
+    out = dup_shingle_fraction(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sets = {}
+    for r in docs.itertuples():
+        toks = _tokens(r.text)
+        if len(toks) >= 3:
+            sets[int(r.doc_id)] = {" ".join(toks[i:i + 3])
+                                   for i in range(len(toks) - 2)}
+    df = Counter()
+    for ss in sets.values():
+        df.update(ss)
+    got = {int(r.doc_id): (int(r.n_shingles), int(r.n_dup),
+                           int(r.dup_milli)) for r in out.itertuples()}
+    want = {}
+    for d, ss in sets.items():
+        nd = sum(1 for s in ss if df[s] > 1)
+        want[d] = (len(ss), nd, 1000 * nd // len(ss))
+    assert got == want
