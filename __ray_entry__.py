@@ -646,6 +646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": relational.rollup_counts,
         "token_freq_histogram": text.token_freq_histogram,
         "histogram_quantiles": sketch.histogram_quantiles,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q_funnel": relational.q_funnel,
         "normalized_dedup": dedup.normalized_dedup,
         "incremental_dedup": dedup.incremental_dedup,
         "dup_shingle_fraction": dedup.dup_shingle_fraction,
@@ -1490,6 +1492,46 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS n_clinks
             FROM d ORDER BY path
         """ % (_tml_token_pat, _TIMEML_COLS_INPUT),
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice
+                                       * (1 - l_discount) * 1000 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_milli
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q_funnel": """
+            WITH u1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            u2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN u1 ON u1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > u1.t
+                   GROUP BY 1),
+            u3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN u2 ON u2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > u2.t
+                   GROUP BY 1)
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                       CAST((SELECT COUNT(*) FROM u1) AS BIGINT)
+                           AS n_users
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'click',
+                       CAST((SELECT COUNT(*) FROM u2) AS BIGINT)
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), 'purchase',
+                       CAST((SELECT COUNT(*) FROM u3) AS BIGINT))
+            ORDER BY step
+        """,
         "normalized_dedup": """
             SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
                                            ' ', 'g'))) AS norm_hash,

@@ -805,3 +805,149 @@ def rollup_counts(sf_dir: str) -> pd.DataFrame:
                       Sum("sum_chars", alias_name="sum_chars")))
     return out.to_pandas().sort_values(["source", "lang"])\
         .reset_index(drop=True)
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             date_from: str = "1996-01-01",
+                             date_to: str = "1997-01-01") -> pd.DataFrame:
+    """TPC-H Q5 (local supplier volume): the canonical 6-table join —
+    revenue by nation where the customer and supplier share a nation
+    inside one region, over one order year. Join plan for scale:
+    region/nation/supplier are dimension tables (broadcast once via
+    ray.put as a suppkey -> (nationkey, n_name) map, pruned to the
+    region BEFORE shipping); customer x orders and lineitem x orders
+    are real distributed hash joins (both sides fact-scale at 100 TB —
+    a customer broadcast would be the anti-pattern); revenue is
+    integer milli per row before any aggregation, partial-summed per
+    batch so the final groupby moves <= batches x nations rows.
+    Returns (n_name, revenue_milli) ordered by n_name."""
+    from .._env import default_join_partitions
+    npart = default_join_partitions()
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(rk)]
+    sup = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    smap = {int(r.s_suppkey): (int(r.s_nationkey), r.n_name)
+            for r in sup.itertuples()}
+    sref = ray.put(smap)
+
+    lo = pa.scalar(np.datetime64(date_from, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"), pa.timestamp("us"))
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        t = t.filter(keep)
+        return t.select(["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])\
+        .map_batches(orders_prep, batch_format="pyarrow",
+                     **remote_args())
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    oc = orders.join(cust, "inner", npart, on=("o_custkey",),
+                     right_on=("c_custkey",))
+
+    def li_prep(t: pa.Table, _s=sref) -> pa.Table:
+        sm = ray.get(_s)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        hit = np.array([s in sm for s in sk], bool)
+        t = t.filter(pa.array(hit))
+        if len(t) == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "s_nationkey": pa.array([], pa.int64()),
+                             "n_name": pa.array([], pa.string()),
+                             "rev_milli": pa.array([], pa.int64())})
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 1000.0 + 0.5).astype(np.int64)
+        nk = np.array([sm[s][0] for s in sk], np.int64)
+        nm = [sm[s][1] for s in sk]
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "s_nationkey": pa.array(nk),
+                         "n_name": pa.array(nm, pa.string()),
+                         "rev_milli": pa.array(rev)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])\
+        .map_batches(li_prep, batch_format="pyarrow", **remote_args())
+
+    j = li.join(oc, "inner", npart, on=("l_orderkey",),
+                right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("s_nationkey"),
+                        pc.cast(t.column("c_nationkey"), pa.int64()))
+        t = t.filter(keep)
+        if len(t) == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue_milli": pa.array([], pa.int64())})
+        g = pa.table({"n_name": t.column("n_name"),
+                      "revenue_milli": t.column("rev_milli")})\
+            .group_by("n_name").aggregate([("revenue_milli", "sum")])
+        return g.rename_columns(["n_name", "revenue_milli"])
+
+    out = (j.map_batches(partial, batch_format="pyarrow",
+                         **remote_args())
+           .groupby("n_name")
+           .aggregate(Sum("revenue_milli", alias_name="revenue_milli")))
+    df = out.to_pandas()
+    if "n_name" not in df.columns:
+        return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                             "revenue_milli": pd.Series([],
+                                                        dtype="int64")})
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+def q_funnel(sf_dir: str,
+             steps: tuple = ("view", "click", "purchase")) -> pd.DataFrame:
+    """Ordered funnel analysis — how many users completed step k
+    strictly after step k-1 (first-touch semantics: each step's
+    timestamp is the MIN occurrence after the previous step's).
+    Sequential per-user state rules out a plain groupby; the scale
+    shape is the user-hash shard scan (one exchange, fixed width),
+    with each shard resolving all its users' funnels via vectorized
+    per-step groupby-mins. Returns (step, step_name, n_users) for
+    step 1..len(steps), ordered by step."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(list(steps)))
+        t = t.filter(keep)
+        sh = pc.cast(pc.bit_wise_and(t.column("user_id"),
+                                     _N_SHARDS - 1), pa.int32())
+        return t.append_column("ushard", sh)
+
+    def funnel_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None  # Series: user_id -> time of previous step
+        counts = []
+        for i, s in enumerate(steps):
+            ev = g[g["event_type"] == s]
+            if cur is not None:
+                prev = ev["user_id"].map(cur)
+                ev = ev[prev.notna() & (ev["ts"] > prev)]
+            cur = ev.groupby("user_id")["ts"].min()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "step": pd.Series(range(1, len(steps) + 1), dtype="int64"),
+            "step_name": list(steps),
+            "n_users": pd.Series(counts, dtype="int64")})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
+             .groupby("ushard")
+             .map_groups(funnel_shard, batch_format="pandas",
+                         **remote_args())
+             .groupby("step")
+             .aggregate(Max("step_name", alias_name="step_name"),
+                        Sum("n_users", alias_name="n_users")))
+    return out.to_pandas().sort_values("step").reset_index(drop=True)

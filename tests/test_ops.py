@@ -1372,3 +1372,52 @@ def test_dup_shingle_fraction_matches_serial(ray_session):
         nd = sum(1 for s in ss if df[s] > 1)
         want[d] = (len(ss), nd, 1000 * nd // len(ss))
     assert got == want
+
+
+def test_q5_matches_duckdb(ray_session):
+    """Distributed 6-table Q5 == DuckDB on the same parquet."""
+    import duckdb
+    from erex.ops.relational import q5_local_supplier_volume
+    out = q5_local_supplier_volume(SF)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    ref = con.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_milli
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY n_name""").df()
+    assert list(out["n_name"]) == list(ref["n_name"])
+    assert list(out["revenue_milli"]) == list(ref["revenue_milli"])
+
+
+def test_q_funnel_matches_serial(ray_session):
+    """Sharded funnel scan == serial per-user first-touch walk."""
+    from erex.ops.relational import q_funnel
+    steps = ("view", "click", "purchase")
+    out = q_funnel(SF, steps=steps)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    counts = []
+    prev = None
+    for s in steps:
+        sub = ev[ev["event_type"] == s]
+        if prev is not None:
+            p = sub["user_id"].map(prev)
+            sub = sub[p.notna() & (sub["ts"] > p)]
+        prev = sub.groupby("user_id")["ts"].min()
+        counts.append(len(prev))
+    assert list(out["step"]) == [1, 2, 3]
+    assert list(out["step_name"]) == list(steps)
+    assert list(out["n_users"]) == counts
+    # funnel counts are monotone non-increasing
+    assert counts[0] >= counts[1] >= counts[2]
