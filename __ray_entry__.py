@@ -109,6 +109,14 @@ def _catena_nodes(sf_dir: str):
     return out.sort_values("node_key").reset_index(drop=True)
 
 
+def _entity_resolution(sf_dir: str):
+    from erex.canonical import canonical_nodes, entity_resolution
+    nodes = canonical_nodes(_merged_ds(
+        sf_dir, columns=["kind", "subj_key", "node_kind", "surface",
+                         "attr"]))
+    return entity_resolution(nodes)
+
+
 def _catena_graph_edges(sf_dir: str):
     from erex.canonical import canonical_edges
     out = canonical_edges(_merged_ds(
@@ -699,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only at the driver) -------------------------------------
         "catena_edges": _catena_edges,
         "catena_nodes": _catena_nodes,
+        "entity_resolution": _entity_resolution,
         "catena_graph_edges": _catena_graph_edges,
         "catena_tt_rules": _catena_tt_rules,
         "catena_confusion": _catena_confusion,

@@ -1421,3 +1421,53 @@ def test_q_funnel_matches_serial(ray_session):
     assert list(out["n_users"]) == counts
     # funnel counts are monotone non-increasing
     assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_entity_resolution_matches_serial(ray_session):
+    """Blocked distributed ER == serial union-find with the same
+    blocking rule, over the sf corpus' canonical nodes."""
+    import ray.data as rd
+
+    from erex.canonical import (_char3, _er_norm, canonical_nodes,
+                                entity_resolution)
+    from erex.corpus import corpus_parquet
+    from erex.pipeline import run_extraction_auto
+    path = corpus_parquet(120, seed=42)
+    merged = run_extraction_auto(path)
+    nodes_df = canonical_nodes(merged).to_pandas()
+    out = entity_resolution(rd.from_pandas(nodes_df))
+    # serial oracle: same blocks, all-pairs jaccard, union-find
+    nodes_df["norm"] = [_er_norm(s) for s in nodes_df["surface"]]
+    nodes_df["block"] = nodes_df["node_kind"] + "|" \
+        + nodes_df["norm"].str[:2]
+    want = {}
+    for _b, g in nodes_df.groupby("block"):
+        keys = g["node_key"].tolist()
+        sets = [_char3(n) for n in g["norm"]]
+        parent = list(range(len(keys)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                a, b = sets[i], sets[j]
+                if a and b and 1000 * len(a & b) // len(a | b) >= 600:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        ent = {}
+        for i in range(len(keys)):
+            r = find(i)
+            ent.setdefault(r, min(keys[k] for k in range(len(keys))
+                                  if find(k) == r))
+        for i in range(len(keys)):
+            want[keys[i]] = ent[find(i)]
+    got = dict(zip(out["node_key"], out["entity_id"]))
+    assert got == want
+    # every entity id is a member of its own cluster
+    assert set(out["entity_id"]) <= set(out["node_key"])
+    # linking is non-trivial on this corpus (some cluster > 1)
+    assert len(set(out["entity_id"])) < len(out)
