@@ -109,6 +109,24 @@ def _catena_nodes(sf_dir: str):
     return out.sort_values("node_key").reset_index(drop=True)
 
 
+def _flagship_lineage(sf_dir: str):
+    """Resumable flagship run + its per-partition lineage manifest:
+    runs fragment-checkpointed extraction into a /tmp workspace (a
+    rerun skips completed fragments), then returns one row per
+    fragment (frag_id, fragment, rows) — the driver-visible evidence
+    for the checkpoint/lineage contract."""
+    import pandas as pd
+    from erex.pipeline import read_lineage, run_flagship_resumable
+    import erex
+    path = _corpus_for(sf_dir)
+    out = "%s.resumable-%s" % (path, erex.__version__)
+    run_flagship_resumable(path, out)
+    rows = read_lineage(out)
+    df = pd.DataFrame(rows, columns=["frag_id", "fragment", "rows"])
+    df["rows"] = df["rows"].astype("int64")
+    return df.sort_values("frag_id").reset_index(drop=True)
+
+
 def _entity_resolution(sf_dir: str):
     from erex.canonical import canonical_nodes, entity_resolution
     nodes = canonical_nodes(_merged_ds(
@@ -708,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catena_edges": _catena_edges,
         "catena_nodes": _catena_nodes,
         "entity_resolution": _entity_resolution,
+        "flagship_lineage": _flagship_lineage,
         "catena_graph_edges": _catena_graph_edges,
         "catena_tt_rules": _catena_tt_rules,
         "catena_confusion": _catena_confusion,

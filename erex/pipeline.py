@@ -852,10 +852,29 @@ def run_flagship_resumable(corpus_path: str, out_dir: str,
             import shutil
             shutil.rmtree(part_dir)
         ds.write_parquet(part_dir)
+        # per-partition metrics from the written files' parquet footers
+        # (no recompute): row count = the partition's lineage record
+        import pyarrow.parquet as pq
+        rows = sum(pq.read_metadata(os.path.join(part_dir, f)).num_rows
+                   for f in os.listdir(part_dir)
+                   if f.endswith(".parquet"))
+        metrics["rows_written"] += rows
         # manifest written only after a successful write (atomic rename)
-        meta = {"fragment": frag, "frag_id": frag_id}
+        meta = {"fragment": frag, "frag_id": frag_id, "rows": rows}
         tmp = os.path.join(man_dir, frag_id + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(man_dir, frag_id + ".json"))
     return metrics
+
+
+def read_lineage(out_dir: str) -> "list[dict]":
+    """The run's per-partition lineage: one manifest record per
+    completed fragment (fragment path, frag_id, rows written)."""
+    man_dir = os.path.join(out_dir, "_manifest")
+    out = []
+    for f in sorted(os.listdir(man_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(man_dir, f)) as fh:
+                out.append(json.load(fh))
+    return out
