@@ -674,6 +674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_quantiles": sketch.histogram_quantiles,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q_funnel": relational.q_funnel,
+        "dataset_split": text.dataset_split,
+        "dq_checks": text.dq_checks,
+        "bloom_contamination": sketch.bloom_contamination,
         "normalized_dedup": dedup.normalized_dedup,
         "incremental_dedup": dedup.incremental_dedup,
         "dup_shingle_fraction": dedup.dup_shingle_fraction,
@@ -1520,6 +1523,77 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS n_clinks
             FROM d ORDER BY path
         """ % (_tml_token_pat, _TIMEML_COLS_INPUT),
+        "dataset_split": """
+            WITH s AS (SELECT lang,
+                CASE WHEN CAST(concat('0x',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) < 3435973836 THEN 'train'
+                     WHEN CAST(concat('0x',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) < 3865470566 THEN 'val'
+                     ELSE 'test' END AS split
+                FROM documents)
+            SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dq_checks": """
+            SELECT * FROM (VALUES
+                ('doc_id_not_null',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE doc_id IS NULL)),
+                ('doc_id_non_negative',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE doc_id < 0)),
+                ('text_non_empty',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE text IS NULL OR length(text) = 0)),
+                ('lang_known',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE lang IS NULL
+                     OR lang NOT IN ('en','de','es','fr','zh'))),
+                ('n_chars_matches_text',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE length(text) != n_chars)))
+                t(check_name, n_rows, n_fail)
+            ORDER BY check_name
+        """,
+        "bloom_contamination": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i:i+7], ' ') AS ngram
+                FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
+                WHERE len(ws) >= 8),
+            bench_bits AS (
+                SELECT DISTINCT CAST(concat('0x',
+                    substr(md5(ngram), 1 + 5*i, 5)) AS BIGINT) AS pos
+                FROM g, UNNEST(range(0, 4)) AS u(i)
+                WHERE doc_id < 20),
+            cpos AS (
+                SELECT doc_id, ngram, i, CAST(concat('0x',
+                    substr(md5(ngram), 1 + 5*i, 5)) AS BIGINT) AS pos
+                FROM g, UNNEST(range(0, 4)) AS u(i)
+                WHERE doc_id >= 20),
+            hit AS (
+                SELECT doc_id, ngram FROM cpos
+                JOIN bench_bits USING (pos)
+                GROUP BY doc_id, ngram HAVING COUNT(*) = 4),
+            hk AS (SELECT doc_id, COUNT(*) AS k FROM hit GROUP BY 1)
+            SELECT d.doc_id, CAST(COALESCE(hk.k, 0) AS BIGINT)
+                       AS n_bloom_hits,
+                   COALESCE(hk.k, 0) > 0 AS flagged
+            FROM documents d LEFT JOIN hk ON hk.doc_id = d.doc_id
+            WHERE d.doc_id >= 20
+            ORDER BY d.doc_id
+        """,
         "q5_local_supplier_volume": """
             SELECT n_name,
                    CAST(SUM(CAST(FLOOR(l_extendedprice

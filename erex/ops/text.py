@@ -1313,3 +1313,93 @@ def token_freq_histogram(sf_dir: str) -> pd.DataFrame:
            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
                       Sum("total_occ", alias_name="total_occ")))
     return out.to_pandas().sort_values("bucket").reset_index(drop=True)
+
+
+# deterministic split fences: md5(doc_id) 32-bit prefix under
+# floor(0.8*2^32) -> train, under floor(0.9*2^32) -> val, else test
+SPLIT_TRAIN_32 = 3435973836     # floor(0.80 * 2^32)
+SPLIT_VAL_32 = 3865470566       # floor(0.90 * 2^32)
+
+
+def dataset_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by document
+    hash — the split every training pipeline needs to be reproducible
+    across runs, machines and corpus growth (a doc's split never
+    changes when neighbors are added, unlike position- or
+    shuffle-based splits). Pure stateless map + a bounded groupby of
+    per-batch partial counts. Returns (lang, split, n_docs) ordered by
+    (lang, split)."""
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = t.column("doc_id").to_pylist()
+        h = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:8],
+                          16) for d in ids], np.uint64)
+        split = np.where(h < SPLIT_TRAIN_32, "train",
+                         np.where(h < SPLIT_VAL_32, "val", "test"))
+        g = pa.table({"lang": t.column("lang"),
+                      "split": pa.array(split.tolist(), pa.string())})\
+            .group_by(["lang", "split"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "split": g.column("split"),
+                         "n_docs": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **remote_args())
+           .groupby(["lang", "split"])
+           .aggregate(Sum("n_docs", alias_name="n_docs")))
+    return out.to_pandas().sort_values(["lang", "split"])\
+        .reset_index(drop=True)
+
+
+def dq_checks(sf_dir: str) -> pd.DataFrame:
+    """Declarative data-quality expectations over `documents` — the
+    ingest gate a production pipeline runs before anything else. Each
+    check is evaluated per batch as a (check, n_rows, n_fail) partial
+    and combined in one bounded groupby, so the audit is a single
+    streaming pass whatever the corpus size. Checks: doc_id not null /
+    unique-ready (non-negative), text non-empty, lang in the known
+    inventory, n_chars == length(text). Returns
+    (check_name, n_rows, n_fail) ordered by check_name."""
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    langs = {"en", "de", "es", "fr", "zh"}
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        n = len(t)
+        ids = t.column("doc_id")
+        text = t.column("text")
+        lang = t.column("lang").to_pylist()
+        nchars = t.column("n_chars")
+        fails = {
+            "doc_id_not_null": ids.null_count,
+            "doc_id_non_negative": int(pc_.sum(pc_.cast(
+                pc_.less(ids, 0), pa.int64())).as_py() or 0),
+            "text_non_empty": int(pc_.sum(pc_.cast(pc_.or_kleene(
+                pc_.is_null(text),
+                pc_.equal(pc_.utf8_length(text), 0)),
+                pa.int64())).as_py() or 0),
+            "lang_known": sum(1 for v in lang if v not in langs),
+            "n_chars_matches_text": int(pc_.sum(pc_.cast(
+                pc_.not_equal(pc_.utf8_length(text),
+                              pc_.cast(nchars, pa.int32())),
+                pa.int64())).as_py() or 0),
+        }
+        return pa.table({
+            "check_name": pa.array(list(fails.keys()), pa.string()),
+            "n_rows": pa.array([n] * len(fails), pa.int64()),
+            "n_fail": pa.array([int(v) for v in fails.values()],
+                               pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **remote_args())
+           .groupby("check_name")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("n_fail", alias_name="n_fail")))
+    return out.to_pandas().sort_values("check_name")\
+        .reset_index(drop=True)

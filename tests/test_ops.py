@@ -1471,3 +1471,47 @@ def test_entity_resolution_matches_serial(ray_session):
     assert set(out["entity_id"]) <= set(out["node_key"])
     # linking is non-trivial on this corpus (some cluster > 1)
     assert len(set(out["entity_id"])) < len(out)
+
+
+def test_dataset_split_deterministic_fences(ray_session):
+    """Split assignment matches a serial hash recount; proportions
+    are near 80/10/10; stable across runs."""
+    from erex.ops.text import (SPLIT_TRAIN_32, SPLIT_VAL_32,
+                               dataset_split)
+    out = dataset_split(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    h = docs["doc_id"].map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16))
+    docs["split"] = np.where(h < SPLIT_TRAIN_32, "train",
+                             np.where(h < SPLIT_VAL_32, "val", "test"))
+    ref = docs.groupby(["lang", "split"]).size()
+    got = {(r.lang, r.split): int(r.n_docs) for r in out.itertuples()}
+    assert got == {k: int(v) for k, v in ref.items()}
+    tr = sum(v for (_l, s), v in got.items() if s == "train")
+    assert abs(tr / len(docs) - 0.8) < 0.06
+
+
+def test_dq_checks_clean_and_dirty(ray_session):
+    """All expectations pass on the generated corpus; each counts the
+    full row count."""
+    from erex.ops.text import dq_checks
+    out = dq_checks(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert set(out["check_name"]) == {
+        "doc_id_not_null", "doc_id_non_negative", "text_non_empty",
+        "lang_known", "n_chars_matches_text"}
+    assert (out["n_rows"] == len(docs)).all()
+    assert (out["n_fail"] == 0).all()
+
+
+def test_bloom_contamination_superset_of_exact(ray_session):
+    """Bloom hits are a superset of exact n-gram contamination (no
+    false negatives), and the exact hit count is a lower bound."""
+    from erex.ops.sketch import bloom_contamination
+    from erex.ops.text import ngram_contamination
+    bl = bloom_contamination(SF)
+    ex = ngram_contamination(SF)
+    m = ex.merge(bl, on="doc_id")
+    assert (m.loc[m["contaminated"], "flagged"]).all()
+    assert (m["n_bloom_hits"] >= m["n_hits"]).all()
