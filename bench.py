@@ -108,6 +108,11 @@ def run_bench() -> None:
     # late-round-4 additions: semantic dedup and the unigram-LM scorer
     timed("semantic_dedup", similarity.semantic_dedup)
     timed("unigram_logprob", text.unigram_logprob)
+    # round-4-late: the 6-table join, the O(bins) quantile sketch and
+    # the cross-doc duplicate-shingle exchange
+    timed("q5_local_supplier_volume", relational.q5_local_supplier_volume)
+    timed("histogram_quantiles", sketch.histogram_quantiles)
+    timed("dup_shingle_fraction", dedup.dup_shingle_fraction)
 
     print(json.dumps({
         "metric": "catena_flagship", "value": round(headline, 3),
