@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": dedup.normalized_dedup,
         "incremental_dedup": dedup.incremental_dedup,
         "dup_shingle_fraction": dedup.dup_shingle_fraction,
+        "compact_parquet": io.compact_parquet,
         # --- relational operators (A1/A2, J4, O3, windows) -----------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -1523,6 +1524,13 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS n_clinks
             FROM d ORDER BY path
         """ % (_tml_token_pat, _TIMEML_COLS_INPUT),
+        "compact_parquet": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8))
+                                 AS BIGINT)) AS BIGINT) AS checksum,
+                   CAST(4 AS BIGINT) AS n_files
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
         "dataset_split": """
             WITH s AS (SELECT lang,
                 CASE WHEN CAST(concat('0x',

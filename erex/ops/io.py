@@ -78,3 +78,57 @@ def documents_jsonl_stats(sf_dir: str,
     finally:
         if own_dir:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def compact_parquet(sf_dir: str, out_dir: str | None = None,
+                    target_blocks: int = 4) -> pd.DataFrame:
+    """Small-file compaction — the maintenance operator every
+    long-running lakehouse pipeline needs: read a (potentially
+    many-small-files) parquet table, `repartition` to a bounded block
+    count, and write back one file per block. The certify aggregate
+    (per-lang counts + the same int64 md5 checksum reduce as the JSONL
+    round-trip) is computed from the COMPACTED copy, so a hash-green
+    row proves the rewrite was lossless. Same shared-storage caveat
+    as documents_jsonl_stats. Returns (lang, n_docs, checksum, n_files)
+    ordered by lang — n_files is the post-compaction file count, the
+    compaction's own success metric."""
+    import os
+
+    from ray.data.aggregate import Sum
+    own_dir = out_dir is None
+    if own_dir:
+        out_dir = tempfile.mkdtemp(prefix="erex_compact_")
+    try:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        ds.repartition(target_blocks).write_parquet(out_dir)
+        n_files = sum(1 for f in os.listdir(out_dir)
+                      if f.endswith(".parquet"))
+        back = rd.read_parquet(out_dir)
+
+        def partial(t: pa.Table) -> pa.Table:
+            langs = t.column("lang").to_pylist()
+            texts = t.column("text").to_pylist()
+            agg: dict = {}
+            for lg, x in zip(langs, texts):
+                cs = int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+                n, k = agg.get(lg, (0, 0))
+                agg[lg] = (n + 1, k + cs)
+            return pa.table({
+                "lang": pa.array(list(agg.keys()), pa.string()),
+                "n_docs": pa.array([v[0] for v in agg.values()],
+                                   pa.int64()),
+                "checksum": pa.array([v[1] for v in agg.values()],
+                                     pa.int64())})
+
+        out = (back.map_batches(partial, batch_format="pyarrow",
+                                **remote_args())
+               .groupby("lang")
+               .aggregate(Sum("n_docs", alias_name="n_docs"),
+                          Sum("checksum", alias_name="checksum"))
+               .to_pandas())
+        out["n_files"] = pd.Series([n_files] * len(out), dtype="int64")
+        return out.sort_values("lang").reset_index(drop=True)
+    finally:
+        if own_dir:
+            shutil.rmtree(out_dir, ignore_errors=True)

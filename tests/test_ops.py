@@ -1515,3 +1515,22 @@ def test_bloom_contamination_superset_of_exact(ray_session):
     m = ex.merge(bl, on="doc_id")
     assert (m.loc[m["contaminated"], "flagged"]).all()
     assert (m["n_bloom_hits"] >= m["n_hits"]).all()
+
+
+def test_compact_parquet_lossless(ray_session, tmp_path):
+    """Compaction to N blocks preserves every row (checksum equality
+    vs the source) and actually bounds the file count."""
+    from erex.ops.io import compact_parquet
+    out = compact_parquet(SF, out_dir=str(tmp_path / "c"),
+                          target_blocks=3)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text", "lang"])
+    docs["cs"] = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                  for t in docs["text"]]
+    ref = docs.groupby("lang").agg(n_docs=("cs", "size"),
+                                   checksum=("cs", "sum"))
+    got = {r.lang: (int(r.n_docs), int(r.checksum))
+           for r in out.itertuples()}
+    assert got == {lg: (int(r.n_docs), int(r.checksum))
+                   for lg, r in ref.iterrows()}
+    assert (out["n_files"] <= 3).all()
