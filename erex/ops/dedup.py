@@ -941,23 +941,31 @@ def dup_shingle_fraction(sf_dir: str, n: int = 3) -> pd.DataFrame:
         agg = pd.DataFrame({"doc_id": g["doc_id"], "dup": dup})\
             .groupby("doc_id", as_index=False)\
             .agg(n_shingles=("dup", "size"), n_dup=("dup", "sum"))
-        return agg.astype({"doc_id": "int64", "n_shingles": "int64",
-                           "n_dup": "int64"})
+        agg = agg.astype({"doc_id": "int64", "n_shingles": "int64",
+                          "n_dup": "int64"})
+        # pre-shard for the doc-side combine: the second exchange is
+        # the same fixed-width map_groups pattern as the first (a Ray
+        # Sum aggregate over these partials measured ~9x slower than
+        # the shard + bulk-pandas reduction at sf0.1)
+        agg["dshard"] = (agg["doc_id"] & 63).astype("int32")
+        return agg
 
-    def finish(t: pa.Table) -> pa.Table:
-        ns = t.column("n_shingles").to_numpy(zero_copy_only=False)
-        nd = t.column("n_dup").to_numpy(zero_copy_only=False)
-        milli = (1000 * nd) // ns
-        return t.append_column("dup_milli", pa.array(milli, pa.int64()))
+    def doc_combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False)\
+            .agg(n_shingles=("n_shingles", "sum"),
+                 n_dup=("n_dup", "sum"))
+        agg = agg.astype({"doc_id": "int64", "n_shingles": "int64",
+                          "n_dup": "int64"})
+        agg["dup_milli"] = (1000 * agg["n_dup"]
+                            // agg["n_shingles"]).astype("int64")
+        return agg
 
     out = (ds.map_batches(explode, batch_format="pyarrow",
                           **remote_args())
              .groupby("shard")
              .map_groups(shard_partials, batch_format="pandas",
                          **remote_args())
-             .groupby("doc_id")
-             .aggregate(Sum("n_shingles", alias_name="n_shingles"),
-                        Sum("n_dup", alias_name="n_dup"))
-             .map_batches(finish, batch_format="pyarrow",
-                          **remote_args()))
+             .groupby("dshard")
+             .map_groups(doc_combine, batch_format="pandas",
+                         **remote_args()))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
