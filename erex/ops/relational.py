@@ -830,9 +830,12 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
     nat = nat[nat["n_regionkey"].isin(rk)]
     sup = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
-    smap = {int(r.s_suppkey): (int(r.s_nationkey), r.n_name)
-            for r in sup.itertuples()}
-    sref = ray.put(smap)
+    sup = sup.sort_values("s_suppkey")
+    # broadcast as sorted parallel arrays: the lineitem-side probe is
+    # one vectorized searchsorted, never a per-row Python lookup
+    sref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                    sup["s_nationkey"].to_numpy(np.int64),
+                    sup["n_name"].to_numpy(object)))
 
     lo = pa.scalar(np.datetime64(date_from, "us"), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64(date_to, "us"), pa.timestamp("us"))
@@ -854,24 +857,30 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                      right_on=("c_custkey",))
 
     def li_prep(t: pa.Table, _s=sref) -> pa.Table:
-        sm = ray.get(_s)
-        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        hit = np.array([s in sm for s in sk], bool)
+        keys, nks, names = ray.get(_s)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        if len(keys) == 0:
+            hit = np.zeros(len(sk), bool)
+        else:
+            pos = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+            hit = keys[pos] == sk
         t = t.filter(pa.array(hit))
         if len(t) == 0:
             return pa.table({"l_orderkey": pa.array([], pa.int64()),
                              "s_nationkey": pa.array([], pa.int64()),
                              "n_name": pa.array([], pa.string()),
                              "rev_milli": pa.array([], pa.int64())})
-        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        pos = np.searchsorted(keys, sk)
         ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         dc = t.column("l_discount").to_numpy(zero_copy_only=False)
         rev = np.floor(ep * (1.0 - dc) * 1000.0 + 0.5).astype(np.int64)
-        nk = np.array([sm[s][0] for s in sk], np.int64)
-        nm = [sm[s][1] for s in sk]
         return pa.table({"l_orderkey": t.column("l_orderkey"),
-                         "s_nationkey": pa.array(nk),
-                         "n_name": pa.array(nm, pa.string()),
+                         "s_nationkey": pa.array(nks[pos], pa.int64()),
+                         "n_name": pa.array(names[pos].tolist(),
+                                            pa.string()),
                          "rev_milli": pa.array(rev)})
 
     li = rd.read_parquet(
