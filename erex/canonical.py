@@ -96,8 +96,10 @@ ER_MAX_BLOCK = 10_000
 
 
 def _er_norm(surface: str) -> str:
-    import re
-    return " ".join(re.findall(r"[a-z0-9]+", surface.lower()))
+    # the ONE canonical lowercase tokenizer (see erex.ops.text) so ER
+    # normalization can never drift from the dedup/text operators
+    from .ops.text import LOWER_TOKEN_RE
+    return " ".join(LOWER_TOKEN_RE.findall(surface.lower()))
 
 
 def _char3(s: str) -> frozenset:

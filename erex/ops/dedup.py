@@ -968,4 +968,11 @@ def dup_shingle_fraction(sf_dir: str, n: int = 3) -> pd.DataFrame:
              .groupby("dshard")
              .map_groups(doc_combine, batch_format="pandas",
                          **remote_args()))
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = out.to_pandas()
+    if "doc_id" not in df.columns:
+        # no document reached n tokens: all-empty map_groups output is
+        # schema-less — rebuild the typed empty result
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "n_shingles", "n_dup",
+                                       "dup_milli")})
+    return df.sort_values("doc_id").reset_index(drop=True)

@@ -28,6 +28,31 @@ import ray.data as rd
 from .._env import remote_args
 
 
+def _lang_checksum_partial(t: pa.Table, with_chars: bool) -> pa.Table:
+    """Per-batch (lang -> count, [sum_chars,] sum of 32-bit md5 text
+    checksums) partial — THE certify reduce shared by every
+    round-trip/rewrite operator in this module, so the two sinks can
+    never silently diverge."""
+    langs = t.column("lang").to_pylist()
+    texts = t.column("text").to_pylist()
+    nch = t.column("n_chars").to_pylist() if with_chars \
+        else [0] * len(langs)
+    agg: dict = {}
+    for lg, x, c in zip(langs, texts, nch):
+        cs = int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+        n, s, k = agg.get(lg, (0, 0, 0))
+        agg[lg] = (n + 1, s + int(c), k + cs)
+    cols = {"lang": pa.array(list(agg.keys()), pa.string()),
+            "n_docs": pa.array([v[0] for v in agg.values()],
+                               pa.int64())}
+    if with_chars:
+        cols["sum_chars"] = pa.array([v[1] for v in agg.values()],
+                                     pa.int64())
+    cols["checksum"] = pa.array([v[2] for v in agg.values()],
+                                pa.int64())
+    return pa.table(cols)
+
+
 def documents_jsonl_stats(sf_dir: str,
                           out_dir: str | None = None) -> pd.DataFrame:
     """Write the documents table to sharded JSONL, read it back, and
@@ -50,22 +75,7 @@ def documents_jsonl_stats(sf_dir: str,
         back = rd.read_json(out_dir)
 
         def partial(t: pa.Table) -> pa.Table:
-            langs = t.column("lang").to_pylist()
-            texts = t.column("text").to_pylist()
-            nch = t.column("n_chars").to_pylist()
-            agg: dict = {}
-            for lg, x, c in zip(langs, texts, nch):
-                cs = int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
-                n, s, k = agg.get(lg, (0, 0, 0))
-                agg[lg] = (n + 1, s + int(c), k + cs)
-            return pa.table({
-                "lang": pa.array(list(agg.keys()), pa.string()),
-                "n_docs": pa.array([v[0] for v in agg.values()],
-                                   pa.int64()),
-                "sum_chars": pa.array([v[1] for v in agg.values()],
-                                      pa.int64()),
-                "checksum": pa.array([v[2] for v in agg.values()],
-                                     pa.int64())})
+            return _lang_checksum_partial(t, with_chars=True)
 
         res = (back.map_batches(partial, batch_format="pyarrow",
                                 **remote_args())
@@ -107,19 +117,7 @@ def compact_parquet(sf_dir: str, out_dir: str | None = None,
         back = rd.read_parquet(out_dir)
 
         def partial(t: pa.Table) -> pa.Table:
-            langs = t.column("lang").to_pylist()
-            texts = t.column("text").to_pylist()
-            agg: dict = {}
-            for lg, x in zip(langs, texts):
-                cs = int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
-                n, k = agg.get(lg, (0, 0))
-                agg[lg] = (n + 1, k + cs)
-            return pa.table({
-                "lang": pa.array(list(agg.keys()), pa.string()),
-                "n_docs": pa.array([v[0] for v in agg.values()],
-                                   pa.int64()),
-                "checksum": pa.array([v[1] for v in agg.values()],
-                                     pa.int64())})
+            return _lang_checksum_partial(t, with_chars=False)
 
         out = (back.map_batches(partial, batch_format="pyarrow",
                                 **remote_args())

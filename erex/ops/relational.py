@@ -730,8 +730,14 @@ def q_order_gaps(sf_dir: str) -> pd.DataFrame:
     out = (ds.map_batches(prep, batch_format="pyarrow", **remote_args())
              .groupby("cshard")
              .map_groups(gaps, batch_format="pandas", **remote_args()))
-    return out.to_pandas().sort_values("o_custkey")\
-        .reset_index(drop=True)
+    df = out.to_pandas()
+    if "o_custkey" not in df.columns:
+        # all shards empty (no customer with 2+ orders) surfaces as a
+        # schema-less frame — rebuild the typed empty result
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("o_custkey", "n_gaps",
+                                       "sum_gap_sec", "max_gap_sec")})
+    return df.sort_values("o_custkey").reset_index(drop=True)
 
 
 def q_hopping_window(sf_dir: str, width_hours: int = 3) -> pd.DataFrame:

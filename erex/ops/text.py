@@ -1366,7 +1366,8 @@ def dq_checks(sf_dir: str) -> pd.DataFrame:
     inventory, n_chars == length(text). Returns
     (check_name, n_rows, n_fail) ordered by check_name."""
     from ray.data.aggregate import Sum
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "n_chars"])
     langs = {"en", "de", "es", "fr", "zh"}
 
     def partial(t: pa.Table) -> pa.Table:

@@ -870,11 +870,24 @@ def run_flagship_resumable(corpus_path: str, out_dir: str,
 
 def read_lineage(out_dir: str) -> "list[dict]":
     """The run's per-partition lineage: one manifest record per
-    completed fragment (fragment path, frag_id, rows written)."""
+    completed fragment (fragment path, frag_id, rows written).
+    Manifests written before the rows field existed are backfilled
+    lazily from the partition's parquet footers (reruns skip
+    completed fragments, so old records are a supported state)."""
+    import pyarrow.parquet as pq
     man_dir = os.path.join(out_dir, "_manifest")
     out = []
     for f in sorted(os.listdir(man_dir)):
-        if f.endswith(".json"):
-            with open(os.path.join(man_dir, f)) as fh:
-                out.append(json.load(fh))
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(man_dir, f)) as fh:
+            rec = json.load(fh)
+        if "rows" not in rec:
+            part_dir = os.path.join(out_dir, "frag=" + rec["frag_id"])
+            rec["rows"] = sum(
+                pq.read_metadata(os.path.join(part_dir, p)).num_rows
+                for p in os.listdir(part_dir)
+                if p.endswith(".parquet")) \
+                if os.path.isdir(part_dir) else 0
+        out.append(rec)
     return out

@@ -283,3 +283,22 @@ def test_merge_invariant_under_doc_aligned_splits():
         a = whole[key].sort_values(key).reset_index(drop=True)
         b = got[key].sort_values(key).reset_index(drop=True)
         assert a.equals(b), f"split {split_at} diverged"
+
+
+def test_read_lineage_backfills_legacy_manifests(corpus, tmp_path):
+    """Manifests written before the rows field are backfilled from the
+    partition's parquet footers (old checkpoints are a supported
+    state)."""
+    import json
+    from erex.pipeline import read_lineage, run_flagship_resumable
+    out = tmp_path / "edges"
+    run_flagship_resumable(corpus, str(out))
+    recs = read_lineage(str(out))
+    assert all(r["rows"] > 0 for r in recs)
+    # strip the rows field as a pre-change manifest would have it
+    man = next((out / "_manifest").glob("*.json"))
+    legacy = json.loads(man.read_text())
+    legacy.pop("rows")
+    man.write_text(json.dumps(legacy))
+    recs2 = read_lineage(str(out))
+    assert recs2 == recs
