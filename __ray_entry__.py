@@ -622,6 +622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # compiled-reference parity, not SQL) closes the list.
     return {
         # --- round-4 additions: need their first driver row ----------
+        "token_budget_select": text.token_budget_select,
+        "source_cap_sample": text.source_cap_sample,
+        "embedding_outliers": similarity.embedding_outliers,
         "semantic_dedup": similarity.semantic_dedup,
         "embedding_clusters": similarity.embedding_clusters,
         "source_overlap": dedup.source_overlap,
@@ -1450,7 +1453,68 @@ def oracle_sql() -> dict[str, str]:
         "SELECT variant, label_in, CASE %s END AS label_out "
         "FROM inp ORDER BY variant, label_in" % (_vals, _branches))
 
+    # quality_milli = round-half-up(1000 * alpha_chars / max(1, chars)),
+    # the shared scoring kernel (erex.ops.text.quality_milli)
+    _qm = ("CAST((1000 * len(regexp_extract_all(text, '[A-Za-z]')))"
+           " // GREATEST(1, length(text))"
+           " + CASE WHEN ((1000 * len(regexp_extract_all(text,"
+           " '[A-Za-z]'))) % GREATEST(1, length(text))) * 2"
+           " >= GREATEST(1, length(text)) THEN 1 ELSE 0 END AS BIGINT)")
+
     return {
+        "token_budget_select": f"""
+            WITH s AS (SELECT doc_id,
+                         CAST(len(regexp_extract_all(text,
+                             '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                         {_qm} AS quality_milli
+                       FROM documents),
+            c AS (SELECT *, SUM(n_tokens) OVER (
+                      ORDER BY quality_milli DESC, doc_id) AS cum
+                  FROM s),
+            t AS (SELECT CAST(SUM(n_tokens) AS HUGEINT) tot FROM s)
+            SELECT doc_id, quality_milli, n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c, t WHERE cum <= tot * 250 // 1000
+            ORDER BY doc_id
+        """,
+        "source_cap_sample": """
+            WITH h AS (SELECT doc_id, source,
+                         CAST(CAST(concat('0x', substr(md5(CAST(doc_id
+                             AS VARCHAR)), 1, 8)) AS UBIGINT)
+                             AS BIGINT) AS hash32
+                       FROM documents),
+            r AS (SELECT source, doc_id, hash32,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY hash32, doc_id) AS rk
+                  FROM h)
+            SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, hash32
+            FROM r WHERE rk <= 10 ORDER BY source, rank
+        """,
+        "embedding_outliers": """
+            WITH q AS (SELECT vec_id, i - 1 AS dim,
+                         CAST(FLOOR(CAST(v AS DOUBLE) * 1000 + 0.5)
+                              AS BIGINT) AS qv
+                       FROM (SELECT vec_id, unnest(embedding) AS v,
+                                    unnest(range(1, len(embedding) + 1))
+                                        AS i
+                             FROM embeddings)),
+            s AS (SELECT dim, CAST(SUM(qv) AS BIGINT) AS sq
+                  FROM q GROUP BY dim),
+            n AS (SELECT COUNT(*) AS c FROM embeddings),
+            cen AS (SELECT dim, CAST(FLOOR(CAST(sq AS DOUBLE)
+                        / (SELECT c FROM n)) AS BIGINT) AS cv
+                    FROM s),
+            d AS (SELECT q.vec_id,
+                         CAST(SUM((q.qv - cen.cv) * (q.qv - cen.cv))
+                              AS BIGINT) AS dist2_kilo
+                  FROM q JOIN cen ON cen.dim = q.dim
+                  GROUP BY q.vec_id),
+            m AS (SELECT CAST(SUM(dist2_kilo) AS HUGEINT)
+                             // COUNT(*) AS mean_d2 FROM d)
+            SELECT vec_id, dist2_kilo,
+                   dist2_kilo > (SELECT mean_d2 FROM m) AS is_outlier
+            FROM d ORDER BY vec_id
+        """,
         "label_collapse_variants": collapse_sql,
         "label_inverse_map": _label_inverse_sql(),
         # S1/S2 parse-stage structural check: recompute per-doc totals

@@ -680,3 +680,82 @@ def embedding_clusters(sf_dir: str, n_lists: int = 16) -> pd.DataFrame:
     return ds.map_batches(assign, batch_format="pyarrow",
                           **remote_args())\
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+# |kilo-quantized component| ceiling for the integer-exact outlier op:
+# keeps every (q - c)^2 sum far inside int64 whatever the corpus size
+_OUTLIER_MAX_ABS_Q = 1_000_000
+
+
+def embedding_outliers(sf_dir: str) -> pd.DataFrame:
+    """Centroid-distance outlier scoring — the embedding-space quality
+    filter that drops documents far from the corpus manifold. All
+    arithmetic is integer and order-independent so the SQL oracle
+    matches exactly AND the result is invariant to block layout:
+    components are kilo-quantized (q = floor(1000*v + 0.5)), the global
+    centroid is per-dim integer sums (a dim-sized partial per block,
+    combined on the driver) floored to c = floor(S/n), and the score is
+    dist2_kilo = sum_i (q_i - c_i)^2 — bounded by dims * (2*max|q|)^2
+    independent of corpus size, so it never overflows at scale (the
+    n-scaled alternative would). is_outlier compares each doc against
+    the floored corpus mean distance. Three streaming passes, no
+    shuffle; the only driver state is dim-sized and block-count-sized
+    partials. Returns (vec_id, dist2_kilo, is_outlier) by vec_id."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+
+    def quant(t: pa.Table) -> np.ndarray:
+        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        q = np.floor(1000.0 * X + 0.5).astype(np.int64)
+        if np.abs(q).max(initial=0) > _OUTLIER_MAX_ABS_Q:
+            raise ValueError(
+                "embedding components exceed the integer-exact outlier "
+                "domain (|1000*v| > 1e6); rescale the embeddings")
+        return q
+
+    def dim_sums(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        q = quant(t)
+        return pa.table({"dim": pa.array(np.arange(q.shape[1]),
+                                         pa.int64()),
+                         "s": pa.array(q.sum(axis=0), pa.int64()),
+                         "n": pa.array(np.full(q.shape[1], len(q)),
+                                       pa.int64())})
+
+    parts = ds.map_batches(dim_sums, batch_format="pyarrow",
+                           **remote_args()).to_pandas()
+    agg = parts.groupby("dim", sort=True).agg(s=("s", "sum"),
+                                              n=("n", "sum"))
+    n_vecs = int(agg["n"].iloc[0])
+    # floor(S/n) via float division: |S| <= n * max|q| stays far below
+    # 2^53 under the _OUTLIER_MAX_ABS_Q guard, so the double is exact
+    # and FLOOR matches both Python // and the SQL oracle's FLOOR
+    centroid = np.floor(agg["s"].to_numpy(np.float64)
+                        / n_vecs).astype(np.int64)
+    c_ref = ray.put(centroid)
+
+    def dist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dist2_kilo": pa.array([], pa.int64())})
+        d = quant(t) - ray.get(c_ref)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "dist2_kilo": pa.array(
+                             (d * d).sum(axis=1), pa.int64())})
+
+    scored = ds.map_batches(dist, batch_format="pyarrow",
+                            **remote_args()).materialize()
+    tot = scored.sum("dist2_kilo")
+    mean_d2 = int(tot) // n_vecs
+
+    def flag(t: pa.Table) -> pa.Table:
+        d2 = t.column("dist2_kilo")
+        return t.append_column(
+            "is_outlier", pa.compute.greater(d2, mean_d2))
+
+    return scored.map_batches(flag, batch_format="pyarrow",
+                              **remote_args()).to_pandas()\
+        .sort_values("vec_id").reset_index(drop=True)

@@ -1404,3 +1404,135 @@ def dq_checks(sf_dir: str) -> pd.DataFrame:
                       Sum("n_fail", alias_name="n_fail")))
     return out.to_pandas().sort_values("check_name")\
         .reset_index(drop=True)
+
+
+BUDGET_PERMILLE = 250
+
+
+def token_budget_select(sf_dir: str,
+                        budget_permille: int = BUDGET_PERMILLE
+                        ) -> pd.DataFrame:
+    """Token-budget curation: order the corpus by quality (quality_milli
+    DESC, doc_id ASC) and keep the best documents until the cumulative
+    token count reaches `budget_permille`/1000 of the corpus total —
+    the "take the best N tokens" selection step of a pretraining-data
+    pipeline. Distributed shape: one metadata pass shrinks each doc to
+    three ints, a single sort is the only exchange, and the cumulative
+    sum is the same two-pass distributed prefix scan as sequence_pack
+    (per-block partials -> driver prefix over block-count-sized list ->
+    broadcast offsets). The budget itself falls out of the pass-1
+    partials for free. Returns (doc_id, quality_milli, n_tokens,
+    cum_tokens) for the selected docs, ordered by doc_id; cum_tokens is
+    the inclusive cumulative sum in global quality order."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def meta(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = [len(TOKEN_RE.findall(x)) for x in texts]
+        q = [quality_milli(x) for x in texts]
+        # negated quality so one ascending multi-key sort gives the
+        # (quality DESC, doc_id ASC) curation order
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "quality_milli": pa.array(q, pa.int64()),
+                         "neg_q": pa.array([-v for v in q], pa.int64())})
+
+    ordered = ds.map_batches(meta, batch_format="pyarrow",
+                             **remote_args())\
+        .sort(["neg_q", "doc_id"]).materialize()
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_doc": pa.array([], pa.int64()),
+                             "first_negq": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "first_doc": pa.array([t.column("doc_id")[0].as_py()],
+                                  pa.int64()),
+            "first_negq": pa.array([t.column("neg_q")[0].as_py()],
+                                   pa.int64()),
+            "n": pa.array([int(pa.compute.sum(
+                t.column("n_tokens")).as_py())], pa.int64())})
+
+    parts = ordered.map_batches(block_sum, batch_format="pyarrow",
+                                batch_size=None, **remote_args())\
+        .to_pandas().sort_values(["first_negq", "first_doc"])\
+        .reset_index(drop=True)
+    total = int(parts["n"].sum())
+    budget = total * int(budget_permille) // 1000
+    starts = dict(zip(parts["first_doc"].astype(int),
+                      np.concatenate([[0], parts["n"].to_numpy()
+                                      .cumsum()[:-1]]).astype(int)))
+
+    def select(t: pa.Table) -> pa.Table:
+        cols = ("doc_id", "quality_milli", "n_tokens", "cum_tokens")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ids = t.column("doc_id").to_pylist()
+        if ids[0] not in starts:
+            # same block-stability contract as sequence_pack: both
+            # passes map the one materialized sorted dataset with
+            # batch_size=None, so pass-2 batches must start on pass-1
+            # block boundaries — fail loudly if Ray ever re-chunks
+            raise RuntimeError(
+                f"token_budget_select pass-2 batch starts at doc "
+                f"{ids[0]}, not a pass-1 block boundary")
+        n = t.column("n_tokens").to_numpy()
+        cum = starts[ids[0]] + n.cumsum()
+        keep = cum <= budget
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "quality_milli": t.column("quality_milli"),
+                        "n_tokens": t.column("n_tokens"),
+                        "cum_tokens": pa.array(cum, pa.int64())})
+        return out.filter(pa.array(keep, pa.bool_()))
+
+    return ordered.map_batches(select, batch_format="pyarrow",
+                               batch_size=None, **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SOURCE_CAP = 10
+
+
+def source_cap_sample(sf_dir: str, cap: int = SOURCE_CAP) -> pd.DataFrame:
+    """Per-source quota sampling: keep at most `cap` documents per
+    source, chosen by a deterministic md5(doc_id) order (the same
+    uniform 32-bit key as hash_sample) so the quota sample is
+    reproducible across runs and machines — the domain-balancing step
+    that stops one crawl domain from dominating a pretraining mix.
+    Distributed shape: each batch pre-prunes to its own per-source
+    top-`cap` (so the exchange carries <= cap rows per (source, block)),
+    then source-hash shards finish the selection in one bulk pandas
+    pass per shard — no per-source tiny-group pathology at web-scale
+    domain counts. Returns (source, rank, doc_id, hash32) ordered by
+    (source, rank)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hash32"] = [
+            int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+            for d in df["doc_id"]]
+        df = df.sort_values(["source", "hash32", "doc_id"])\
+            .groupby("source", sort=False).head(cap)
+        df["sshard"] = [stable_shard64(s) for s in df["source"]]
+        # strip the pandas schema metadata: its dict payload defeats
+        # Ray's schema-dedup hash in the groupby exchange (log spam)
+        return pa.Table.from_pandas(df, preserve_index=False)\
+            .replace_schema_metadata(None)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "hash32", "doc_id"])
+        g = g.groupby("source", sort=False).head(cap).copy()
+        g["rank"] = g.groupby("source", sort=False).cumcount() + 1
+        return g[["source", "rank", "doc_id", "hash32"]].astype(
+            {"rank": "int64", "doc_id": "int64", "hash32": "int64"})
+
+    return (ds.map_batches(prune, batch_format="pyarrow",
+                           **remote_args())
+            .groupby("sshard")
+            .map_groups(pick, batch_format="pandas", **remote_args())
+            .to_pandas().sort_values(["source", "rank"])
+            .reset_index(drop=True))

@@ -1534,3 +1534,70 @@ def test_compact_parquet_lossless(ray_session, tmp_path):
     assert got == {lg: (int(r.n_docs), int(r.checksum))
                    for lg, r in ref.iterrows()}
     assert (out["n_files"] <= 3).all()
+
+
+def test_token_budget_select_matches_serial(ray_session):
+    """Selection equals the serial quality-ordered greedy prefix and is
+    maximal: the next doc in quality order would bust the budget."""
+    from erex.ops.text import TOKEN_RE, quality_milli, token_budget_select
+    out = token_budget_select(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs["n_tokens"] = [len(TOKEN_RE.findall(t)) for t in docs["text"]]
+    docs["quality_milli"] = [quality_milli(t) for t in docs["text"]]
+    docs = docs.sort_values(["quality_milli", "doc_id"],
+                            ascending=[False, True]).reset_index(drop=True)
+    docs["cum_tokens"] = docs["n_tokens"].cumsum()
+    budget = int(docs["n_tokens"].sum()) * 250 // 1000
+    ref = docs[docs["cum_tokens"] <= budget]\
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == list(ref["doc_id"])
+    assert list(out["cum_tokens"]) == list(ref["cum_tokens"])
+    assert list(out["quality_milli"]) == list(ref["quality_milli"])
+    # maximal prefix: adding the first excluded doc would exceed budget
+    excluded = docs[docs["cum_tokens"] > budget]
+    if len(excluded):
+        assert int(excluded["cum_tokens"].iloc[0]) > budget
+    assert int(out["n_tokens"].sum()) <= budget
+
+
+def test_source_cap_sample_matches_serial(ray_session):
+    """Per-source quota equals the serial md5-ordered head(cap); every
+    source is capped and ranks are 1..n within each source."""
+    from erex.ops.text import source_cap_sample
+    cap = 3
+    out = source_cap_sample(SF, cap=cap)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source"])
+    docs["hash32"] = docs["doc_id"].map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16))
+    ref = docs.sort_values(["source", "hash32", "doc_id"])\
+        .groupby("source", sort=False).head(cap)
+    ref = ref.sort_values(["source", "hash32", "doc_id"])
+    ref["rank"] = ref.groupby("source", sort=False).cumcount() + 1
+    ref = ref.sort_values(["source", "rank"]).reset_index(drop=True)
+    assert list(out["doc_id"]) == list(ref["doc_id"])
+    assert list(out["rank"]) == list(ref["rank"])
+    assert list(out["hash32"]) == list(ref["hash32"])
+    assert out.groupby("source")["rank"].max().le(cap).all()
+
+
+def test_embedding_outliers_matches_serial(ray_session):
+    """Integer kilo-quantized centroid distance and mean-rule flag
+    equal a numpy recount; scores are block-layout invariant by
+    construction (pure integer sums)."""
+    from erex.ops.similarity import embedding_outliers
+    out = embedding_outliers(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(1000.0 * X + 0.5).astype(np.int64)
+    c = np.floor(q.sum(axis=0) / len(q)).astype(np.int64)
+    d2 = ((q - c) ** 2).sum(axis=1)
+    ref = pd.DataFrame({"vec_id": emb["vec_id"], "dist2_kilo": d2})\
+        .sort_values("vec_id").reset_index(drop=True)
+    mean_d2 = int(d2.sum()) // len(q)
+    assert list(out["vec_id"]) == list(ref["vec_id"])
+    assert list(out["dist2_kilo"]) == list(ref["dist2_kilo"])
+    assert list(out["is_outlier"]) == list(ref["dist2_kilo"] > mean_d2)
+    assert out["is_outlier"].any() and not out["is_outlier"].all()
