@@ -113,6 +113,10 @@ def run_bench() -> None:
     timed("q5_local_supplier_volume", relational.q5_local_supplier_volume)
     timed("histogram_quantiles", sketch.histogram_quantiles)
     timed("dup_shingle_fraction", dedup.dup_shingle_fraction)
+    # final round-4 batch: quality-ordered budget curation (sorted
+    # prefix scan) and the integer-exact embedding outlier filter
+    timed("token_budget_select", text.token_budget_select)
+    timed("embedding_outliers", similarity.embedding_outliers)
 
     print(json.dumps({
         "metric": "catena_flagship", "value": round(headline, 3),
