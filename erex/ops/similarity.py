@@ -696,11 +696,14 @@ def embedding_outliers(sf_dir: str) -> pd.DataFrame:
     centroid is per-dim integer sums (a dim-sized partial per block,
     combined on the driver) floored to c = floor(S/n), and the score is
     dist2_kilo = sum_i (q_i - c_i)^2 — bounded by dims * (2*max|q|)^2
-    independent of corpus size, so it never overflows at scale (the
-    n-scaled alternative would). is_outlier compares each doc against
-    the floored corpus mean distance. Three streaming passes, no
-    shuffle; the only driver state is dim-sized and block-count-sized
-    partials. Returns (vec_id, dist2_kilo, is_outlier) by vec_id."""
+    independent of corpus size, so the per-row score never overflows at
+    scale. The corpus-TOTAL distance (which IS n-scaled) is accumulated
+    exactly via hi/lo-split per-block partials combined with unbounded
+    Python ints on the driver — mirroring the oracle's HUGEINT sum.
+    is_outlier compares each doc against the floored corpus mean
+    distance. Three streaming passes, no shuffle; the only driver state
+    is dim-sized and block-count-sized partials. Returns
+    (vec_id, dist2_kilo, is_outlier) by vec_id."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).materialize()
 
@@ -748,14 +751,30 @@ def embedding_outliers(sf_dir: str) -> pd.DataFrame:
 
     scored = ds.map_batches(dist, batch_format="pyarrow",
                             **remote_args()).materialize()
-    tot = scored.sum("dist2_kilo")
-    mean_d2 = int(tot) // n_vecs
 
-    def flag(t: pa.Table) -> pa.Table:
-        d2 = t.column("dist2_kilo")
-        return t.append_column(
-            "is_outlier", pa.compute.greater(d2, mean_d2))
+    # exact n-scaled total: per-row dist2 <= dims*(2*max|q|)^2 ~ 3e15,
+    # so a plain int64 Sum over a web corpus would wrap; split each row
+    # into (d2 >> 30, d2 & (2^30-1)) so per-block partials stay small,
+    # then recombine the block partials with unbounded Python ints
+    def block_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"hi": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64())})
+        d2 = t.column("dist2_kilo").to_numpy()
+        return pa.table({"hi": pa.array([int((d2 >> 30).sum())],
+                                        pa.int64()),
+                         "lo": pa.array([int((d2 & ((1 << 30) - 1))
+                                             .sum())], pa.int64())})
 
-    return scored.map_batches(flag, batch_format="pyarrow",
-                              **remote_args()).to_pandas()\
-        .sort_values("vec_id").reset_index(drop=True)
+    parts2 = scored.map_batches(block_sum, batch_format="pyarrow",
+                                **remote_args()).to_pandas()
+    tot = (sum(int(v) for v in parts2["hi"]) * (1 << 30)
+           + sum(int(v) for v in parts2["lo"]))
+    mean_d2 = tot // n_vecs
+
+    # the queries() contract collects to pandas anyway, so apply the
+    # scalar threshold on the collected frame; at scale this is one
+    # more map_batches over `scored` with mean_d2 broadcast
+    df = scored.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    df["is_outlier"] = df["dist2_kilo"] > mean_d2
+    return df

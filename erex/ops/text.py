@@ -1431,33 +1431,32 @@ def token_budget_select(sf_dir: str,
         texts = t.column("text").to_pylist()
         n = [len(TOKEN_RE.findall(x)) for x in texts]
         q = [quality_milli(x) for x in texts]
-        # negated quality so one ascending multi-key sort gives the
-        # (quality DESC, doc_id ASC) curation order
         return pa.table({"doc_id": t.column("doc_id"),
                          "n_tokens": pa.array(n, pa.int64()),
-                         "quality_milli": pa.array(q, pa.int64()),
-                         "neg_q": pa.array([-v for v in q], pa.int64())})
+                         "quality_milli": pa.array(q, pa.int64())})
 
     ordered = ds.map_batches(meta, batch_format="pyarrow",
                              **remote_args())\
-        .sort(["neg_q", "doc_id"]).materialize()
+        .sort(["quality_milli", "doc_id"],
+              descending=[True, False]).materialize()
 
     def block_sum(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"first_doc": pa.array([], pa.int64()),
-                             "first_negq": pa.array([], pa.int64()),
+                             "first_q": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         return pa.table({
             "first_doc": pa.array([t.column("doc_id")[0].as_py()],
                                   pa.int64()),
-            "first_negq": pa.array([t.column("neg_q")[0].as_py()],
-                                   pa.int64()),
+            "first_q": pa.array([t.column("quality_milli")[0].as_py()],
+                                pa.int64()),
             "n": pa.array([int(pa.compute.sum(
                 t.column("n_tokens")).as_py())], pa.int64())})
 
     parts = ordered.map_batches(block_sum, batch_format="pyarrow",
                                 batch_size=None, **remote_args())\
-        .to_pandas().sort_values(["first_negq", "first_doc"])\
+        .to_pandas().sort_values(["first_q", "first_doc"],
+                                 ascending=[False, True])\
         .reset_index(drop=True)
     total = int(parts["n"].sum())
     budget = total * int(budget_permille) // 1000
@@ -1511,6 +1510,14 @@ def source_cap_sample(sf_dir: str, cap: int = SOURCE_CAP) -> pd.DataFrame:
                          columns=["doc_id", "source"])
 
     def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # typed-empty rebuild: list-comp assignment on an empty
+            # frame would yield (source: null, hash32/sshard: double)
+            # and break the groupby exchange's schema agreement
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "hash32": pa.array([], pa.int64()),
+                             "sshard": pa.array([], pa.int64())})
         df = t.to_pandas()
         df["hash32"] = [
             int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
