@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # compiled-reference parity, not SQL) closes the list.
     return {
         # --- round-4 additions: need their first driver row ----------
+        "dup_span_mask": dedup.dup_span_mask,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -1723,6 +1724,42 @@ def oracle_sql() -> dict[str, str]:
             FROM p i JOIN p s ON s.pre = i.pre
             WHERE i.doc_id % 2 = 1 AND s.doc_id % 2 = 0
             GROUP BY i.doc_id ORDER BY i.doc_id
+        """,
+        # exact-substring span masking: identical md5>>1 k-gram hashes
+        # (collisions mirrored), global occurrence count > 1 marks a
+        # position, windows merged when gap <= k (LAG/SUM(b) replica of
+        # the engine's shift/cumsum merge)
+        "dup_span_mask": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            kg AS (
+                SELECT doc_id, i - 1 AS pos,
+                       CAST(CAST(concat('0x', substr(md5(
+                            array_to_string(ws[i:i+7], ' ')), 1, 16))
+                            AS UBIGINT) >> 1 AS BIGINT) AS h
+                FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
+                WHERE len(ws) >= 8),
+            dup AS (
+                SELECT doc_id, pos FROM kg
+                WHERE h IN (SELECT h FROM kg GROUP BY h
+                            HAVING COUNT(*) > 1)),
+            brk AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - LAG(pos) OVER w > 8 OR
+                                 LAG(pos) OVER w IS NULL THEN 1 ELSE 0
+                       END AS b
+                FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            grp AS (
+                SELECT doc_id, pos,
+                       SUM(b) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS g
+                FROM brk)
+            SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_pos
+            FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
         """,
         "dup_shingle_fraction": """
             WITH toks AS (

@@ -976,3 +976,80 @@ def dup_shingle_fraction(sf_dir: str, n: int = 3) -> pd.DataFrame:
                              for c in ("doc_id", "n_shingles", "n_dup",
                                        "dup_milli")})
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def dup_span_mask(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Exact-substring duplicate-span masking (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    transform, at word granularity): every token position whose
+    k-gram occurs more than once ANYWHERE in the corpus is marked
+    duplicated, and per document the marked [p, p+k-1] windows are
+    merged into maximal spans — the mask a downstream pass would cut
+    out of the training text. Shape for scale: positions explode to
+    (doc_id, pos, h64) where h64 is a 63-bit md5 of the k-gram (the
+    SQL oracle hashes identically, so even a collision is mirrored);
+    a k-gram's every occurrence lands in ONE hash shard, so the
+    global count is shard-local — one exchange filters dup positions,
+    a second doc-shard exchange merges windows with a bulk vectorized
+    scan (no per-doc tiny groups). At extreme scale the 40-byte
+    shingle never ships — only 12 bytes per position. Returns
+    (doc_id, span_start, span_end, n_dup_pos) with token-index spans
+    inclusive, ordered by (doc_id, span_start); docs with no
+    duplicated k-gram emit nothing."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, poss, hs = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = _tokens(x)
+            for p in range(len(toks) - k + 1):
+                kg = " ".join(toks[p:p + k])
+                ids.append(d)
+                poss.append(p)
+                hs.append(int(hashlib.md5(kg.encode())
+                              .hexdigest()[:16], 16) >> 1)
+        h = np.asarray(hs, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "h": pa.array(h, pa.int64()),
+                         "hshard": pa.array(h & 63, pa.int32())})
+
+    def shard_filter(g: pd.DataFrame) -> pd.DataFrame:
+        # every occurrence of a k-gram hash is in this shard, so the
+        # within-shard count IS the global occurrence count
+        dup = g.groupby("h")["pos"].transform("size") > 1
+        out = g.loc[dup, ["doc_id", "pos"]].astype("int64")
+        out["dshard"] = (out["doc_id"] & 63).astype("int32")
+        return out
+
+    def span_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        brk = (g["doc_id"].ne(g["doc_id"].shift())
+               | (g["pos"] - g["pos"].shift() > k))
+        gid = brk.cumsum()
+        out = g.groupby(gid, sort=False).agg(
+            doc_id=("doc_id", "first"), span_start=("pos", "min"),
+            span_end=("pos", "max"), n_dup_pos=("pos", "size"))
+        out["span_end"] += k - 1
+        return out.astype({"doc_id": "int64", "span_start": "int64",
+                           "span_end": "int64", "n_dup_pos": "int64"})
+
+    df = (ds.map_batches(explode, batch_format="pyarrow",
+                         **remote_args())
+            .groupby("hshard")
+            .map_groups(shard_filter, batch_format="pandas",
+                        **remote_args())
+            .groupby("dshard")
+            .map_groups(span_merge, batch_format="pandas",
+                        **remote_args())
+            .to_pandas())
+    if "doc_id" not in df.columns:
+        # zero duplicated k-grams: all-empty map_groups output is
+        # schema-less — rebuild the typed empty result
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "span_start",
+                                       "span_end", "n_dup_pos")})
+    return df[["doc_id", "span_start", "span_end", "n_dup_pos"]]\
+        .sort_values(["doc_id", "span_start"]).reset_index(drop=True)

@@ -1374,6 +1374,41 @@ def test_dup_shingle_fraction_matches_serial(ray_session):
     assert got == want
 
 
+def test_dup_span_mask_matches_serial(ray_session):
+    """Sharded exact-substring span masking == serial k-gram counting
+    + interval merge over all documents."""
+    from collections import Counter
+
+    from erex.ops.dedup import _tokens, dup_span_mask
+    k = 8
+    out = dup_span_mask(SF, k=k)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    grams = {}
+    for r in docs.itertuples():
+        toks = _tokens(r.text)
+        grams[int(r.doc_id)] = [" ".join(toks[p:p + k])
+                                for p in range(len(toks) - k + 1)]
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    want = []
+    for d in sorted(grams):
+        dup_pos = [p for p, g in enumerate(grams[d]) if cnt[g] > 1]
+        run = []
+        for p in dup_pos:
+            if run and p - run[-1] <= k:
+                run.append(p)
+            else:
+                if run:
+                    want.append((d, run[0], run[-1] + k - 1, len(run)))
+                run = [p]
+        if run:
+            want.append((d, run[0], run[-1] + k - 1, len(run)))
+    got = [(int(r.doc_id), int(r.span_start), int(r.span_end),
+            int(r.n_dup_pos)) for r in out.itertuples()]
+    assert got == want
+    assert len(got) > 0  # non-trivially exercised at sf0.001
+
+
 def test_q5_matches_duckdb(ray_session):
     """Distributed 6-table Q5 == DuckDB on the same parquet."""
     import duckdb
