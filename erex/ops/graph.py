@@ -98,20 +98,31 @@ def _copurchase_edges(sf_dir: str) -> "rd.Dataset":
 
 def copurchase_degree(sf_dir: str) -> pd.DataFrame:
     """(part, degree) over the distinct co-purchase graph — the edge
-    builder exercised standalone."""
-    from ray.data.aggregate import Count
+    builder exercised standalone. The count avoids Ray's per-key
+    groupby().aggregate (the tiny-group pathology: one group per part)
+    in favor of a coarse node-hash shard + one bulk value_counts per
+    shard — every endpoint copy of a part lands in its shard, so the
+    shard-local count IS the global degree."""
     e = _copurchase_edges(sf_dir)
 
     def both_dirs(t: pa.Table) -> pa.Table:
-        return pa.table({"p": pa.concat_arrays(
-            [t.column("u").combine_chunks(),
-             t.column("v").combine_chunks()])})
+        p = pa.concat_arrays([t.column("u").combine_chunks(),
+                              t.column("v").combine_chunks()])
+        return pa.table({"p": p,
+                         "nshard": pc.cast(pc.bit_wise_and(
+                             p, _N_SHARDS - 1), pa.int32())})
+
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["p"].value_counts(sort=False)
+        return pd.DataFrame({"part": vc.index.to_numpy(np.int64),
+                             "degree": vc.to_numpy(np.int64)})
 
     deg = (e.map_batches(both_dirs, batch_format="pyarrow",
                          **remote_args())
-           .groupby("p").aggregate(Count(alias_name="degree")))
-    return deg.to_pandas().rename(columns={"p": "part"})\
-        .sort_values("part").reset_index(drop=True)
+           .groupby("nshard")
+           .map_groups(count_shard, batch_format="pandas",
+                       **remote_args()))
+    return deg.to_pandas().sort_values("part").reset_index(drop=True)
 
 
 PR_BROADCAST_MAX_NODES = 5_000_000
