@@ -312,16 +312,39 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
         return t.append_column("shard", pa.array(sh))
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b, na, nb = [], [], [], []
-        for (_band, _bucket), sub in g.groupby(["band", "bucket"]):
-            recs = sorted(set(zip(sub["doc_id"], sub["nsh"])))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    a.append(recs[i][0])
-                    b.append(recs[j][0])
-                    na.append(recs[i][1])
-                    nb.append(recs[j][1])
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "na": na, "nb": nb})
+        # vectorized per-bucket pair expansion (a doc emits one row per
+        # band, so (band, bucket, doc) rows are already distinct): one
+        # sort groups collision buckets, then buckets are BATCHED BY
+        # SIZE CLASS — each size-c bucket contributes triu_indices(c)
+        # pairs in a single reshape+take. No Python iteration over the
+        # ~N_BANDS x n_docs singleton buckets.
+        d = g.sort_values(["band", "bucket", "doc_id"])
+        bd = d["band"].to_numpy(np.int64)
+        bk = d["bucket"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, (bd[1:] != bd[:-1])
+                                      | (bk[1:] != bk[:-1])])
+        counts = np.diff(np.r_[starts, len(d)])
+        doc = d["doc_id"].to_numpy(np.int64)
+        nsh = d["nsh"].to_numpy(np.int64)
+        ca, cb, cna, cnb = [], [], [], []
+        for c in np.unique(counts):
+            if c < 2:
+                continue
+            s = starts[counts == c]
+            idx = s[:, None] + np.arange(c)[None, :]
+            md, mn = doc[idx], nsh[idx]
+            iu, ju = np.triu_indices(c, k=1)
+            ca.append(md[:, iu].ravel())
+            cb.append(md[:, ju].ravel())
+            cna.append(mn[:, iu].ravel())
+            cnb.append(mn[:, ju].ravel())
+        if not ca:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("doc_a", "doc_b", "na", "nb")})
+        return pd.DataFrame({"doc_a": np.concatenate(ca),
+                             "doc_b": np.concatenate(cb),
+                             "na": np.concatenate(cna),
+                             "nb": np.concatenate(cnb)}).drop_duplicates()
 
     cand = (buckets.map_batches(add_shard, batch_format="pyarrow", **remote_args())
             .groupby("shard")
