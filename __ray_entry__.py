@@ -646,8 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_join": lambda sf: text.bigram_logprob(
             sf, mode="join"),
         # --- newest families: no driver row yet / new oracle ---------
-        "mm_image_meta": multimodal.image_meta,
-        "mm_frame_sample": multimodal.frame_sample,
+        # (mm_image_meta / mm_frame_sample were hash-green in r1 AND
+        # r2 — they live in the long-green section below to keep the
+        # driver's ~50-row window on never-checked entries)
         "mm_audio_chunks": multimodal.audio_chunks,
         "quality_filter": text.quality_filter,
         "profile_table": relational.profile_table,
@@ -722,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- structural extraction oracle (S11 changed this round) ---
         "timeml_to_columns_stats": _timeml_to_columns_stats,
         # --- hash-green in r3, code unchanged since -------------------
+        "mm_image_meta": multimodal.image_meta,      # green r1+r2
+        "mm_frame_sample": multimodal.frame_sample,  # green r1+r2
         "catena_parse_stats": _catena_parse_stats,
         "label_collapse_variants": _label_collapse_variants,
         "label_inverse_map": _label_inverse_map,

@@ -117,6 +117,8 @@ def run_bench() -> None:
     # prefix scan) and the integer-exact embedding outlier filter
     timed("token_budget_select", text.token_budget_select)
     timed("embedding_outliers", similarity.embedding_outliers)
+    # exact-substring duplicate-span masking (Lee et al. 2022 shape)
+    timed("dup_span_mask", dedup.dup_span_mask)
 
     print(json.dumps({
         "metric": "catena_flagship", "value": round(headline, 3),
