@@ -147,13 +147,23 @@ def heavy_hitter_ngrams(sf_dir: str) -> pd.DataFrame:
         for x in t.column("text").to_pylist():
             ws = _TOK.findall(x.lower())
             c.update(a + " " + b for a, b in zip(ws, ws[1:]))
-        cells: dict = {}
-        for g, k in c.items():
-            for i, col in enumerate(_cms_cols(g)):
-                cell = i * CMS_W + col
-                cells[cell] = cells.get(cell, 0) + k
-        return pa.table({"cell": pa.array(list(cells.keys()), pa.int64()),
-                         "cnt": pa.array(list(cells.values()), pa.int64())})
+        if not c:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        # one md5 per distinct bigram (the oracle pins the hash), then
+        # the D rows' cells and the bincount fold are pure numpy —
+        # a*hv+b < 2^55 so the int64 arithmetic is exact
+        ks = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        hv = (np.fromiter((_h64(g) for g in c), dtype=np.uint64,
+                          count=len(c))
+              % np.uint64(_CMS_P)).astype(np.int64)
+        acc = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        for i in range(CMS_D):
+            cols = (CMS_A[i] * hv + CMS_B[i]) % _CMS_P % CMS_W
+            np.add.at(acc, i * CMS_W + cols, ks)
+        nz = np.nonzero(acc)[0]
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(acc[nz], pa.int64())})
 
     sk_rows = (ds.map_batches(fold, batch_format="pyarrow", **remote_args())
                .groupby("cell").aggregate(Sum("cnt", alias_name="cnt"))
@@ -172,15 +182,20 @@ def heavy_hitter_ngrams(sf_dir: str) -> pd.DataFrame:
         for x in t.column("text").to_pylist():
             ws = _TOK.findall(x.lower())
             seen.update(a + " " + b for a, b in zip(ws, ws[1:]))
-        out_g, out_e = [], []
-        for g in seen:
-            est = min(int(sk[i * CMS_W + col])
-                      for i, col in enumerate(_cms_cols(g)))
-            if est >= threshold:
-                out_g.append(g)
-                out_e.append(est)
-        return pa.table({"ngram": pa.array(out_g, pa.string()),
-                         "est_count": pa.array(out_e, pa.int64())})
+        if not seen:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "est_count": pa.array([], pa.int64())})
+        grams = list(seen)
+        hv = (np.fromiter((_h64(g) for g in grams), dtype=np.uint64,
+                          count=len(grams))
+              % np.uint64(_CMS_P)).astype(np.int64)
+        est = np.min(np.stack(
+            [sk[i * CMS_W + (CMS_A[i] * hv + CMS_B[i]) % _CMS_P % CMS_W]
+             for i in range(CMS_D)]), axis=0)
+        keep = np.nonzero(est >= threshold)[0]
+        return pa.table({"ngram": pa.array([grams[i] for i in keep],
+                                           pa.string()),
+                         "est_count": pa.array(est[keep], pa.int64())})
 
     cand = rd.read_parquet(path, columns=["text"])\
         .map_batches(probe, batch_format="pyarrow", **remote_args())\
