@@ -623,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 additions: need their first driver row ----------
         "dup_span_mask": dedup.dup_span_mask,
+        "dup_span_clean": dedup.dup_span_clean,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -1763,6 +1764,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
                    CAST(COUNT(*) AS BIGINT) AS n_dup_pos
             FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
+        """,
+        # the cleaning report over the same spans: per-doc masked-token
+        # totals left-joined onto the full token counts
+        "dup_span_clean": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            kg AS (
+                SELECT doc_id, i - 1 AS pos,
+                       CAST(CAST(concat('0x', substr(md5(
+                            array_to_string(ws[i:i+7], ' ')), 1, 16))
+                            AS UBIGINT) >> 1 AS BIGINT) AS h
+                FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
+                WHERE len(ws) >= 8),
+            dup AS (
+                SELECT doc_id, pos FROM kg
+                WHERE h IN (SELECT h FROM kg GROUP BY h
+                            HAVING COUNT(*) > 1)),
+            brk AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - LAG(pos) OVER w > 8 OR
+                                 LAG(pos) OVER w IS NULL THEN 1 ELSE 0
+                       END AS b
+                FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            grp AS (
+                SELECT doc_id, pos,
+                       SUM(b) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS g
+                FROM brk),
+            spans AS (
+                SELECT doc_id, MAX(pos) - MIN(pos) + 8 AS length
+                FROM grp GROUP BY doc_id, g),
+            msk AS (SELECT doc_id, SUM(length) AS n_masked
+                    FROM spans GROUP BY doc_id),
+            tokn AS (SELECT doc_id, len(ws) AS n_tokens FROM toks)
+            SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(m.n_masked, 0) AS BIGINT) AS n_masked,
+                   CAST(CASE WHEN t.n_tokens = 0 THEN 1000
+                        ELSE 1000 * (t.n_tokens - COALESCE(m.n_masked, 0))
+                             // t.n_tokens END AS BIGINT) AS kept_milli
+            FROM tokn t LEFT JOIN msk m USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "dup_shingle_fraction": """
             WITH toks AS (

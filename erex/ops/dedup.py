@@ -1001,24 +1001,15 @@ def dup_shingle_fraction(sf_dir: str, n: int = 3) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
-def dup_span_mask(sf_dir: str, k: int = 8) -> pd.DataFrame:
-    """Exact-substring duplicate-span masking (the Lee et al. 2022
-    "Deduplicating Training Data Makes Language Models Better"
-    transform, at word granularity): every token position whose
-    k-gram occurs more than once ANYWHERE in the corpus is marked
-    duplicated, and per document the marked [p, p+k-1] windows are
-    merged into maximal spans — the mask a downstream pass would cut
-    out of the training text. Shape for scale: positions explode to
-    (doc_id, pos, h64) where h64 is a 63-bit md5 of the k-gram (the
-    SQL oracle hashes identically, so even a collision is mirrored);
-    a k-gram's every occurrence lands in ONE hash shard, so the
-    global count is shard-local — one exchange filters dup positions,
-    a second doc-shard exchange merges windows with a bulk vectorized
-    scan (no per-doc tiny groups). At extreme scale the 40-byte
-    shingle never ships — only 12 bytes per position. Returns
-    (doc_id, span_start, span_end, n_dup_pos) with token-index spans
-    inclusive, ordered by (doc_id, span_start); docs with no
-    duplicated k-gram emit nothing."""
+def _dup_positions(sf_dir: str, k: int) -> "rd.Dataset":
+    """Shared stage of the exact-substring dedup family: the Dataset of
+    (doc_id, pos, dshard) token positions whose k-gram occurs more than
+    once anywhere in the corpus. Positions explode to a 63-bit md5 of
+    the k-gram (the SQL oracles hash identically, so even a collision
+    is mirrored); a k-gram's every occurrence lands in ONE hash shard,
+    so the global count is shard-local and only 12 bytes per position
+    ever ride the exchange, never the 40-byte shingle. Output rows
+    carry a doc-hash shard key for the consumer's per-doc pass."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
@@ -1047,6 +1038,31 @@ def dup_span_mask(sf_dir: str, k: int = 8) -> pd.DataFrame:
         out["dshard"] = (out["doc_id"] & 63).astype("int32")
         return out
 
+    return (ds.map_batches(explode, batch_format="pyarrow",
+                           **remote_args())
+            .groupby("hshard")
+            .map_groups(shard_filter, batch_format="pandas",
+                        **remote_args()))
+
+
+def dup_span_mask(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Exact-substring duplicate-span masking (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    transform, at word granularity): every token position whose
+    k-gram occurs more than once ANYWHERE in the corpus is marked
+    duplicated, and per document the marked [p, p+k-1] windows are
+    merged into maximal spans — the mask a downstream pass would cut
+    out of the training text. Shape for scale: positions explode to
+    (doc_id, pos, h64) where h64 is a 63-bit md5 of the k-gram (the
+    SQL oracle hashes identically, so even a collision is mirrored);
+    a k-gram's every occurrence lands in ONE hash shard, so the
+    global count is shard-local — one exchange filters dup positions,
+    a second doc-shard exchange merges windows with a bulk vectorized
+    scan (no per-doc tiny groups). At extreme scale the 40-byte
+    shingle never ships — only 12 bytes per position. Returns
+    (doc_id, span_start, span_end, n_dup_pos) with token-index spans
+    inclusive, ordered by (doc_id, span_start); docs with no
+    duplicated k-gram emit nothing."""
     def span_merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "pos"])
         brk = (g["doc_id"].ne(g["doc_id"].shift())
@@ -1059,15 +1075,11 @@ def dup_span_mask(sf_dir: str, k: int = 8) -> pd.DataFrame:
         return out.astype({"doc_id": "int64", "span_start": "int64",
                            "span_end": "int64", "n_dup_pos": "int64"})
 
-    df = (ds.map_batches(explode, batch_format="pyarrow",
-                         **remote_args())
-            .groupby("hshard")
-            .map_groups(shard_filter, batch_format="pandas",
-                        **remote_args())
-            .groupby("dshard")
-            .map_groups(span_merge, batch_format="pandas",
-                        **remote_args())
-            .to_pandas())
+    df = (_dup_positions(sf_dir, k)
+          .groupby("dshard")
+          .map_groups(span_merge, batch_format="pandas",
+                      **remote_args())
+          .to_pandas())
     if "doc_id" not in df.columns:
         # zero duplicated k-grams: all-empty map_groups output is
         # schema-less — rebuild the typed empty result
@@ -1076,3 +1088,58 @@ def dup_span_mask(sf_dir: str, k: int = 8) -> pd.DataFrame:
                                        "span_end", "n_dup_pos")})
     return df[["doc_id", "span_start", "span_end", "n_dup_pos"]]\
         .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+def dup_span_clean(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """The cleaning step behind dup_span_mask: per document, how many
+    tokens the merged duplicate spans would cut and what fraction
+    survives — the corpus-shrink report a dedup run publishes before
+    anyone commits to it. Masked-token count per doc is the sum of
+    merged-span lengths (spans are maximal, hence disjoint), computed
+    inside the same doc-shard pass that merges them; the per-doc token
+    totals come from one column-pruned counting pass, and the two
+    doc-scale tables meet in a hash-partitioned left join (docs with
+    no duplicated k-gram keep n_masked = 0). Returns
+    (doc_id, n_tokens, n_masked, kept_milli) for EVERY document,
+    kept_milli = floor(1000 * (n_tokens - n_masked) / n_tokens)
+    (1000 for empty docs), ordered by doc_id."""
+
+    def masked_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        brk = (g["doc_id"].ne(g["doc_id"].shift())
+               | (g["pos"] - g["pos"].shift() > k))
+        spans = g.groupby(brk.cumsum(), sort=False).agg(
+            doc_id=("doc_id", "first"), mn=("pos", "min"),
+            mx=("pos", "max"))
+        spans["length"] = spans["mx"] - spans["mn"] + k
+        out = spans.groupby("doc_id", sort=False)["length"].sum()\
+            .reset_index(name="n_masked")
+        return out.astype({"doc_id": "int64", "n_masked": "int64"})
+
+    masked = (_dup_positions(sf_dir, k)
+              .groupby("dshard")
+              .map_groups(masked_per_doc, batch_format="pandas",
+                          **remote_args()))
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = [len(_tokens(x)) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    tok = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])\
+        .map_batches(count_tokens, batch_format="pyarrow",
+                     **remote_args())
+
+    from .._env import drop_schemaless_blocks
+    masked = drop_schemaless_blocks(
+        masked, empty_schema={"doc_id": pa.int64(),
+                              "n_masked": pa.int64()})
+    df = tok.join(masked, "left_outer", 8, on=("doc_id",)).to_pandas()
+    nm = df["n_masked"].fillna(0).astype("int64")
+    nt = df["n_tokens"].astype("int64")
+    kept = np.where(nt > 0, 1000 * (nt - nm) // nt.clip(lower=1), 1000)
+    out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                        "n_tokens": nt, "n_masked": nm,
+                        "kept_milli": kept.astype("int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)

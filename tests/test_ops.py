@@ -1409,6 +1409,29 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_dup_span_clean_consistent_with_mask(ray_session):
+    """Per-doc masked totals == sum of dup_span_mask span lengths;
+    every document appears; kept_milli is the floor millifraction."""
+    from erex.ops.dedup import _tokens, dup_span_clean, dup_span_mask
+    out = dup_span_clean(SF)
+    spans = dup_span_mask(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+    want_masked = spans.assign(
+        length=spans.span_end - spans.span_start + 1)\
+        .groupby("doc_id")["length"].sum()
+    for r in out.itertuples():
+        assert r.n_masked == int(want_masked.get(r.doc_id, 0))
+    tok = {int(r.doc_id): len(_tokens(r.text)) for r in docs.itertuples()}
+    for r in out.itertuples():
+        assert r.n_tokens == tok[r.doc_id]
+        want = 1000 if r.n_tokens == 0 else \
+            1000 * (r.n_tokens - r.n_masked) // r.n_tokens
+        assert r.kept_milli == want
+    assert (out["n_masked"] > 0).any()
+
+
 def test_q5_matches_duckdb(ray_session):
     """Distributed 6-table Q5 == DuckDB on the same parquet."""
     import duckdb
