@@ -624,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 additions: need their first driver row ----------
         "dup_span_mask": dedup.dup_span_mask,
         "dup_span_clean": dedup.dup_span_clean,
+        "event_props_stats": relational.event_props_stats,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -1687,6 +1688,22 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name ORDER BY n_name
+        """,
+        # JSON property extraction: CAST(json_extract AS BIGINT) is
+        # null for absent/malformed k, matching the engine's parse
+        "event_props_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(k) AS BIGINT) AS n_with_k,
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+                   CAST(CASE WHEN COUNT(k) = 0 THEN 0
+                        ELSE 1000 * SUM(k) // COUNT(k) END AS BIGINT)
+                       AS avg_k_milli
+            FROM x GROUP BY event_type ORDER BY event_type
         """,
         "q_funnel": """
             WITH u1 AS (SELECT user_id, MIN(ts) AS t FROM events

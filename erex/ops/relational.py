@@ -966,3 +966,53 @@ def q_funnel(sf_dir: str,
              .aggregate(Max("step_name", alias_name="step_name"),
                         Sum("n_users", alias_name="n_users")))
     return out.to_pandas().sort_values("step").reset_index(drop=True)
+
+
+def event_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured property extraction: `events.props` is a JSON
+    string column (the schema-on-read payload every event stream
+    carries); each batch parses it once, pulls the integer `k`
+    property (absent / malformed -> null, mirroring
+    CAST(json_extract(...) AS BIGINT)), and folds (event_type) partial
+    counts and sums BEFORE the exchange — the only shuffle is the
+    types-scale groupby-sum. JSON parsing is per-row by nature but
+    embarrassingly parallel; nothing row-scale leaves the batch.
+    Returns (event_type, n_events, n_with_k, sum_k, avg_k_milli) with
+    avg_k_milli = floor(1000 * sum_k / n_with_k) over the non-null
+    rows (0 when none; k is non-negative so // == floor), ordered by
+    event_type."""
+    import json
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t.column("props").to_pylist():
+            try:
+                v = json.loads(p).get("k") if p is not None else None
+            except (ValueError, AttributeError):
+                v = None
+            ks.append(v if isinstance(v, int) else None)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "k": pa.array(ks, pa.int64())})
+        agg = g.group_by("event_type").aggregate(
+            [([], "count_all"), ("k", "count"), ("k", "sum")])
+        return agg.rename_columns(["event_type", "n_events",
+                                   "n_with_k", "sum_k"])
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         **remote_args())
+          .groupby("event_type")
+          .aggregate(Sum("n_events", alias_name="n_events"),
+                     Sum("n_with_k", alias_name="n_with_k"),
+                     Sum("sum_k", alias_name="sum_k"))
+          .to_pandas())
+    n = df["n_with_k"].astype("int64")
+    s = df["sum_k"].fillna(0).astype("int64")
+    df["avg_k_milli"] = np.where(n > 0, 1000 * s // n.clip(lower=1),
+                                 0).astype("int64")
+    df = df.astype({"n_events": "int64", "n_with_k": "int64"})
+    df["sum_k"] = s
+    return df[["event_type", "n_events", "n_with_k", "sum_k",
+               "avg_k_milli"]].sort_values("event_type")\
+        .reset_index(drop=True)

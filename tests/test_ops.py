@@ -1409,6 +1409,34 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_event_props_stats_matches_serial(ray_session):
+    """Batch-partial JSON extraction == serial json.loads pass,
+    including null handling for absent/malformed k."""
+    import json
+
+    from erex.ops.relational import event_props_stats
+    out = event_props_stats(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "props"])
+    want = {}
+    for r in ev.itertuples():
+        n, nk, s = want.get(r.event_type, (0, 0, 0))
+        try:
+            v = json.loads(r.props).get("k")
+        except (ValueError, AttributeError):
+            v = None
+        if isinstance(v, int):
+            want[r.event_type] = (n + 1, nk + 1, s + v)
+        else:
+            want[r.event_type] = (n + 1, nk, s)
+    got = {r.event_type: (r.n_events, r.n_with_k, r.sum_k,
+                          r.avg_k_milli) for r in out.itertuples()}
+    for et, (n, nk, s) in want.items():
+        avg = 1000 * s // nk if nk else 0
+        assert got[et] == (n, nk, s, avg)
+    assert set(got) == set(want)
+
+
 def test_dup_span_clean_consistent_with_mask(ray_session):
     """Per-doc masked totals == sum of dup_span_mask span lengths;
     every document appears; kept_milli is the floor millifraction."""
