@@ -625,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_mask": dedup.dup_span_mask,
         "dup_span_clean": dedup.dup_span_clean,
         "event_props_stats": relational.event_props_stats,
+        "hybrid_rrf_topk": similarity.hybrid_rrf_topk,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -892,7 +893,8 @@ _GROUP_QUANTILES_SQL = """
 """
 
 
-def _bm25_sql(query: str = "hash join order", k: int = 10) -> str:
+def _bm25_sql(query: str = "hash join order", k: int = 10,
+              _as_fragment: bool = False) -> str:
     """DuckDB replica of bm25_topk with the engine's exact float64 op
     order: constants injected as repr() round-trip literals (1.2 + 1.0
     is NOT the double 2.2), per-term contributions added left-to-right
@@ -918,8 +920,7 @@ def _bm25_sql(query: str = "hash join order", k: int = 10) -> str:
         f" ELSE 0.0 END)"
         for i in range(len(terms)))
     any_hit = " OR ".join(f"t.tf{i} > 0" for i in range(len(terms)))
-    return f"""
-        WITH toks AS (
+    ctes = f"""toks AS (
             SELECT doc_id,
                    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
             FROM documents),
@@ -930,11 +931,50 @@ def _bm25_sql(query: str = "hash join order", k: int = 10) -> str:
                       CAST(FLOOR(({contribs}) * 1000000 + 0.5)
                            AS BIGINT) AS score_micro
                FROM t, s, d WHERE {any_hit}),
-        r AS (SELECT doc_id, score_micro,
+        lexr AS (SELECT doc_id, score_micro,
                      ROW_NUMBER() OVER (ORDER BY score_micro DESC,
                                         doc_id) AS rank
-              FROM sc)
-        SELECT rank, doc_id, score_micro FROM r
+              FROM sc)"""
+    return f"""
+        WITH {ctes}
+        SELECT rank, doc_id, score_micro FROM lexr
+        WHERE rank <= {k} ORDER BY rank
+    """ if not _as_fragment else ctes
+
+
+def _hybrid_rrf_sql(query: str = "hash join order", k: int = 10,
+                    depth: int = 50, rrf_k: int = 60) -> str:
+    """DuckDB replica of similarity.hybrid_rrf_topk: the proven BM25
+    CTE chain (rank by score_micro desc, doc_id) and the proven
+    normalized-cosine ranking against vec_id 0 (cm desc, vec_id), each
+    cut at `depth`, fused as SUM(1000000 // (rrf_k + rank)) per
+    doc_id; `//` on positive BIGINTs matches Python floor-div."""
+    return f"""
+        WITH {_bm25_sql(query, _as_fragment=True)},
+        {_nemb_cte()},
+        semc AS (SELECT e.vec_id AS doc_id,
+                        CAST(FLOOR(list_inner_product(q.u, e.u)
+                             * 1000000 + 0.5) AS BIGINT) AS cm
+                 FROM nemb e,
+                      (SELECT u FROM nemb WHERE vec_id = 0) q
+                 WHERE e.vec_id != 0),
+        semr AS (SELECT doc_id,
+                        ROW_NUMBER() OVER (ORDER BY cm DESC, doc_id)
+                            AS rank
+                 FROM semc),
+        fused AS (
+            SELECT doc_id,
+                   CAST(SUM(1000000 // ({rrf_k} + rank)) AS BIGINT)
+                       AS rrf_micro
+            FROM (SELECT doc_id, rank FROM lexr WHERE rank <= {depth}
+                  UNION ALL
+                  SELECT doc_id, rank FROM semr WHERE rank <= {depth})
+            GROUP BY doc_id),
+        fr AS (SELECT doc_id, rrf_micro,
+                      ROW_NUMBER() OVER (ORDER BY rrf_micro DESC,
+                                         doc_id) AS rank
+               FROM fused)
+        SELECT rank, doc_id, rrf_micro FROM fr
         WHERE rank <= {k} ORDER BY rank
     """
 
@@ -2715,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _components_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "bm25_topk": _bm25_sql(),
+        "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "stratified_sample": """
             WITH cnt AS (SELECT lang, COUNT(*) AS n
                          FROM documents GROUP BY lang),

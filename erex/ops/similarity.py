@@ -778,3 +778,38 @@ def embedding_outliers(sf_dir: str) -> pd.DataFrame:
     df = scored.to_pandas().sort_values("vec_id").reset_index(drop=True)
     df["is_outlier"] = df["dist2_kilo"] > mean_d2
     return df
+
+
+def hybrid_rrf_topk(sf_dir: str, query: str = "hash join order",
+                    k: int = 10, depth: int = 50,
+                    rrf_k: int = 60) -> pd.DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the standard way a
+    RAG serving stack combines a lexical ranking with a semantic one.
+    The two constituent rankings are the engine's own operators over
+    the shared corpus key (doc_id == vec_id by construction of the
+    synthetic tables): BM25 over `documents` for the text query, and
+    exact cosine against the vec_id-0 embedding (the corpus's own
+    first vector standing in for an encoded query — the encoder is the
+    same documented seam as phrase_embed). Each list is cut at `depth`
+    (<= ann_cosine_topk's 64-per-batch partial cut, so the global
+    ranking is exact); a document scores the integer
+    1_000_000 // (rrf_k + rank) per list it appears in, summed. Both
+    rankings are already driver-side top-depth tables, so the fusion
+    is output-scale driver work — nothing corpus-scale moves. Returns
+    (rank, doc_id, rrf_micro) top-k by (rrf_micro desc, doc_id)."""
+    from collections import Counter
+
+    from .text import bm25_topk
+    assert depth <= 64, "depth beyond the per-batch partial cut"
+    lex = bm25_topk(sf_dir, query=query, k=depth)
+    sem = ann_cosine_topk(sf_dir, n_queries=1, k=depth)
+    sc: Counter = Counter()
+    for r in lex.itertuples():
+        sc[int(r.doc_id)] += 1_000_000 // (rrf_k + int(r.rank))
+    for r in sem.itertuples():
+        sc[int(r.vec_id)] += 1_000_000 // (rrf_k + int(r.rank))
+    rows = sorted(sc.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return pd.DataFrame({
+        "rank": pd.Series(range(1, len(rows) + 1), dtype="int64"),
+        "doc_id": pd.Series([d for d, _ in rows], dtype="int64"),
+        "rrf_micro": pd.Series([s for _, s in rows], dtype="int64")})

@@ -1409,6 +1409,27 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_hybrid_rrf_topk_matches_serial(ray_session):
+    """Fusion == serial RRF over the two constituent rankings, and a
+    doc in both lists outranks equal single-list contributions."""
+    from collections import Counter
+
+    from erex.ops.similarity import ann_cosine_topk, hybrid_rrf_topk
+    from erex.ops.text import bm25_topk
+    out = hybrid_rrf_topk(SF, k=10, depth=50)
+    lex = bm25_topk(SF, k=50)
+    sem = ann_cosine_topk(SF, n_queries=1, k=50)
+    sc = Counter()
+    for r in lex.itertuples():
+        sc[int(r.doc_id)] += 1_000_000 // (60 + int(r.rank))
+    for r in sem.itertuples():
+        sc[int(r.vec_id)] += 1_000_000 // (60 + int(r.rank))
+    want = sorted(sc.items(), key=lambda x: (-x[1], x[0]))[:10]
+    got = [(int(r.doc_id), int(r.rrf_micro)) for r in out.itertuples()]
+    assert got == want
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+
+
 def test_event_props_stats_matches_serial(ray_session):
     """Batch-partial JSON extraction == serial json.loads pass,
     including null handling for absent/malformed k."""
