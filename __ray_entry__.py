@@ -626,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_clean": dedup.dup_span_clean,
         "event_props_stats": relational.event_props_stats,
         "hybrid_rrf_topk": similarity.hybrid_rrf_topk,
+        "logprob_buckets": text.logprob_buckets,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -2476,6 +2477,32 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "tfidf_top_terms_join": _TFIDF_SQL,
         "unigram_logprob": _UNIGRAM_SQL,
+        # CCNet terciles over the unigram scores: percentile_disc rule
+        # replicated as ROW_NUMBER = CEIL(f*n) (1-indexed ascending),
+        # engine-identical; // on non-negative ints == floor
+        "logprob_buckets": f"""
+            WITH lp AS ({_UNIGRAM_SQL}),
+            spt AS (SELECT doc_id,
+                           surprisal_micro // n_tokens AS per_tok_micro
+                    FROM lp),
+            ranked AS (SELECT per_tok_micro,
+                              ROW_NUMBER() OVER (ORDER BY per_tok_micro)
+                                  AS rn,
+                              COUNT(*) OVER () AS n
+                       FROM spt),
+            th AS (SELECT
+                MAX(CASE WHEN rn = CAST(CEIL(n / 3.0) AS BIGINT)
+                    THEN per_tok_micro END) AS t1,
+                MAX(CASE WHEN rn = CAST(CEIL(2 * n / 3.0) AS BIGINT)
+                    THEN per_tok_micro END) AS t2
+                FROM ranked)
+            SELECT s.doc_id, CAST(s.per_tok_micro AS BIGINT)
+                       AS per_tok_micro,
+                   CASE WHEN s.per_tok_micro <= th.t1 THEN 'head'
+                        WHEN s.per_tok_micro <= th.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM spt s, th ORDER BY s.doc_id
+        """,
         "unigram_logprob_join": _UNIGRAM_SQL,
         "bigram_logprob": _BIGRAM_SQL,
         "bigram_logprob_join": _BIGRAM_SQL,

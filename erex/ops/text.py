@@ -1543,3 +1543,41 @@ def source_cap_sample(sf_dir: str, cap: int = SOURCE_CAP) -> pd.DataFrame:
             .map_groups(pick, batch_format="pandas", **remote_args())
             .to_pandas().sort_values(["source", "rank"])
             .reset_index(drop=True))
+
+
+def logprob_buckets(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): each
+    document lands in the head / middle / tail tercile of the corpus
+    by per-token unigram surprisal — the split CCNet publishes and
+    LLaMA-era pipelines sample from (head = most fluent). Scoring is
+    the proven unigram_logprob pass (distributed, integer-exact in
+    both broadcast and join modes); the per-token score is the floor
+    division surprisal_micro // n_tokens, so bucketing is pure integer
+    compare. Tercile thresholds use percentile_disc semantics (the
+    value at position ceil(f*n), 1-indexed, of the ascending scores
+    — same rule as event_anomalies' median); equal scores share a
+    bucket. Threshold discovery here sorts the collected per-doc
+    table the operator contract already returns; at extreme corpus
+    scale the thresholds would come from the O(bins) fixed-bin
+    histogram (histogram_quantiles) and the assignment would be one
+    more map_batches with the two ints broadcast. Returns
+    (doc_id, per_tok_micro, bucket) ordered by doc_id."""
+    import math
+    lp = unigram_logprob(sf_dir, mode=mode)
+    if lp.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "per_tok_micro": pd.Series([],
+                                                        dtype="int64"),
+                             "bucket": pd.Series([], dtype=object)})
+    spt = (lp["surprisal_micro"].astype("int64")
+           // lp["n_tokens"].astype("int64"))
+    srt = np.sort(spt.to_numpy(np.int64))
+    n = len(srt)
+    t1 = int(srt[math.ceil(n / 3) - 1])
+    t2 = int(srt[math.ceil(2 * n / 3) - 1])
+    bucket = np.where(spt <= t1, "head",
+                      np.where(spt <= t2, "middle", "tail"))
+    return pd.DataFrame({"doc_id": lp["doc_id"].astype("int64"),
+                         "per_tok_micro": spt.astype("int64"),
+                         "bucket": bucket})\
+        .sort_values("doc_id").reset_index(drop=True)

@@ -1409,6 +1409,27 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_logprob_buckets_terciles(ray_session):
+    """Buckets respect the disc-percentile thresholds; per-token score
+    is the floor division of the proven unigram scores; modes agree."""
+    import math
+
+    from erex.ops.text import logprob_buckets, unigram_logprob
+    out = logprob_buckets(SF)
+    lp = unigram_logprob(SF)
+    spt = (lp["surprisal_micro"] // lp["n_tokens"]).to_numpy()
+    srt = sorted(spt)
+    n = len(srt)
+    t1, t2 = srt[math.ceil(n / 3) - 1], srt[math.ceil(2 * n / 3) - 1]
+    assert list(out["per_tok_micro"]) == list(spt)
+    for r in out.itertuples():
+        want = ("head" if r.per_tok_micro <= t1 else
+                "middle" if r.per_tok_micro <= t2 else "tail")
+        assert r.bucket == want
+    assert set(out["bucket"]) == {"head", "middle", "tail"}
+    assert out.equals(logprob_buckets(SF, mode="join"))
+
+
 def test_hybrid_rrf_topk_matches_serial(ray_session):
     """Fusion == serial RRF over the two constituent rankings, and a
     doc in both lists outranks equal single-list contributions."""
