@@ -627,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": relational.event_props_stats,
         "hybrid_rrf_topk": similarity.hybrid_rrf_topk,
         "logprob_buckets": text.logprob_buckets,
+        "dsir_weights": text.dsir_weights,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -2477,6 +2478,39 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "tfidf_top_terms_join": _TFIDF_SQL,
         "unigram_logprob": _UNIGRAM_SQL,
+        # DSIR hashed-unigram log ratio: md5 bucket ids identical to
+        # the engine's _h64 % 1024; FP op order ln((a)/(b)) with each
+        # smoothed frequency formed as BIGINT/DOUBLE exactly as numpy
+        "dsir_weights": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS w
+                FROM documents),
+            b AS (SELECT doc_id, lang,
+                         CAST(CAST(concat('0x', substr(md5(w), 1, 16))
+                              AS UBIGINT) % 1024 AS BIGINT) AS bk
+                  FROM tok),
+            cr AS (SELECT bk, COUNT(*) AS c FROM b GROUP BY bk),
+            ct AS (SELECT bk, COUNT(*) AS c FROM b WHERE lang = 'en'
+                   GROUP BY bk),
+            nn AS (SELECT
+                (SELECT CAST(SUM(c) AS BIGINT) FROM cr) AS nr,
+                (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM ct)
+                    AS nt),
+            s AS (SELECT r.bk,
+                         CAST(FLOOR(ln(
+                             ((COALESCE(t.c, 0) + 1)
+                              / CAST(nn.nt + 1024 AS DOUBLE))
+                             / ((r.c + 1)
+                                / CAST(nn.nr + 1024 AS DOUBLE)))
+                             * 1000000 + 0.5) AS BIGINT) AS sm
+                  FROM cr r LEFT JOIN ct t USING (bk), nn)
+            SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(s.sm) AS BIGINT) AS dsir_micro
+            FROM b JOIN s ON s.bk = b.bk
+            GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
         # CCNet terciles over the unigram scores: percentile_disc rule
         # replicated as ROW_NUMBER = CEIL(f*n) (1-indexed ascending),
         # engine-identical; // on non-negative ints == floor

@@ -1581,3 +1581,86 @@ def logprob_buckets(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
                          "per_tok_micro": spt.astype("int64"),
                          "bucket": bucket})\
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def dsir_weights(sf_dir: str, target_lang: str = "en",
+                 n_buckets: int = 1024) -> pd.DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection via
+    Importance Resampling"): each document scores the log likelihood
+    ratio of a hashed-unigram model of the TARGET domain (here the
+    target_lang slice standing in for the high-quality domain) against
+    the raw-corpus model — the weight importance resampling then
+    samples by. The whole estimator is CONSTANT-SIZE state: tokens
+    hash into n_buckets md5 buckets, so both count passes ship
+    <= n_buckets partial rows per batch, the bucket score table
+    broadcast back is n_buckets int64s, and no stage ever holds
+    vocabulary- or corpus-scale state. Per-bucket scores are
+    s = floor(ln(((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B))) * 1e6 + 0.5)
+    (Laplace-smoothed, micro-rounded BEFORE the tf-weighted integer
+    sum — the unigram_logprob convention, so the result is exact and
+    batch-invariant). Returns (doc_id, n_tokens, dsir_micro) for docs
+    with >= 1 token, ordered by doc_id; positive = more target-like.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _h64
+    tok = LOWER_TOKEN_RE
+    B = n_buckets
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        raw = np.zeros(B, dtype=np.int64)
+        tgt = np.zeros(B, dtype=np.int64)
+        for lg, x in zip(t.column("lang").to_pylist(),
+                         t.column("text").to_pylist()):
+            for w, c in Counter(tok.findall(x.lower())).items():
+                bk = _h64(w) % B
+                raw[bk] += c
+                if lg == target_lang:
+                    tgt[bk] += c
+        nz = np.nonzero(raw)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "c_raw": pa.array(raw[nz], pa.int64()),
+                         "c_tgt": pa.array(tgt[nz], pa.int64())})
+
+    cnt = (ds.map_batches(cnt_partial, batch_format="pyarrow",
+                          **remote_args())
+           .groupby("bucket")
+           .aggregate(Sum("c_raw", alias_name="c_raw"),
+                      Sum("c_tgt", alias_name="c_tgt"))
+           .to_pandas())
+    cr = np.zeros(B, dtype=np.int64)
+    ct = np.zeros(B, dtype=np.int64)
+    cr[cnt["bucket"].to_numpy(np.int64)] = cnt["c_raw"].to_numpy(np.int64)
+    ct[cnt["bucket"].to_numpy(np.int64)] = cnt["c_tgt"].to_numpy(np.int64)
+    nr, nt = int(cr.sum()), int(ct.sum())
+    # per-bucket log ratio micro-rounded once, driver-side (B doubles)
+    a = (ct + 1) / float(nt + B)
+    b = (cr + 1) / float(nr + B)
+    s = np.floor(np.log(a / b) * 1_000_000 + 0.5).astype(np.int64)
+    s_ref = ray.put(s)
+
+    def score(t: pa.Table, _s=s_ref) -> pa.Table:
+        import ray as _ray
+        from collections import Counter
+        sm = _ray.get(_s)
+        ids, ntok, wts = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            tf = Counter(tok.findall(x.lower()))
+            if not tf:
+                continue
+            ids.append(d)
+            ntok.append(sum(tf.values()))
+            wts.append(sum(c * int(sm[_h64(w) % B])
+                           for w, c in tf.items()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(ntok, pa.int64()),
+                         "dsir_micro": pa.array(wts, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

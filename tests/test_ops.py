@@ -1409,6 +1409,47 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_dsir_weights_matches_serial(ray_session):
+    """Distributed hashed-bucket DSIR == serial Counter pass with the
+    same md5 buckets and FP op order; target-lang docs rank higher on
+    average (the estimator discriminates)."""
+    from collections import Counter
+
+    from erex.ops.dedup import _h64
+    from erex.ops.text import LOWER_TOKEN_RE, dsir_weights
+    B = 1024
+    out = dsir_weights(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    raw = np.zeros(B, np.int64)
+    tgt = np.zeros(B, np.int64)
+    toks = {}
+    for r in docs.itertuples():
+        tf = Counter(LOWER_TOKEN_RE.findall(r.text.lower()))
+        toks[int(r.doc_id)] = tf
+        for w, c in tf.items():
+            bk = _h64(w) % B
+            raw[bk] += c
+            if r.lang == "en":
+                tgt[bk] += c
+    a = (tgt + 1) / float(tgt.sum() + B)
+    b = (raw + 1) / float(raw.sum() + B)
+    s = np.floor(np.log(a / b) * 1_000_000 + 0.5).astype(np.int64)
+    got = {int(r.doc_id): (r.n_tokens, r.dsir_micro)
+           for r in out.itertuples()}
+    for d, tf in toks.items():
+        if not tf:
+            assert d not in got
+            continue
+        want = sum(c * int(s[_h64(w) % B]) for w, c in tf.items())
+        assert got[d] == (sum(tf.values()), want)
+    m = out.merge(docs[["doc_id", "lang"]], on="doc_id")
+    per_tok = m["dsir_micro"] / m["n_tokens"]
+    en = per_tok[m["lang"] == "en"].mean()
+    rest = per_tok[m["lang"] != "en"].mean()
+    assert en > rest
+
+
 def test_logprob_buckets_terciles(ray_session):
     """Buckets respect the disc-percentile thresholds; per-token score
     is the floor division of the proven unigram scores; modes agree."""
