@@ -119,6 +119,8 @@ def run_bench() -> None:
     timed("embedding_outliers", similarity.embedding_outliers)
     # exact-substring duplicate-span masking (Lee et al. 2022 shape)
     timed("dup_span_mask", dedup.dup_span_mask)
+    # DSIR hashed-unigram importance weights (constant-size state)
+    timed("dsir_weights", text.dsir_weights)
 
     print(json.dumps({
         "metric": "catena_flagship", "value": round(headline, 3),
