@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": similarity.hybrid_rrf_topk,
         "logprob_buckets": text.logprob_buckets,
         "dsir_weights": text.dsir_weights,
+        "dedup_report": dedup.dedup_report,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -1369,6 +1370,32 @@ def _components_sql() -> str:
     return f"""
         WITH RECURSIVE {_components_ctes()}
         SELECT doc_id, component_id FROM lab ORDER BY doc_id
+    """
+
+
+def _dedup_report_sql() -> str:
+    """DuckDB replica of dedup_report: the components chain reduced to
+    the six summary integers (// on non-negative ints == floor)."""
+    return f"""
+        WITH RECURSIVE {_components_ctes()},
+        sz AS (SELECT component_id, COUNT(*) AS s FROM lab
+               GROUP BY component_id),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                     CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_docs,
+                     CAST(COALESCE(MAX(s), 0) AS BIGINT) AS max_cluster,
+                     CAST(COALESCE(SUM(CASE WHEN s > 1 THEN 1 ELSE 0
+                                        END), 0) AS BIGINT) AS n_multi
+              FROM sz)
+        SELECT metric, value FROM (
+            SELECT 'kept_milli' AS metric,
+                   CAST(1000 * n_clusters // GREATEST(1, n_docs)
+                        AS BIGINT) AS value FROM m
+            UNION ALL SELECT 'max_cluster', max_cluster FROM m
+            UNION ALL SELECT 'n_clusters', n_clusters FROM m
+            UNION ALL SELECT 'n_docs', n_docs FROM m
+            UNION ALL SELECT 'n_dup_docs', n_docs - n_clusters FROM m
+            UNION ALL SELECT 'n_multi_clusters', n_multi FROM m)
+        ORDER BY metric
     """
 
 
@@ -2814,6 +2841,7 @@ def oracle_sql() -> dict[str, str]:
         # jaccard dup-pair graph (same pair CTE as dedup_ngram_jaccard;
         # the recursive walk enumerates reachability, MIN collapses it)
         "dedup_components": _components_sql(),
+        "dedup_report": _dedup_report_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),

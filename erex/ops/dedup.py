@@ -1143,3 +1143,30 @@ def dup_span_clean(sf_dir: str, k: int = 8) -> pd.DataFrame:
                         "n_tokens": nt, "n_masked": nm,
                         "kept_milli": kept.astype("int64")})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_report(sf_dir: str, n: int = 3,
+                 threshold_milli: int = 200) -> pd.DataFrame:
+    """Corpus-reduction summary of the near-dup clustering — the table
+    every production dedup run publishes before anyone commits to the
+    cut: document count, cluster count, docs a keep-one-per-cluster
+    rule would drop, largest cluster, multi-doc cluster count and the
+    kept millifraction. Composes dedup_components (minhash-LSH default
+    path); the summary reduces the per-doc label table to six integer
+    rows, so the report itself is output-scale. Returns
+    (metric, value) ordered by metric."""
+    comp = dedup_components(sf_dir, n=n, threshold_milli=threshold_milli)
+    n_docs = len(comp)
+    sizes = comp.groupby("component_id").size()
+    n_clusters = int(len(sizes))
+    rows = [
+        ("kept_milli", 1000 * n_clusters // max(1, n_docs)),
+        ("max_cluster", int(sizes.max()) if n_docs else 0),
+        ("n_clusters", n_clusters),
+        ("n_docs", n_docs),
+        ("n_dup_docs", n_docs - n_clusters),
+        ("n_multi_clusters", int((sizes > 1).sum())),
+    ]
+    return pd.DataFrame({"metric": [m for m, _ in rows],
+                         "value": pd.Series([v for _, v in rows],
+                                            dtype="int64")})

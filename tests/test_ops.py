@@ -1409,6 +1409,21 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_dedup_report_consistent_with_components(ray_session):
+    """Report integers == reductions of the components table."""
+    from erex.ops.dedup import dedup_components, dedup_report
+    rep = dict(zip(*[dedup_report(SF)[c] for c in ("metric", "value")]))
+    comp = dedup_components(SF)
+    sizes = comp.groupby("component_id").size()
+    assert rep["n_docs"] == len(comp)
+    assert rep["n_clusters"] == len(sizes)
+    assert rep["n_dup_docs"] == len(comp) - len(sizes)
+    assert rep["max_cluster"] == int(sizes.max())
+    assert rep["n_multi_clusters"] == int((sizes > 1).sum())
+    assert rep["kept_milli"] == 1000 * len(sizes) // len(comp)
+    assert rep["n_dup_docs"] > 0  # non-trivially exercised
+
+
 def test_dsir_weights_matches_serial(ray_session):
     """Distributed hashed-bucket DSIR == serial Counter pass with the
     same md5 buckets and FP op order; target-lang docs rank higher on
