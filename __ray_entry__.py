@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logprob_buckets": text.logprob_buckets,
         "dsir_weights": text.dsir_weights,
         "dedup_report": dedup.dedup_report,
+        "fk_integrity": relational.fk_integrity,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -1371,6 +1372,36 @@ def _components_sql() -> str:
         WITH RECURSIVE {_components_ctes()}
         SELECT doc_id, component_id FROM lab ORDER BY doc_id
     """
+
+
+def _fk_integrity_sql() -> str:
+    """DuckDB replica of relational.fk_integrity: per relationship the
+    child row count, orphan rows (NOT EXISTS parent), distinct
+    referenced keys, and unreferenced parents (exact because the TPC-H
+    parent keys are unique, matching the engine's n_parent - n_ref)."""
+    rels = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    parts = []
+    for ct, ck, pt, pk in rels:
+        parts.append(f"""
+            SELECT '{ct}.{ck}->{pt}.{pk}' AS relationship,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS n_child,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct} c
+                 WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                                   WHERE p.{pk} = c.{ck})) AS n_orphan,
+                (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {ct} c
+                 WHERE EXISTS (SELECT 1 FROM {pt} p
+                               WHERE p.{pk} = c.{ck})) AS n_ref_keys,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM {pt} p
+                 WHERE NOT EXISTS (SELECT 1 FROM {ct} c
+                                   WHERE c.{ck} = p.{pk}))
+                    AS n_unref_parent""")
+    return ("SELECT * FROM (" + " UNION ALL ".join(parts)
+            + ") ORDER BY relationship")
 
 
 def _dedup_report_sql() -> str:
@@ -2842,6 +2873,7 @@ def oracle_sql() -> dict[str, str]:
         # the recursive walk enumerates reachability, MIN collapses it)
         "dedup_components": _components_sql(),
         "dedup_report": _dedup_report_sql(),
+        "fk_integrity": _fk_integrity_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),

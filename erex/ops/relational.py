@@ -1016,3 +1016,99 @@ def event_props_stats(sf_dir: str) -> pd.DataFrame:
     return df[["event_type", "n_events", "n_with_k", "sum_k",
                "avg_k_milli"]].sort_values("event_type")\
         .reset_index(drop=True)
+
+
+def fk_integrity(sf_dir: str) -> pd.DataFrame:
+    """Cross-table referential-integrity audit over the fact tables —
+    the data-quality gate a warehouse runs before publishing: for each
+    foreign-key relationship, the child row count, the count of child
+    ROWS whose key has no parent (orphans), the count of distinct
+    referenced parent keys, and the count of parent rows never
+    referenced. Shape for scale: child keys pre-aggregate to
+    (key, cnt) partials per batch, combine exactly in key-hash shards
+    (one fixed-width exchange), then hash-join the distinct-key table
+    against the parent — no side is ever broadcast, so the same plan
+    holds when the parent is itself a fact table (lineitem->orders).
+    Returns (relationship, n_child, n_orphan, n_ref_keys,
+    n_unref_parent) ordered by relationship."""
+    from .._env import default_join_partitions, drop_schemaless_blocks
+    npart = default_join_partitions()
+    rels = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    out = []
+    for name, ctab, ckey, ptab, pkey in rels:
+        child = rd.read_parquet(f"{sf_dir}/{ctab}.parquet",
+                                columns=[ckey])
+        parent_raw = rd.read_parquet(f"{sf_dir}/{ptab}.parquet",
+                                     columns=[pkey])
+        n_child = child.count()
+        n_parent = parent_raw.count()
+
+        def mark(t: pa.Table, _p=pkey) -> pa.Table:
+            # join coalesces the right key column away; a constant
+            # marker survives as null exactly on the missed rows
+            return pa.table({_p: t.column(_p),
+                             "hit": pa.array(
+                                 np.ones(t.num_rows, np.int8))})
+
+        parent = parent_raw.map_batches(mark, batch_format="pyarrow",
+                                        **remote_args())
+
+        def partial(t: pa.Table, _c=ckey) -> pa.Table:
+            k = t.column(_c).to_numpy(zero_copy_only=False)\
+                .astype(np.int64)
+            u, c = np.unique(k, return_counts=True)
+            return pa.table({"k": pa.array(u, pa.int64()),
+                             "cnt": pa.array(c, pa.int64()),
+                             "kshard": pa.array(
+                                 (u & 63).astype(np.int32))})
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            # every copy of a key lands in this shard: one bulk hash
+            # aggregate, never a per-key Ray group
+            s = g.groupby("k", sort=False)["cnt"].sum()
+            return pd.DataFrame({"k": s.index.to_numpy(np.int64),
+                                 "cnt": s.to_numpy(np.int64)})
+
+        dk = (child.map_batches(partial, batch_format="pyarrow",
+                                **remote_args())
+              .groupby("kshard")
+              .map_groups(combine, batch_format="pandas",
+                          **remote_args()))
+        dk = drop_schemaless_blocks(
+            dk, empty_schema={"k": pa.int64(), "cnt": pa.int64()})
+        j = dk.join(parent, "left_outer", npart, on=("k",),
+                    right_on=(pkey,))
+
+        def reduce_j(t: pa.Table) -> pa.Table:
+            if "hit" in t.schema.names:
+                miss = pc.is_null(t.column("hit")).to_numpy(
+                    zero_copy_only=False)
+            else:
+                # all-matched blocks may drop the right side entirely
+                miss = np.zeros(t.num_rows, dtype=bool)
+            cnt = t.column("cnt").to_numpy(zero_copy_only=False)\
+                .astype(np.int64)
+            return pa.table({
+                "n_orphan": pa.array([int(cnt[miss].sum())], pa.int64()),
+                "n_ref": pa.array([int((~miss).sum())], pa.int64())})
+
+        r = j.map_batches(reduce_j, batch_format="pyarrow",
+                          **remote_args()).to_pandas()
+        n_orphan = int(r["n_orphan"].sum())
+        n_ref = int(r["n_ref"].sum())
+        out.append((name, n_child, n_orphan, n_ref, n_parent - n_ref))
+    df = pd.DataFrame(out, columns=["relationship", "n_child",
+                                    "n_orphan", "n_ref_keys",
+                                    "n_unref_parent"])
+    for c in df.columns[1:]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("relationship").reset_index(drop=True)

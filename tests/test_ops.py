@@ -1409,6 +1409,32 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_fk_integrity_matches_serial(ray_session):
+    """Distributed FK audit == serial set arithmetic over the tables,
+    including the intact-FK zero-orphan invariant and the nonzero
+    unreferenced-orders count."""
+    from erex.ops.relational import fk_integrity
+    out = fk_integrity(SF)
+    got = {r.relationship: (r.n_child, r.n_orphan, r.n_ref_keys,
+                            r.n_unref_parent) for r in out.itertuples()}
+    for ct, ck, pt, pk in [("lineitem", "l_orderkey", "orders",
+                            "o_orderkey"),
+                           ("lineitem", "l_partkey", "part",
+                            "p_partkey"),
+                           ("lineitem", "l_suppkey", "supplier",
+                            "s_suppkey"),
+                           ("orders", "o_custkey", "customer",
+                            "c_custkey")]:
+        c = pd.read_parquet(f"{SF}/{ct}.parquet", columns=[ck])[ck]
+        p = set(pd.read_parquet(f"{SF}/{pt}.parquet",
+                                columns=[pk])[pk])
+        ref = set(c) & p
+        want = (len(c), int((~c.isin(p)).sum()), len(ref),
+                len(p) - len(ref))
+        assert got[f"{ct}.{ck}->{pt}.{pk}"] == want
+    assert got["lineitem.l_orderkey->orders.o_orderkey"][3] > 0
+
+
 def test_dedup_report_consistent_with_components(ray_session):
     """Report integers == reductions of the components table."""
     from erex.ops.dedup import dedup_components, dedup_report
