@@ -630,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": text.dsir_weights,
         "dedup_report": dedup.dedup_report,
         "fk_integrity": relational.fk_integrity,
+        "knn_label_vote": similarity.knn_label_vote,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -2269,6 +2270,32 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, len(embedding) + 1)) AS i
                   FROM embeddings)
             GROUP BY label, i ORDER BY label, dim
+        """,
+        # k-NN label vote: same nemb ranking as the knn graph; majority
+        # by (count desc, label asc) — np.unique+argmax takes the first
+        # (smallest-label) max, ROW_NUMBER replicates it
+        "knn_label_vote": f"""
+            WITH {_nemb_cte()},
+            c AS (SELECT a.vec_id AS v, a.label AS lab,
+                         b.vec_id AS nb, b.label AS nlab,
+                         CAST(FLOOR(list_inner_product(a.u, b.u)
+                              * 1000000 + 0.5) AS BIGINT) AS cm
+                  FROM nemb a, nemb b WHERE b.vec_id != a.vec_id),
+            r AS (SELECT v, lab, nlab,
+                         ROW_NUMBER() OVER (PARTITION BY v
+                             ORDER BY cm DESC, nb) AS rn
+                  FROM c),
+            votes AS (SELECT v, lab, nlab, COUNT(*) AS n
+                      FROM r WHERE rn <= 5 GROUP BY v, lab, nlab),
+            pred AS (SELECT v, lab, nlab,
+                            ROW_NUMBER() OVER (PARTITION BY v
+                                ORDER BY n DESC, nlab) AS pr
+                     FROM votes)
+            SELECT v AS vec_id, CAST(lab AS BIGINT) AS label,
+                   CAST(nlab AS BIGINT) AS pred_label,
+                   CAST(CASE WHEN nlab = lab THEN 1 ELSE 0 END
+                        AS BIGINT) AS correct
+            FROM pred WHERE pr = 1 ORDER BY vec_id
         """,
         "knn_graph_mutual": f"""
             WITH {_nemb_cte()},

@@ -813,3 +813,54 @@ def hybrid_rrf_topk(sf_dir: str, query: str = "hash join order",
         "rank": pd.Series(range(1, len(rows) + 1), dtype="int64"),
         "doc_id": pd.Series([d for d, _ in rows], dtype="int64"),
         "rrf_micro": pd.Series([s for _, s in rows], dtype="int64")})
+
+
+def knn_label_vote(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """k-NN label propagation — the standard embedding-quality probe:
+    each vector's label is predicted by majority vote of its cosine
+    top-k neighbours (micro-rounded similarity, vec_id tie-break, the
+    knn_graph_mutual ranking; vote ties resolve to the smallest label)
+    and compared to its true label. Exact all-pairs variant under the
+    same _FULL_MATRIX_MAX_ROWS guard as the other exact baselines —
+    at corpus scale the candidate set would come from the LSH/IVF
+    path. The vote is per-row local once the broadcast matmul row is
+    known, so the stage needs NO exchange at all. Returns
+    (vec_id, label, pred_label, correct) ordered by vec_id."""
+    ids_all, M_all = _load_matrix(sf_dir)
+    labels_all = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label"])\
+        .sort_values("vec_id")["label"].to_numpy(np.int64)
+    # ids_all from _load_matrix is in file order; align by sorting both
+    order = np.argsort(ids_all)
+    ids_srt = ids_all[order]
+    Mn = _normalize(M_all)[order]
+    ref = ray.put((ids_srt, Mn, labels_all))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def vote(t: pa.Table) -> pa.Table:
+        ids_, Mn_, labs_ = ray.get(ref)
+        vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        lab = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+        X = _normalize(np.stack(
+            t.column("embedding").to_pylist()).astype(np.float64))
+        cm = np.floor((X @ Mn_.T) * 1_000_000 + 0.5).astype(np.int64)
+        preds = np.empty(len(vid), dtype=np.int64)
+        for r in range(len(vid)):
+            mask = ids_ != vid[r]
+            c_ids, c_cm = ids_[mask], cm[r][mask]
+            top = c_ids[np.lexsort((c_ids, -c_cm))[:k]]
+            nl = labs_[np.searchsorted(ids_, top)]
+            u, n = np.unique(nl, return_counts=True)
+            # majority with ties to the smallest label: np.unique is
+            # label-ascending, argmax takes the first max
+            preds[r] = u[np.argmax(n)]
+        return pa.table({"vec_id": pa.array(vid, pa.int64()),
+                         "label": pa.array(lab, pa.int64()),
+                         "pred_label": pa.array(preds, pa.int64()),
+                         "correct": pa.array(
+                             (preds == lab).astype(np.int64))})
+
+    return ds.map_batches(vote, batch_format="pyarrow",
+                          **remote_args())\
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)

@@ -1409,6 +1409,31 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_knn_label_vote_matches_serial(ray_session):
+    """Distributed vote == serial numpy all-pairs with the same
+    micro-rounded ranking and smallest-label tie-break."""
+    from erex.ops.similarity import _normalize, knn_label_vote
+    out = knn_label_vote(SF, k=5)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id")
+    ids = emb["vec_id"].to_numpy(np.int64)
+    labs = emb["label"].to_numpy(np.int64)
+    M = _normalize(np.stack(emb["embedding"].to_numpy())
+                   .astype(np.float64))
+    cm = np.floor((M @ M.T) * 1_000_000 + 0.5).astype(np.int64)
+    for i in (0, 7, 123, len(ids) - 1):
+        mask = ids != ids[i]
+        c_ids, c_cm = ids[mask], cm[i][mask]
+        top = c_ids[np.lexsort((c_ids, -c_cm))[:5]]
+        nl = labs[np.searchsorted(ids, top)]
+        u, n = np.unique(nl, return_counts=True)
+        want = u[np.argmax(n)]
+        row = out[out["vec_id"] == ids[i]].iloc[0]
+        assert row["pred_label"] == want
+        assert row["correct"] == int(want == labs[i])
+    assert len(out) == len(ids)
+
+
 def test_fk_integrity_matches_serial(ray_session):
     """Distributed FK audit == serial set arithmetic over the tables,
     including the intact-FK zero-orphan invariant and the nonzero
