@@ -631,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": dedup.dedup_report,
         "fk_integrity": relational.fk_integrity,
         "knn_label_vote": similarity.knn_label_vote,
+        "hard_negatives": similarity.hard_negatives,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -2270,6 +2271,25 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, len(embedding) + 1)) AS i
                   FROM embeddings)
             GROUP BY label, i ORDER BY label, dim
+        """,
+        # hard negatives: the ann_cosine ranking restricted to
+        # label-mismatched candidates
+        "hard_negatives": f"""
+            WITH {_nemb_cte()},
+            q AS (SELECT vec_id AS qid, label AS qlab, u AS qu
+                  FROM nemb WHERE vec_id < 8),
+            c AS (SELECT qid, e.vec_id AS vid, e.label AS nlab,
+                         CAST(FLOOR(list_inner_product(qu, e.u)
+                              * 1000000 + 0.5) AS BIGINT) AS cm
+                  FROM q, nemb e
+                  WHERE e.vec_id != qid AND e.label != q.qlab),
+            r AS (SELECT qid, vid, nlab, cm,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY cm DESC, vid) AS rn
+                  FROM c)
+            SELECT qid AS query_id, rn AS rank, vid AS vec_id,
+                   CAST(nlab AS BIGINT) AS neg_label, cm AS cos_micro
+            FROM r WHERE rn <= 5 ORDER BY query_id, rank
         """,
         # k-NN label vote: same nemb ranking as the knn graph; majority
         # by (count desc, label asc) — np.unique+argmax takes the first

@@ -864,3 +864,65 @@ def knn_label_vote(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return ds.map_batches(vote, batch_format="pyarrow",
                           **remote_args())\
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def hard_negatives(sf_dir: str, n_queries: int = 8,
+                   k: int = 5) -> pd.DataFrame:
+    """Hard-negative mining — the contrastive-training data op behind
+    dense retrievers (DPR/ANCE style): for each query vector, the k
+    nearest neighbours whose LABEL DIFFERS from the query's (close in
+    embedding space, wrong class — the negatives worth training on).
+    Same broadcast-queries + per-batch partial top-k shape as
+    ann_cosine_topk; the label-mismatch filter applies inside the
+    batch, so mining adds zero exchanges. Ranking is micro-rounded
+    cosine with vec_id tie-break. Returns
+    (query_id, rank, vec_id, neg_label, cos_micro) ordered by
+    (query_id, rank)."""
+    import pyarrow.dataset as pds
+    t = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pds.field("vec_id") < n_queries)
+    qdf = t.to_pandas().sort_values("vec_id")
+    q_ids = qdf["vec_id"].to_numpy(np.int64)
+    q_labs = qdf["label"].to_numpy(np.int64)
+    Q = _normalize(np.stack(qdf["embedding"].to_numpy())
+                   .astype(np.float64))
+    q_ref = ray.put((q_ids, q_labs, Q))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q_ids_, q_labs_, Q_ = ray.get(q_ref)
+        vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        lab = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+        X = _normalize(np.stack(
+            t.column("embedding").to_pylist()).astype(np.float64))
+        sims = X @ Q_.T
+        rows = {"query_id": [], "vec_id": [], "neg_label": [],
+                "cos_micro": []}
+        for qi, qid in enumerate(q_ids_):
+            col = sims[:, qi]
+            idx = np.nonzero((lab != q_labs_[qi]) & (vid != qid))[0]
+            if idx.size == 0:
+                continue
+            order = idx[np.lexsort((vid[idx], -col[idx]))][:64]
+            for i in order:
+                rows["query_id"].append(int(qid))
+                rows["vec_id"].append(int(vid[i]))
+                rows["neg_label"].append(int(lab[i]))
+                rows["cos_micro"].append(
+                    int(np.floor(col[i] * 1_000_000 + 0.5)))
+        return pa.table({c: pa.array(v) for c, v in rows.items()})
+
+    df = ds.map_batches(partial, batch_format="pyarrow",
+                        **remote_args()).to_pandas()
+    out = []
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["cos_micro", "vec_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", "vec_id", "neg_label",
+                "cos_micro"]].sort_values(["query_id", "rank"])\
+        .reset_index(drop=True)

@@ -1409,6 +1409,29 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_hard_negatives_excludes_query_label(ray_session):
+    """Every mined negative has a different label than its query, the
+    ranking is (cos desc, vec_id), and results agree with serial."""
+    from erex.ops.similarity import _normalize, hard_negatives
+    out = hard_negatives(SF, n_queries=8, k=5)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values(
+        "vec_id")
+    ids = emb["vec_id"].to_numpy(np.int64)
+    labs = emb["label"].to_numpy(np.int64)
+    M = _normalize(np.stack(emb["embedding"].to_numpy())
+                   .astype(np.float64))
+    for qid in range(8):
+        qlab = labs[np.searchsorted(ids, qid)]
+        g = out[out["query_id"] == qid]
+        assert (g["neg_label"] != qlab).all()
+        cm = np.floor((M @ M[np.searchsorted(ids, qid)])
+                      * 1_000_000 + 0.5).astype(np.int64)
+        mask = (labs != qlab) & (ids != qid)
+        c_ids, c_cm = ids[mask], cm[mask]
+        want = c_ids[np.lexsort((c_ids, -c_cm))[:5]]
+        assert list(g["vec_id"]) == list(want)
+
+
 def test_knn_label_vote_matches_serial(ray_session):
     """Distributed vote == serial numpy all-pairs with the same
     micro-rounded ranking and smallest-label tie-break."""
