@@ -632,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity": relational.fk_integrity,
         "knn_label_vote": similarity.knn_label_vote,
         "hard_negatives": similarity.hard_negatives,
+        "split_by_component": dedup.split_by_component,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -1404,6 +1405,25 @@ def _fk_integrity_sql() -> str:
                     AS n_unref_parent""")
     return ("SELECT * FROM (" + " UNION ALL ".join(parts)
             + ") ORDER BY relationship")
+
+
+def _split_by_component_sql() -> str:
+    """DuckDB replica of dedup.split_by_component: the components
+    chain plus dataset_split's md5-uint32 80/10/10 rule applied to
+    the COMPONENT id."""
+    from erex.ops.text import SPLIT_TRAIN_32, SPLIT_VAL_32
+    return f"""
+        WITH RECURSIVE {_components_ctes()}
+        SELECT doc_id, component_id,
+               CASE WHEN h < {SPLIT_TRAIN_32} THEN 'train'
+                    WHEN h < {SPLIT_VAL_32} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, component_id,
+                     CAST(concat('0x', substr(md5(CAST(component_id
+                          AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+              FROM lab)
+        ORDER BY doc_id
+    """
 
 
 def _dedup_report_sql() -> str:
@@ -2921,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _components_sql(),
         "dedup_report": _dedup_report_sql(),
         "fk_integrity": _fk_integrity_sql(),
+        "split_by_component": _split_by_component_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),

@@ -1170,3 +1170,24 @@ def dedup_report(sf_dir: str, n: int = 3,
     return pd.DataFrame({"metric": [m for m, _ in rows],
                          "value": pd.Series([v for _, v in rows],
                                             dtype="int64")})
+
+
+def split_by_component(sf_dir: str, n: int = 3,
+                       threshold_milli: int = 200) -> pd.DataFrame:
+    """Leakage-free train/val/test assignment: the split key is the
+    near-dup COMPONENT id, not the document id, so near-duplicates can
+    never straddle train and test — the contamination-avoidance rule
+    modern corpus releases apply on top of a plain hash split
+    (dataset_split's 80/10/10 thresholds, reused verbatim). Composes
+    dedup_components; the assignment is one stateless hash per
+    component, applied to the per-doc label table. Returns
+    (doc_id, component_id, split) ordered by doc_id."""
+    from .text import SPLIT_TRAIN_32, SPLIT_VAL_32
+    comp = dedup_components(sf_dir, n=n, threshold_milli=threshold_milli)
+    h = np.array([int(hashlib.md5(str(c).encode()).hexdigest()[:8], 16)
+                  for c in comp["component_id"]], np.uint64)
+    split = np.where(h < SPLIT_TRAIN_32, "train",
+                     np.where(h < SPLIT_VAL_32, "val", "test"))
+    out = comp.copy()
+    out["split"] = split
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1409,6 +1409,24 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_split_by_component_leakage_free(ray_session):
+    """Every near-dup component lands wholly in one split; the hash
+    rule matches dataset_split's thresholds on the component id."""
+    import hashlib
+
+    from erex.ops.dedup import split_by_component
+    from erex.ops.text import SPLIT_TRAIN_32, SPLIT_VAL_32
+    out = split_by_component(SF)
+    assert (out.groupby("component_id")["split"].nunique() == 1).all()
+    for r in out.head(50).itertuples():
+        h = int(hashlib.md5(str(r.component_id).encode())
+                .hexdigest()[:8], 16)
+        want = ("train" if h < SPLIT_TRAIN_32 else
+                "val" if h < SPLIT_VAL_32 else "test")
+        assert r.split == want
+    assert set(out["split"]) == {"train", "val", "test"}
+
+
 def test_hard_negatives_excludes_query_label(ray_session):
     """Every mined negative has a different label than its query, the
     ranking is (cos desc, vec_id), and results agree with serial."""
