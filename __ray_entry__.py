@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_vote": similarity.knn_label_vote,
         "hard_negatives": similarity.hard_negatives,
         "split_by_component": dedup.split_by_component,
+        "span_corruption_stats": text.span_corruption_stats,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -2635,6 +2636,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(s.sm) AS BIGINT) AS dsir_micro
             FROM b JOIN s ON s.bk = b.bk
             GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        # T5 span-corruption mask: identical md5(doc:pos) start rule;
+        # runs merge when start gap <= span_len (same LAG/cumsum merge
+        # as dup_span_mask — end-truncation cannot flip the break, see
+        # the operator docstring), masked = truncated run extent
+        "span_corruption_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text),
+                                              '[a-z0-9]+')) AS n
+                FROM documents),
+            st AS (
+                SELECT doc_id, n, i - 1 AS p
+                FROM toks, UNNEST(range(1, n + 1)) AS t(i)
+                WHERE CAST(concat('0x', substr(md5(
+                          CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST(i - 1 AS VARCHAR)), 1, 16))
+                          AS UBIGINT) % 20 = 0),
+            brk AS (
+                SELECT doc_id, n, p,
+                       CASE WHEN p - LAG(p) OVER w > 3 OR
+                                 LAG(p) OVER w IS NULL THEN 1 ELSE 0
+                       END AS b
+                FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+            grp AS (
+                SELECT doc_id, n, p,
+                       SUM(b) OVER (PARTITION BY doc_id ORDER BY p)
+                           AS g
+                FROM brk),
+            runs AS (
+                SELECT doc_id,
+                       LEAST(MAX(p) + 2, ANY_VALUE(n) - 1) - MIN(p) + 1
+                           AS m
+                FROM grp GROUP BY doc_id, g),
+            agg AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                       CAST(SUM(m) AS BIGINT) AS n_masked
+                FROM runs GROUP BY doc_id)
+            SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked,
+                   CAST(1000 * COALESCE(a.n_masked, 0) // t.n
+                        AS BIGINT) AS corrupt_milli
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+            WHERE t.n >= 1 ORDER BY t.doc_id
         """,
         # CCNet terciles over the unigram scores: percentile_disc rule
         # replicated as ROW_NUMBER = CEIL(f*n) (1-indexed ascending),

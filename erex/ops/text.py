@@ -1664,3 +1664,62 @@ def dsir_weights(sf_dir: str, target_lang: str = "en",
     return ds.map_batches(score, batch_format="pyarrow",
                           **remote_args())\
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def span_corruption_stats(sf_dir: str, span_len: int = 3,
+                          rate_mod: int = 20) -> pd.DataFrame:
+    """T5-style span-corruption prep report: a deterministic noise
+    mask (position p of doc d starts a span iff
+    md5-hash(d:p) % rate_mod == 0; each span covers span_len tokens,
+    truncated at the doc end; touching spans merge into one sentinel
+    run — ~span_len/rate_mod of tokens corrupted) and the per-document
+    stats a pretraining job sanity-checks before launch: token count,
+    merged-run count (== sentinel count) and masked-token count. The
+    mask is a pure per-doc function, so the whole operator is ONE
+    stateless map_batches pass — no exchange anywhere; determinism
+    makes it reproducible across reruns and the SQL oracle. Returns
+    (doc_id, n_tokens, n_spans, n_masked, corrupt_milli) for docs
+    with >= 1 token, ordered by doc_id."""
+    from .dedup import _h64
+    tok = LOWER_TOKEN_RE
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, ntok, nsp, nmask = [], [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            n = len(tok.findall(x.lower()))
+            if n == 0:
+                continue
+            starts = [p for p in range(n)
+                      if _h64(f"{d}:{p}") % rate_mod == 0]
+            spans = 0
+            masked = 0
+            run_end = -2        # -1 would swallow a run starting at p=0
+            for p in starts:
+                e = min(p + span_len - 1, n - 1)
+                if p > run_end + 1:
+                    spans += 1
+                    masked += e - p + 1
+                    run_end = e
+                elif e > run_end:
+                    masked += e - run_end
+                    run_end = e
+            ids.append(d)
+            ntok.append(n)
+            nsp.append(spans)
+            nmask.append(masked)
+        nm = np.asarray(nmask, dtype=np.int64)
+        nt = np.asarray(ntok, dtype=np.int64)
+        cm = np.zeros(len(ids), dtype=np.int64) if not ids else \
+            1000 * nm // nt
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "n_spans": pa.array(nsp, pa.int64()),
+                         "n_masked": pa.array(nm, pa.int64()),
+                         "corrupt_milli": pa.array(cm, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -1409,6 +1409,32 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_span_corruption_stats_matches_serial(ray_session):
+    """Deterministic mask == serial position-set arithmetic (masked
+    set built explicitly, runs counted as contiguous blocks) —
+    including the p=0 run and end-truncation edges."""
+    from erex.ops.dedup import _h64
+    from erex.ops.text import LOWER_TOKEN_RE, span_corruption_stats
+    L, MOD = 3, 20
+    out = span_corruption_stats(SF, span_len=L, rate_mod=MOD)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = {int(r.doc_id): (r.n_tokens, r.n_spans, r.n_masked,
+                           r.corrupt_milli) for r in out.itertuples()}
+    for r in docs.itertuples():
+        n = len(LOWER_TOKEN_RE.findall(r.text.lower()))
+        if n == 0:
+            assert r.doc_id not in got
+            continue
+        masked = set()
+        for p in range(n):
+            if _h64(f"{r.doc_id}:{p}") % MOD == 0:
+                masked.update(range(p, min(p + L, n)))
+        runs = sum(1 for q in masked if q - 1 not in masked)
+        assert got[int(r.doc_id)] == (n, runs, len(masked),
+                                      1000 * len(masked) // n)
+
+
 def test_split_by_component_leakage_free(ray_session):
     """Every near-dup component lands wholly in one split; the hash
     rule matches dataset_split's thresholds on the component id."""
