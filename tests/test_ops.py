@@ -577,6 +577,30 @@ def test_sketches_invariant_under_block_size(ray_session):
         ctx.target_max_block_size = old
 
 
+def test_new_ops_invariant_under_block_size(ray_session):
+    """The round-4-closing operators' partial combines (k-gram hash
+    shards, CMS-style bucket counts, per-batch distinct key counts,
+    stateless masks) must not depend on Ray's block structure."""
+    from ray.data import DataContext
+    from erex.ops.dedup import dup_span_mask
+    from erex.ops.relational import event_props_stats, fk_integrity
+    from erex.ops.text import dsir_weights, span_corruption_stats
+    base = [dup_span_mask(SF), dsir_weights(SF),
+            span_corruption_stats(SF), event_props_stats(SF),
+            fk_integrity(SF)]
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        redo = [dup_span_mask(SF), dsir_weights(SF),
+                span_corruption_stats(SF), event_props_stats(SF),
+                fk_integrity(SF)]
+        for b, r in zip(base, redo):
+            assert r.equals(b)
+    finally:
+        ctx.target_max_block_size = old
+
+
 def test_knn_graph_mutual_properties(ray_session):
     from erex.ops.similarity import knn_graph_mutual
     out = knn_graph_mutual(SF, k=5)
