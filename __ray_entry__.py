@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": similarity.hard_negatives,
         "split_by_component": dedup.split_by_component,
         "span_corruption_stats": text.span_corruption_stats,
+        "mmr_select": similarity.mmr_select,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -1406,6 +1407,52 @@ def _fk_integrity_sql() -> str:
                     AS n_unref_parent""")
     return ("SELECT * FROM (" + " UNION ALL ".join(parts)
             + ") ORDER BY relationship")
+
+
+def _mmr_sql(k: int = 5, pool: int = 16, lam: int = 500) -> str:
+    """DuckDB replica of similarity.mmr_select: the nemb relevance
+    pool, pool-internal pairwise micro cosines, then the greedy argmax
+    unrolled one CTE per selection step (the _pagerank_sql /
+    _kmeans_ctes technique for iterative algorithms)."""
+    ilam = 1000 - lam
+    parts = [f"""
+        relp AS (SELECT e.vec_id AS vid,
+                        CAST(FLOOR(list_inner_product(q.u, e.u)
+                             * 1000000 + 0.5) AS BIGINT) AS rel,
+                        ROW_NUMBER() OVER (ORDER BY
+                            CAST(FLOOR(list_inner_product(q.u, e.u)
+                                 * 1000000 + 0.5) AS BIGINT) DESC,
+                            e.vec_id) AS rn
+                 FROM nemb e, (SELECT u FROM nemb WHERE vec_id = 0) q
+                 WHERE e.vec_id != 0),
+        pj AS (SELECT r.vid, r.rel, n.u FROM relp r
+               JOIN nemb n ON n.vec_id = r.vid WHERE r.rn <= {pool}),
+        ps AS (SELECT a.vid AS a, b.vid AS b,
+                      CAST(FLOOR(list_inner_product(a.u, b.u)
+                           * 1000000 + 0.5) AS BIGINT) AS sm
+               FROM pj a, pj b WHERE a.vid != b.vid),
+        sel1 AS (SELECT vid, rel, CAST({lam} AS BIGINT) * rel AS sc
+                 FROM pj ORDER BY rel DESC, vid LIMIT 1),
+        u1 AS (SELECT vid FROM sel1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+        cand{t} AS (SELECT j.vid, j.rel, MAX(s.sm) AS mx
+                    FROM pj j JOIN ps s ON s.a = j.vid
+                         AND s.b IN (SELECT vid FROM u{t-1})
+                    WHERE j.vid NOT IN (SELECT vid FROM u{t-1})
+                    GROUP BY j.vid, j.rel),
+        sel{t} AS (SELECT vid, rel,
+                          CAST({lam} AS BIGINT) * rel
+                          - CAST({ilam} AS BIGINT) * mx AS sc
+                   FROM cand{t} ORDER BY sc DESC, vid LIMIT 1),
+        u{t} AS (SELECT vid FROM u{t-1}
+                 UNION ALL SELECT vid FROM sel{t})""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, vid AS vec_id, "
+        f"rel AS rel_micro, sc AS mmr_score FROM sel{t}"
+        for t in range(1, k + 1))
+    return (f"WITH {_nemb_cte()}," + "".join(parts)
+            + f" SELECT * FROM ({finals}) ORDER BY rank")
 
 
 def _split_by_component_sql() -> str:
@@ -2988,6 +3035,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_report": _dedup_report_sql(),
         "fk_integrity": _fk_integrity_sql(),
         "split_by_component": _split_by_component_sql(),
+        "mmr_select": _mmr_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),

@@ -926,3 +926,57 @@ def hard_negatives(sf_dir: str, n_queries: int = 8,
     return res[["query_id", "rank", "vec_id", "neg_label",
                 "cos_micro"]].sort_values(["query_id", "rank"])\
         .reset_index(drop=True)
+
+
+def mmr_select(sf_dir: str, k: int = 5, pool: int = 16,
+               lambda_milli: int = 500) -> pd.DataFrame:
+    """Diversity-aware selection by Maximal Marginal Relevance
+    (Carbonell & Goldstein 1998) — the re-ranking step RAG serving
+    applies so the k retrieved documents aren't five copies of the
+    same fact. Query = the vec_id-0 embedding (the corpus's own first
+    vector, same convention as hybrid_rrf_topk). Stage 1 is
+    distributed: the relevance pool (top-`pool` by micro-rounded
+    cosine, vec_id tie-break) comes from the ann partial-top-k shape.
+    Stage 2 is the greedy argmax of
+    lambda_milli * rel_micro - (1000 - lambda_milli) * max_sim_micro
+    over the selected set — pure int64, pool-scale (the pool is
+    O(k)-small by definition), driver-side like every output-scale
+    re-rank. Ties take the smallest vec_id. Returns
+    (rank, vec_id, rel_micro, mmr_score) ordered by rank."""
+    import pyarrow.dataset as pds
+    top = ann_cosine_topk(sf_dir, n_queries=1, k=pool)
+    pool_ids = top["vec_id"].to_numpy(np.int64)
+    rel = top["cos_micro"].to_numpy(np.int64)
+    t = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pds.field("vec_id").isin([int(v) for v in pool_ids]))
+    pdf = t.to_pandas().set_index("vec_id").loc[pool_ids]
+    P = _normalize(np.stack(pdf["embedding"].to_numpy())
+                   .astype(np.float64))
+    sims = np.floor((P @ P.T) * 1_000_000 + 0.5).astype(np.int64)
+    lam, ilam = lambda_milli, 1000 - lambda_milli
+    selected: list = []
+    remaining = list(range(len(pool_ids)))
+    # first pick: pure relevance (the conventional MMR seed)
+    first = min(remaining, key=lambda i: (-rel[i], pool_ids[i]))
+    selected.append(first)
+    remaining.remove(first)
+    scores = [lam * int(rel[first]) - ilam * 0]
+    while remaining and len(selected) < k:
+        best, best_s = None, None
+        for i in remaining:
+            mx = int(sims[i, selected].max())
+            s = lam * int(rel[i]) - ilam * mx
+            if best is None or s > best_s or \
+                    (s == best_s and pool_ids[i] < pool_ids[best]):
+                best, best_s = i, s
+        selected.append(best)
+        scores.append(best_s)
+        remaining.remove(best)
+    return pd.DataFrame({
+        "rank": pd.Series(range(1, len(selected) + 1), dtype="int64"),
+        "vec_id": pd.Series([int(pool_ids[i]) for i in selected],
+                            dtype="int64"),
+        "rel_micro": pd.Series([int(rel[i]) for i in selected],
+                               dtype="int64"),
+        "mmr_score": pd.Series(scores, dtype="int64")})

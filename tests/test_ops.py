@@ -1433,6 +1433,36 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_mmr_select_properties(ray_session):
+    """First pick is the pure-relevance argmax; no repeats; each later
+    pick maximizes the integer MMR objective over the remaining pool;
+    diversity actually binds (some pick is not the next-by-relevance)."""
+    from erex.ops.similarity import (_normalize, ann_cosine_topk,
+                                     mmr_select)
+    out = mmr_select(SF, k=5, pool=16, lambda_milli=500)
+    top = ann_cosine_topk(SF, n_queries=1, k=16)
+    assert out.loc[0, "vec_id"] == top.loc[0, "vec_id"]
+    assert out["vec_id"].is_unique
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").set_index(
+        "vec_id")
+    P = _normalize(np.stack(
+        emb.loc[top["vec_id"], "embedding"].to_numpy())
+        .astype(np.float64))
+    sims = np.floor((P @ P.T) * 1_000_000 + 0.5).astype(np.int64)
+    pool_ids = top["vec_id"].to_numpy(np.int64)
+    rel = top["cos_micro"].to_numpy(np.int64)
+    pos = {int(v): i for i, v in enumerate(pool_ids)}
+    chosen = [pos[int(v)] for v in out["vec_id"]]
+    for t in range(1, len(chosen)):
+        sel = chosen[:t]
+        scores = {i: 500 * int(rel[i]) - 500 * int(sims[i, sel].max())
+                  for i in range(len(pool_ids)) if i not in sel}
+        best = min(scores, key=lambda i: (-scores[i], pool_ids[i]))
+        assert chosen[t] == best
+        assert out.loc[t, "mmr_score"] == scores[best]
+    assert list(out["vec_id"]) != list(top["vec_id"].head(5))
+
+
 def test_span_corruption_stats_matches_serial(ray_session):
     """Deterministic mask == serial position-set arithmetic (masked
     set built explicitly, runs counted as contiguous blocks) —
