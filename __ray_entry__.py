@@ -635,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_by_component": dedup.split_by_component,
         "span_corruption_stats": text.span_corruption_stats,
         "mmr_select": similarity.mmr_select,
+        "alpha_mix_weights": text.alpha_mix_weights,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -2683,6 +2684,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(s.sm) AS BIGINT) AS dsir_micro
             FROM b JOIN s ON s.bk = b.bk
             GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        # alpha temperature mixture: pow parity (libm doubles), each
+        # raw weight micro-rounded BEFORE the normalizing sum so the
+        # normalization is order-free integer arithmetic
+        "alpha_mix_weights": f"""
+            WITH c AS (SELECT lang AS grp,
+                              CAST(COUNT(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM c),
+            r AS (SELECT grp, n_docs,
+                         CAST(FLOOR(pow(n_docs / CAST(t AS DOUBLE),
+                                        {300 / 1000.0!r})
+                              * 1000000 + 0.5) AS BIGINT) AS raw_micro
+                  FROM c, tot),
+            s AS (SELECT CAST(SUM(raw_micro) AS BIGINT) AS sm FROM r)
+            SELECT grp AS "group", n_docs, raw_micro,
+                   CAST(1000 * raw_micro // GREATEST(1, s.sm)
+                        AS BIGINT) AS weight_milli
+            FROM r, s ORDER BY "group"
         """,
         # T5 span-corruption mask: identical md5(doc:pos) start rule;
         # runs merge when start gap <= span_len (same LAG/cumsum merge

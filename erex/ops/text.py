@@ -1723,3 +1723,32 @@ def span_corruption_stats(sf_dir: str, span_len: int = 3,
     return ds.map_batches(stats, batch_format="pyarrow",
                           **remote_args())\
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def alpha_mix_weights(sf_dir: str, alpha_milli: int = 300,
+                      by: str = "lang") -> pd.DataFrame:
+    """Temperature-scaled mixture weights (the mT5 / XLM-R alpha
+    sampling rule, alpha = alpha_milli/1000): a group's sampling
+    weight is (n_g / N) ** alpha renormalized, which upsamples
+    low-resource groups. One tiny distributed groupby gets the group
+    counts; each raw weight is micro-rounded BEFORE the normalizing
+    sum so the normalization is pure integer arithmetic — order-free,
+    hence batch- and SQL-replica-stable (a float sum's value would
+    depend on DuckDB's unspecified aggregation order). Returns
+    (group, n_docs, raw_micro, weight_milli) ordered by group, with
+    weight_milli = floor(1000 * raw_micro / sum(raw_micro))."""
+    from ray.data.aggregate import Count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[by])
+    cnt = ds.groupby(by).aggregate(Count(alias_name="n_docs"))\
+        .to_pandas().sort_values(by).reset_index(drop=True)
+    n = cnt["n_docs"].to_numpy(np.int64)
+    total = int(n.sum())
+    raw = np.floor(np.power(n / float(total), alpha_milli / 1000.0)
+                   * 1_000_000 + 0.5).astype(np.int64)
+    s = int(raw.sum())
+    out = pd.DataFrame({"group": cnt[by].astype(str),
+                        "n_docs": pd.Series(n, dtype="int64"),
+                        "raw_micro": pd.Series(raw, dtype="int64"),
+                        "weight_milli": pd.Series(
+                            1000 * raw // max(1, s), dtype="int64")})
+    return out.sort_values("group").reset_index(drop=True)

@@ -1433,6 +1433,26 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_alpha_mix_weights_upsamples_low_resource(ray_session):
+    """Weights match the serial alpha rule; the majority lang's share
+    shrinks vs its raw frequency and minorities grow."""
+    from erex.ops.text import alpha_mix_weights
+    out = alpha_mix_weights(SF, alpha_milli=300)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+    cnt = docs["lang"].value_counts().sort_index()
+    n = cnt.to_numpy(np.int64)
+    raw = np.floor(np.power(n / float(n.sum()), 0.3)
+                   * 1_000_000 + 0.5).astype(np.int64)
+    assert list(out["group"]) == list(cnt.index)
+    assert list(out["raw_micro"]) == list(raw)
+    assert list(out["weight_milli"]) == list(1000 * raw // raw.sum())
+    freq_milli = 1000 * n // n.sum()
+    big = int(np.argmax(n))
+    assert out["weight_milli"].iloc[big] < freq_milli[big]
+    small = int(np.argmin(n))
+    assert out["weight_milli"].iloc[small] > freq_milli[small]
+
+
 def test_mmr_select_properties(ray_session):
     """First pick is the pure-relevance argmax; no repeats; each later
     pick maximizes the integer MMR objective over the remaining pool;
