@@ -636,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption_stats": text.span_corruption_stats,
         "mmr_select": similarity.mmr_select,
         "alpha_mix_weights": text.alpha_mix_weights,
+        "daily_unique_users_hll": sketch.daily_unique_users_hll,
         "token_budget_select": text.token_budget_select,
         "source_cap_sample": text.source_cap_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -2531,6 +2532,51 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(1 AS HUGEINT) << 55))) AS BIGINT)
                        AS est_distinct
             FROM agg
+        """,
+        # grouped HLL: per-day register replica + the small-range
+        # linear-counting branch (m ln(m/zeros), +0.5 floor)
+        "daily_unique_users_hll": """
+            WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+                               user_id
+                        FROM events),
+            h AS (SELECT day,
+                         CAST(concat('0x', substr(md5(CAST(user_id
+                              AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+                  FROM du),
+            reg AS (SELECT day, CAST(h >> 54 AS BIGINT) AS bucket,
+                           CASE WHEN (h & ((CAST(1 AS UBIGINT) << 54)
+                                           - 1)) = 0 THEN 55
+                                ELSE strpos(lpad(bin(h &
+                                    ((CAST(1 AS UBIGINT) << 54) - 1)),
+                                    54, '0'), '1') END AS rho
+                    FROM h),
+            mx AS (SELECT day, bucket, MAX(rho) AS r FROM reg
+                   GROUP BY day, bucket),
+            agg AS (SELECT day, COUNT(*) AS nz,
+                           SUM(CAST(1 AS HUGEINT) << (55 - r)) AS s_nz
+                    FROM mx GROUP BY day),
+            ex AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_exact
+                   FROM du GROUP BY day),
+            es AS (SELECT day,
+                          CAST((CAST(72054 AS HUGEINT) * 1024 * 1024
+                                * (CAST(1 AS HUGEINT) << 55))
+                               // (100000 * (s_nz + (1024 - nz)
+                                   * (CAST(1 AS HUGEINT) << 55)))
+                               AS BIGINT) AS raw,
+                          CAST(1024 - nz AS BIGINT) AS zeros
+                   FROM agg),
+            fin AS (SELECT day,
+                           CASE WHEN zeros > 0 AND raw <= 2560
+                                THEN CAST(FLOOR(1024 * ln(1024 /
+                                     CAST(zeros AS DOUBLE)) + 0.5)
+                                     AS BIGINT)
+                                ELSE raw END AS est_distinct
+                    FROM es)
+            SELECT e.day, e.n_exact, f.est_distinct,
+                   CAST(abs(f.est_distinct - e.n_exact) * 1000
+                        // GREATEST(1, e.n_exact) AS BIGINT)
+                       AS err_milli
+            FROM ex e JOIN fin f USING (day) ORDER BY e.day
         """,
         # full integer replica of the count-min sketch: same hash
         # family ((a*h+b) mod p mod W), same cell sums, same min-over-

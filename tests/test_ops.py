@@ -1433,6 +1433,37 @@ def test_dup_span_mask_matches_serial(ray_session):
     assert len(got) > 0  # non-trivially exercised at sf0.001
 
 
+def test_daily_unique_users_hll_matches_serial(ray_session):
+    """Per-day grouped HLL == serial register simulation (including
+    the linear-counting branch), exact counts exact."""
+    from erex.ops.sketch import (HLL_M, _ALPHA_DEN, _ALPHA_NUM,
+                                 _RHO_EMPTY, daily_unique_users_hll,
+                                 hll_register)
+    out = daily_unique_users_hll(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "user_id"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = {r.day: (r.n_exact, r.est_distinct, r.err_milli)
+           for r in out.itertuples()}
+    for day, g in ev.groupby("day"):
+        users = g["user_id"].drop_duplicates()
+        reg: dict = {}
+        for u in users:
+            b, r = hll_register(str(int(u)))
+            reg[b] = max(reg.get(b, 0), r)
+        nz = len(reg)
+        total = sum(1 << (_RHO_EMPTY - r) for r in reg.values()) \
+            + (HLL_M - nz) * (1 << _RHO_EMPTY)
+        est = (_ALPHA_NUM * HLL_M * HLL_M * (1 << _RHO_EMPTY)) \
+            // (_ALPHA_DEN * total)
+        zeros = HLL_M - nz
+        if zeros > 0 and est <= (5 * HLL_M) // 2:
+            est = int(np.floor(HLL_M * np.log(HLL_M / zeros) + 0.5))
+        err = abs(est - len(users)) * 1000 // max(1, len(users))
+        assert got[day] == (len(users), est, err)
+    assert len(got) == ev["day"].nunique()
+
+
 def test_alpha_mix_weights_upsamples_low_resource(ray_session):
     """Weights match the serial alpha rule; the majority lang's share
     shrinks vs its raw frequency and minorities grow."""
