@@ -572,13 +572,17 @@ def _catena_triples_tsv(sf_dir: str):
     return out.sort_values(["doc_sha", "line"]).reset_index(drop=True)
 
 
-def _catena_closure_prf(sf_dir: str):
-    """Closure-aware graph P/R (A3) micro-averaged over documents."""
+def _catena_closure_prf(sf_dir: str, implicit: bool = False):
+    """Closure-aware graph P/R (A3) micro-averaged over documents —
+    TempEval-3 evaluate_two_files semantics (reduced-graph
+    denominators; pinned against the actual py2 tool in
+    tests/test_evalx_te3.py).  implicit=True scores with the tool's
+    implicit_in_recall variant."""
     import pandas as pd
     from erex.evalx import closure_aware_prf
     res = closure_aware_prf(_merged_ds(
         sf_dir, columns=["doc_sha", "kind", "consistent", "subj", "obj",
-                         "pred", "gold"]))
+                         "pred", "gold"]), implicit_in_recall=implicit)
     return pd.DataFrame([{
         "p_milli": int(1000 * res["precision"]),
         "r_milli": int(1000 * res["recall"]),
@@ -763,6 +767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catena_timeml": _catena_timeml,
         "catena_triples_tsv": _catena_triples_tsv,
         "catena_closure_prf": _catena_closure_prf,
+        "catena_closure_prf_implicit": lambda sf: _catena_closure_prf(
+            sf, implicit=True),
         "train_matrix_libsvm": _train_matrix_libsvm,
     }
     front = [k for k in _R5_FRONT if k in q]
@@ -788,6 +794,7 @@ _R5_FRONT = [
     # changed in round 5 — re-confirm under the driver
     "dup_span_mask", "dup_span_clean", "event_props_stats",
     "hard_negatives", "mmr_select", "catena_closure_prf",
+    "catena_closure_prf_implicit",
 ]
 
 

@@ -188,6 +188,25 @@ class TimeGraph:
         self.final.append((src, tgt, label))
         return True
 
+    def entails(self, x: str, y: str, label: str) -> bool:
+        """True iff every point constraint of `label` between (x, y)
+        already holds in the closure — the TempEval-3 evaluator's
+        interval_rel_X_Y(..., 'evaluation') == 'true' predicate
+        (relation_to_timegraph.py:1734-1974: per-label conjunction of
+        point relations, UNKNOWN/contradiction both count as no-match;
+        entities absent from the graph return UNKNOWN there, False
+        here)."""
+        cons = _CONSTRAINTS.get(label)
+        if cons is None or x not in self._idx or y not in self._idx:
+            return False
+        si, ti = self._idx[x], self._idx[y]
+        for (s1, e1), r, (s2, e2) in cons:
+            p = (si if s1 == 0 else ti) + e1
+            q = (si if s2 == 0 else ti) + e2
+            if self._rel(p, q) != r:
+                return False
+        return True
+
     def infer(self, x: str, y: str):
         """Entailed TLINK label for (x, y), or None. Checked in a fixed
         specific-to-general order so e.g. BEGINS wins over its INCLUDES
