@@ -1894,11 +1894,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # JSON property extraction: CAST(json_extract AS BIGINT) is
         # null for absent/malformed k, matching the engine's parse
+        # k counts only when the JSON value is an INTEGER (booleans,
+        # floats, strings null out — json_type gate + TRY_CAST, the
+        # engine's isinstance(int)-not-bool policy; round-5 ADVICE)
         "event_props_stats": """
-            WITH x AS (
+            WITH j AS (
+                SELECT event_type, TRY_CAST(props AS JSON) AS p
+                FROM events),
+            x AS (
                 SELECT event_type,
-                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
-                FROM events)
+                       CASE WHEN json_type(p, '$.k')
+                                 IN ('BIGINT', 'UBIGINT')
+                            THEN TRY_CAST(json_extract(p, '$.k')
+                                          AS BIGINT) END AS k
+                FROM j)
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(COUNT(k) AS BIGINT) AS n_with_k,
@@ -1949,10 +1958,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE i.doc_id % 2 = 1 AND s.doc_id % 2 = 0
             GROUP BY i.doc_id ORDER BY i.doc_id
         """,
-        # exact-substring span masking: identical md5>>1 k-gram hashes
-        # (collisions mirrored), global occurrence count > 1 marks a
-        # position, windows merged when gap <= k (LAG/SUM(b) replica of
-        # the engine's shift/cumsum merge)
+        # exact-substring span masking: the engine's rolling-polynomial
+        # k-gram key is injective on the k-gram up to 64-bit hash
+        # collisions (the minhash band-key precedent), so the oracle
+        # groups by the k-gram STRING itself; global occurrence count
+        # > 1 marks a position, windows merged when gap <= k
+        # (LAG/SUM(b) replica of the engine's shift/cumsum merge)
         "dup_span_mask": """
             WITH toks AS (
                 SELECT doc_id,
@@ -1960,15 +1971,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             kg AS (
                 SELECT doc_id, i - 1 AS pos,
-                       CAST(CAST(concat('0x', substr(md5(
-                            array_to_string(ws[i:i+7], ' ')), 1, 16))
-                            AS UBIGINT) >> 1 AS BIGINT) AS h
+                       array_to_string(ws[i:i+7], ' ') AS g8
                 FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
                 WHERE len(ws) >= 8),
             dup AS (
                 SELECT doc_id, pos FROM kg
-                WHERE h IN (SELECT h FROM kg GROUP BY h
-                            HAVING COUNT(*) > 1)),
+                WHERE g8 IN (SELECT g8 FROM kg GROUP BY g8
+                             HAVING COUNT(*) > 1)),
             brk AS (
                 SELECT doc_id, pos,
                        CASE WHEN pos - LAG(pos) OVER w > 8 OR
@@ -1994,15 +2003,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             kg AS (
                 SELECT doc_id, i - 1 AS pos,
-                       CAST(CAST(concat('0x', substr(md5(
-                            array_to_string(ws[i:i+7], ' ')), 1, 16))
-                            AS UBIGINT) >> 1 AS BIGINT) AS h
+                       array_to_string(ws[i:i+7], ' ') AS g8
                 FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
                 WHERE len(ws) >= 8),
             dup AS (
                 SELECT doc_id, pos FROM kg
-                WHERE h IN (SELECT h FROM kg GROUP BY h
-                            HAVING COUNT(*) > 1)),
+                WHERE g8 IN (SELECT g8 FROM kg GROUP BY g8
+                             HAVING COUNT(*) > 1)),
             brk AS (
                 SELECT doc_id, pos,
                        CASE WHEN pos - LAG(pos) OVER w > 8 OR

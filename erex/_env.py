@@ -28,13 +28,40 @@ def remote_args() -> dict:
     return {"runtime_env": {"env_vars": {"PYTHONPATH": path}}}
 
 
-def stable_shard64(s: str) -> int:
-    """Canonical md5-derived string shard key (0..63). Python's hash()
-    is per-process salted and must never be a shuffle key; new operator
-    families should use this ONE definition (dedup.py predates it with
-    equivalent local variants kept for shard-layout stability)."""
+def stable_shard64(s: str, n_shards: int = 64) -> int:
+    """Canonical md5-derived string shard key (0..n_shards-1; the
+    name keeps the historical default). Python's hash() is per-process
+    salted and must never be a shuffle key; new operator families
+    should use this ONE definition (dedup.py predates it with
+    equivalent local variants kept for shard-layout stability).  Size
+    n_shards with default_shard_count()."""
     import hashlib
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 64
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n_shards
+
+
+def default_shard_count(est_rows: int | None = None, *,
+                        rows_per_shard: int = 1_000_000,
+                        lo: int = 16, hi: int = 65_536) -> int:
+    """Shard count for the shard-then-local-combine reductions (the
+    pattern that replaces Ray's per-key groupby().aggregate(), whose
+    ~1.5 ms/group cost is pathological for million-key tables).  Each
+    shard group materializes as ONE pandas frame inside one worker, so
+    the count must grow with BOTH the cluster (keep every core busy —
+    2 x CPUs) and the data (keep ~rows_per_shard rows per shard so
+    1/N of a 100x corpus still fits a worker's heap).  est_rows is a
+    cheap upper-bound estimate (parquet metadata row count x expected
+    fan-out); pass None when no estimate is available and only the
+    cluster term applies.  Returns a power of two so call sites can
+    mask (& (n-1)) as well as mod; outputs of every caller are
+    shard-count-invariant (per-key reductions over disjoint key sets),
+    proven by the block-size-invariance tests."""
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    n = max(lo, 2 * ncpu)
+    if est_rows:
+        n = max(n, -(-int(est_rows) // rows_per_shard))
+    return min(hi, 1 << (int(n) - 1).bit_length())
 
 
 def pool_size(frac: float = 0.5, lo: int = 2, hi: int = 64) -> tuple:

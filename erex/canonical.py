@@ -170,13 +170,16 @@ def entity_resolution(nodes: "rd.Dataset",
 
     import pandas as pd
 
+    from ._env import default_shard_count
+    nsh = default_shard_count()
+
     def prep(t: pa.Table) -> pa.Table:
         keys = t.column("node_key").to_pylist()
         kinds = t.column("node_kind").to_pylist()
         surfs = t.column("surface").to_pylist()
         norms = [_er_norm(s) for s in surfs]
         blocks = [k + "|" + n[:2] for k, n in zip(kinds, norms)]
-        shards = [int(hashlib.md5(b.encode()).hexdigest()[:4], 16) % 64
+        shards = [int(hashlib.md5(b.encode()).hexdigest()[:4], 16) % nsh
                   for b in blocks]
         return pa.table({"node_key": pa.array(keys, pa.string()),
                          "norm": pa.array(norms, pa.string()),

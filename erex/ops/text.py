@@ -485,8 +485,14 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
     map_groups would be the tiny-group pathology at web vocabulary
     sizes). Postings are strings here for the exact SQL compare; a
     production sink would write list<int64> parquet instead."""
+    import pyarrow.parquet as pq
+    from .._env import default_shard_count
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+    # token-shard count sized to corpus scale (distinct tokens per doc
+    # is the fan-out; ~100/doc is a generous web-text estimate)
+    nsh = default_shard_count(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 100)
     tok = LOWER_TOKEN_RE
 
     def explode(t: pa.Table) -> pa.Table:
@@ -498,7 +504,7 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
                 docs.append(d)
         tbl = pa.table({"token": pa.array(toks, pa.string()),
                         "doc_id": pa.array(docs, pa.int64())})
-        sh = [stable_shard64(w) for w in toks]
+        sh = [stable_shard64(w, nsh) for w in toks]
         return tbl.append_column("tshard", pa.array(sh, pa.int32()))
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
@@ -609,9 +615,9 @@ def _tfidf_join(ds: "rd.Dataset", dfs_ds: "rd.Dataset", n_docs: int,
     for the per-doc top-k. math.log and np.log resolve to the same
     libm values for float64, so the two modes score identically
     (asserted in tests value-for-value)."""
-    from .._env import drop_schemaless_blocks
+    from .._env import default_join_partitions, default_shard_count, \
+        drop_schemaless_blocks
     tok = LOWER_TOKEN_RE
-    from .._env import default_join_partitions
     npart = default_join_partitions()
     # the DF aggregate emits schema-less empty blocks when the
     # vocabulary is smaller than its partition count — fatal inside the
@@ -636,6 +642,8 @@ def _tfidf_join(ds: "rd.Dataset", dfs_ds: "rd.Dataset", n_docs: int,
                             **remote_args())\
         .join(dfs_ds, "inner", npart, on=("token",))
 
+    nsh = default_shard_count(n_docs)
+
     def score_shard(t: pa.Table) -> pa.Table:
         tf = t.column("tf").to_numpy().astype(np.float64)
         d = t.column("d").to_numpy().astype(np.float64)
@@ -645,7 +653,8 @@ def _tfidf_join(ds: "rd.Dataset", dfs_ds: "rd.Dataset", n_docs: int,
         out = pa.table({"doc_id": t.column("doc_id"),
                         "token": t.column("token"),
                         "tfidf_micro": pa.array(s, pa.int64()),
-                        "dshard": pa.array((ids & 63).astype(np.int32))})
+                        "dshard": pa.array(
+                            (ids & (nsh - 1)).astype(np.int32))})
         return out
 
     def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -1506,8 +1515,12 @@ def source_cap_sample(sf_dir: str, cap: int = SOURCE_CAP) -> pd.DataFrame:
     pass per shard — no per-source tiny-group pathology at web-scale
     domain counts. Returns (source, rank, doc_id, hash32) ordered by
     (source, rank)."""
+    from .._env import default_shard_count
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source"])
+    # post-prune rows per shard <= cap x sources; CPU-based count is
+    # plenty (the exchange already carries only block-local winners)
+    nsh = default_shard_count()
 
     def prune(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1524,7 +1537,7 @@ def source_cap_sample(sf_dir: str, cap: int = SOURCE_CAP) -> pd.DataFrame:
             for d in df["doc_id"]]
         df = df.sort_values(["source", "hash32", "doc_id"])\
             .groupby("source", sort=False).head(cap)
-        df["sshard"] = [stable_shard64(s) for s in df["source"]]
+        df["sshard"] = [stable_shard64(s, nsh) for s in df["source"]]
         # strip the pandas schema metadata: its dict payload defeats
         # Ray's schema-dedup hash in the groupby exchange (log spam)
         return pa.Table.from_pandas(df, preserve_index=False)\

