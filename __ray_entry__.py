@@ -127,11 +127,30 @@ def _flagship_lineage(sf_dir: str):
     return df.sort_values("frag_id").reset_index(drop=True)
 
 
+_ER_NODES_INPUT = "/tmp/erex_corpus/er_nodes_input.parquet"
+
+
 def _entity_resolution(sf_dir: str):
+    """Blocked fuzzy entity resolution over the canonical node table.
+    The node table (node_key, node_kind, surface) is also written to a
+    FIXED path (the parse_stats fixture convention) so the DuckDB
+    oracle can re-derive the blocking + char-3-gram-Jaccard union-find
+    from the same input with SQL only."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     from erex.canonical import canonical_nodes, entity_resolution
     nodes = canonical_nodes(_merged_ds(
         sf_dir, columns=["kind", "subj_key", "node_kind", "surface",
                          "attr"]))
+    fix = nodes.to_pandas()[["node_key", "node_kind", "surface"]]\
+        .sort_values("node_key").reset_index(drop=True)
+    for c in fix.columns:
+        if str(fix[c].dtype) == "category":
+            fix[c] = fix[c].astype(str)
+    os.makedirs(os.path.dirname(_ER_NODES_INPUT), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(fix, preserve_index=False),
+                   _ER_NODES_INPUT)
     return entity_resolution(nodes)
 
 
@@ -1409,6 +1428,72 @@ def _components_sql() -> str:
     return f"""
         WITH RECURSIVE {_components_ctes()}
         SELECT doc_id, component_id FROM lab ORDER BY doc_id
+    """
+
+
+def _entity_resolution_sql() -> str:
+    """DuckDB replica of erex.canonical.entity_resolution over the
+    fixed-path node fixture the query callable writes: the same
+    normalization (the one lowercase tokenizer), (node_kind, 2-char
+    prefix) blocking, distinct char-3-gram sets, integer-milli Jaccard
+    edges at the same threshold, recursive hash-min component walk
+    (the dedup_components precedent) with entity_id = min node_key,
+    and the oversize-block exact-normalized-equality fallback."""
+    from erex.canonical import ER_MAX_BLOCK, ER_THRESHOLD_MILLI
+    return f"""
+        WITH RECURSIVE nodes AS (
+            SELECT node_key, node_kind,
+                   array_to_string(regexp_extract_all(lower(surface),
+                                                      '[a-z0-9]+'),
+                                   ' ') AS norm
+            FROM read_parquet('{_ER_NODES_INPUT}')),
+        b AS (
+            SELECT node_key, norm,
+                   node_kind || '|' || substr(norm, 1, 2) AS block
+            FROM nodes),
+        bc AS (SELECT block, COUNT(*) AS n FROM b GROUP BY block),
+        small AS (SELECT b.* FROM b JOIN bc USING (block)
+                  WHERE bc.n <= {ER_MAX_BLOCK}),
+        big AS (SELECT b.* FROM b JOIN bc USING (block)
+                WHERE bc.n > {ER_MAX_BLOCK}),
+        g AS (
+            SELECT DISTINCT node_key, block,
+                   substr(norm, CAST(i AS INT), 3) AS gram
+            FROM small, UNNEST(range(1, len(norm) - 1)) AS t(i)
+            WHERE len(norm) >= 3
+            UNION
+            SELECT DISTINCT node_key, block, norm FROM small
+            WHERE len(norm) BETWEEN 1 AND 2),
+        gs AS (SELECT node_key, COUNT(*) AS sz FROM g GROUP BY node_key),
+        pr AS (
+            SELECT x.node_key AS ka, y.node_key AS kb,
+                   COUNT(*) AS inter
+            FROM g x JOIN g y ON x.block = y.block AND x.gram = y.gram
+                 AND x.node_key < y.node_key
+            GROUP BY x.node_key, y.node_key),
+        pairs AS (
+            SELECT pr.ka, pr.kb FROM pr
+            JOIN gs a ON a.node_key = pr.ka
+            JOIN gs c ON c.node_key = pr.kb
+            WHERE 1000 * pr.inter // (a.sz + c.sz - pr.inter)
+                  >= {ER_THRESHOLD_MILLI}),
+        edges AS (SELECT ka AS u, kb AS v FROM pairs
+                  UNION SELECT kb, ka FROM pairs),
+        walk(u, lab) AS (
+            SELECT node_key, node_key FROM small
+            UNION
+            SELECT e.u, w.lab FROM edges e JOIN walk w ON w.u = e.v),
+        small_ent AS (SELECT u AS node_key, MIN(lab) AS entity_id
+                      FROM walk GROUP BY u),
+        big_ent AS (
+            SELECT x.node_key, m.eid AS entity_id
+            FROM big x JOIN (SELECT block, norm, MIN(node_key) AS eid
+                             FROM big GROUP BY block, norm) m
+              ON m.block = x.block AND m.norm = x.norm)
+        SELECT node_key, entity_id FROM small_ent
+        UNION ALL
+        SELECT node_key, entity_id FROM big_ent
+        ORDER BY node_key
     """
 
 
@@ -3138,6 +3223,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _components_sql(),
         "dedup_report": _dedup_report_sql(),
         "fk_integrity": _fk_integrity_sql(),
+        "entity_resolution": _entity_resolution_sql(),
         "split_by_component": _split_by_component_sql(),
         "mmr_select": _mmr_sql(),
         "dedup_keep_best": _keep_best_sql(),
