@@ -796,6 +796,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             **{k: v for k, v in q.items() if k not in _R5_FRONT}}
 
 
+def streaming_sinks() -> dict[str, Callable[[str, str], None]]:
+    """Dataset-native sink variants of the per-document-row operators:
+    each callable takes (sf_dir, out_dir) and streams the result to
+    partitioned parquet WITHOUT ever building the result DataFrame on
+    the driver — the path a 100-TB user takes (`python -m erex dataops
+    OP --out DIR --stream`).  The DataFrame-returning queries() entries
+    stay as the oracle contract; both run the same pipeline (the
+    DataFrame wrapper is `.to_pandas().sort_values(...)` on the same
+    Dataset), so the driver-checked hashes pin the sink path too."""
+    from erex.ops import dedup, text
+
+    ops = {
+        "token_count": text.token_count,
+        "token_count_bpe": text.token_count_bpe,
+        "quality_score": text.quality_score,
+        "quality_filter": text.quality_filter,
+        "stopword_ratio": text.stopword_ratio,
+        "lang_id": text.lang_id,
+        "doc_fingerprint": text.doc_fingerprint,
+        "repetition_stats": text.repetition_stats,
+        "dup_span_mask": dedup.dup_span_mask,
+        "dup_span_clean": dedup.dup_span_clean,
+    }
+
+    def sink(fn):
+        def run(sf_dir: str, out_dir: str) -> None:
+            fn(sf_dir, as_dataset=True).write_parquet(out_dir)
+        return run
+
+    return {name: sink(fn) for name, fn in ops.items()}
+
+
 # The 21 queries() entries with NO driver-side CORRECTNESS row across
 # rounds 1-4 (the driver's ~50-entry window never reached them; all but
 # flagship_lineage and — until round 5 — entity_resolution have DuckDB

@@ -77,6 +77,10 @@ def main(argv=None):
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--out", default=None,
                    help="write result parquet here instead of printing")
+    p.add_argument("--stream", action="store_true",
+                   help="stream to partitioned parquet via the op's "
+                   "Dataset sink (never builds the result frame on "
+                   "the driver; requires --out)")
     p.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser("train", help="train the four liblinear models")
@@ -116,6 +120,24 @@ def main(argv=None):
             print(f"unknown op {args.op!r}; `dataops list` shows all",
                   file=sys.stderr)
             return 2
+        if args.stream:
+            sinks = mod.streaming_sinks()
+            if not args.out:
+                print("--stream requires --out", file=sys.stderr)
+                return 2
+            if args.op not in sinks:
+                print(f"{args.op!r} has no streaming sink; available: "
+                      + " ".join(sorted(sinks)), file=sys.stderr)
+                return 2
+            _init_ray(args.num_cpus)
+            t0 = time.time()
+            sinks[args.op](args.sf_dir, args.out)
+            print(json.dumps({"op": args.op, "out": args.out,
+                              "streamed": True,
+                              "sec": round(time.time() - t0, 2)}))
+            import ray
+            ray.shutdown()
+            return 0
         _init_ray(args.num_cpus)
         t0 = time.time()
         df = qs[args.op](args.sf_dir)

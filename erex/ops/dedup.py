@@ -1139,7 +1139,7 @@ def _dup_positions(sf_dir: str, k: int) -> "rd.Dataset":
                         **remote_args()))
 
 
-def dup_span_mask(sf_dir: str, k: int = 8) -> pd.DataFrame:
+def dup_span_mask(sf_dir: str, k: int = 8, as_dataset: bool = False):
     """Exact-substring duplicate-span masking (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
     transform, at word granularity): every token position whose
@@ -1171,11 +1171,17 @@ def dup_span_mask(sf_dir: str, k: int = 8) -> pd.DataFrame:
         return out.astype({"doc_id": "int64", "span_start": "int64",
                            "span_end": "int64", "n_dup_pos": "int64"})
 
-    df = (_dup_positions(sf_dir, k)
-          .groupby("dshard")
-          .map_groups(span_merge, batch_format="pandas",
-                      **remote_args())
-          .to_pandas())
+    spans = (_dup_positions(sf_dir, k)
+             .groupby("dshard")
+             .map_groups(span_merge, batch_format="pandas",
+                         **remote_args()))
+    if as_dataset:      # streaming sink path: no driver frame, doc
+        from .._env import drop_schemaless_blocks
+        return drop_schemaless_blocks(
+            spans, empty_schema={
+                "doc_id": pa.int64(), "span_start": pa.int64(),
+                "span_end": pa.int64(), "n_dup_pos": pa.int64()})
+    df = spans.to_pandas()
     if "doc_id" not in df.columns:
         # zero duplicated k-grams: all-empty map_groups output is
         # schema-less — rebuild the typed empty result
@@ -1186,7 +1192,7 @@ def dup_span_mask(sf_dir: str, k: int = 8) -> pd.DataFrame:
         .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
 
 
-def dup_span_clean(sf_dir: str, k: int = 8) -> pd.DataFrame:
+def dup_span_clean(sf_dir: str, k: int = 8, as_dataset: bool = False):
     """The cleaning step behind dup_span_mask: per document, how many
     tokens the merged duplicate spans would cut and what fraction
     survives — the corpus-shrink report a dedup run publishes before
@@ -1231,15 +1237,32 @@ def dup_span_clean(sf_dir: str, k: int = 8) -> pd.DataFrame:
     masked = drop_schemaless_blocks(
         masked, empty_schema={"doc_id": pa.int64(),
                               "n_masked": pa.int64()})
-    df = tok.join(masked, "left_outer", _join_partitions(),
-                  on=("doc_id",)).to_pandas()
-    nm = df["n_masked"].fillna(0).astype("int64")
-    nt = df["n_tokens"].astype("int64")
-    kept = np.where(nt > 0, 1000 * (nt - nm) // nt.clip(lower=1), 1000)
-    out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
-                        "n_tokens": nt, "n_masked": nm,
-                        "kept_milli": kept.astype("int64")})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    joined = tok.join(masked, "left_outer", _join_partitions(),
+                      on=("doc_id",))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        if "n_masked" not in g.columns:
+            if len(g) == 0:
+                g = g.assign(n_masked=pd.Series([], dtype="float64"))
+            else:
+                # a non-empty join block must carry the right side —
+                # losing it would silently zero n_masked (fk_integrity
+                # lesson): fail loudly instead
+                raise RuntimeError("join block lost n_masked column")
+        nm = g["n_masked"].fillna(0).astype("int64")
+        nt = g["n_tokens"].astype("int64")
+        kept = np.where(nt > 0, 1000 * (nt - nm) // nt.clip(lower=1),
+                        1000)
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "n_tokens": nt, "n_masked": nm,
+                             "kept_milli": kept.astype("int64")})
+
+    out_ds = joined.map_batches(finalize, batch_format="pandas",
+                                **remote_args())
+    if as_dataset:      # streaming sink path: no driver frame
+        return out_ds
+    return out_ds.to_pandas().sort_values("doc_id")\
+        .reset_index(drop=True)
 
 
 def dedup_report(sf_dir: str, n: int = 3,

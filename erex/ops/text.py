@@ -47,7 +47,7 @@ BPE_RE_PATTERN = (r"'(?:s|t|re|ve|ll|d|m)| ?[A-Za-z]+| ?[0-9]+"
 BPE_RE = re.compile(BPE_RE_PATTERN)
 
 
-def token_count_bpe(sf_dir: str) -> pd.DataFrame:
+def token_count_bpe(sf_dir: str, as_dataset: bool = False):
     """(doc_id, n_tokens) under the BPE-ish pre-tokenizer split — the
     token count an LLM-training pipeline budgets by, as opposed to
     token_count's plain word runs."""
@@ -60,15 +60,18 @@ def token_count_bpe(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": t.column("doc_id"),
                          "n_tokens": pa.array(n, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
-        .sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(f, batch_format="pyarrow",
+                         **remote_args())
+    if as_dataset:   # streaming sink path: no driver frame
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
              "it", "that", "for", "on", "with", "as", "at", "by", "from")
 
 
-def stopword_ratio(sf_dir: str) -> pd.DataFrame:
+def stopword_ratio(sf_dir: str, as_dataset: bool = False):
     """(doc_id, n_tokens, n_stopwords, stopword_milli) — the classic
     quality-filter signal: too-low ratios indicate non-prose (tables,
     code, boilerplate).  Integer milli ratio for exact oracle compare."""
@@ -89,11 +92,14 @@ def stopword_ratio(sf_dir: str) -> pd.DataFrame:
                          "n_stopwords": pa.array(ns, pa.int64()),
                          "stopword_milli": pa.array(ratio, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
-        .sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(f, batch_format="pyarrow",
+                         **remote_args())
+    if as_dataset:   # streaming sink path: no driver frame
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def token_count(sf_dir: str) -> pd.DataFrame:
+def token_count(sf_dir: str, as_dataset: bool = False):
     """(doc_id, n_tokens) with tokens = [A-Za-z0-9]+ runs."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -104,8 +110,11 @@ def token_count(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": t.column("doc_id"),
                          "n_tokens": pa.array(n, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
-        .sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(f, batch_format="pyarrow",
+                         **remote_args())
+    if as_dataset:   # streaming sink path: no driver frame
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def quality_milli(text: str) -> int:
@@ -117,7 +126,7 @@ def quality_milli(text: str) -> int:
     return int(1000 * a // c + (1 if (1000 * a % c) * 2 >= c else 0))
 
 
-def quality_score(sf_dir: str) -> pd.DataFrame:
+def quality_score(sf_dir: str, as_dataset: bool = False):
     """Char-class ratios as integer milli-scores:
     quality_milli = round(1000 * alpha_chars / max(1, n_chars))."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -137,8 +146,11 @@ def quality_score(sf_dir: str) -> pd.DataFrame:
                          "space_chars": pa.array(space, pa.int64()),
                          "quality_milli": pa.array(q, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
-        .sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(f, batch_format="pyarrow",
+                         **remote_args())
+    if as_dataset:   # streaming sink path: no driver frame
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 class LangId:
@@ -163,15 +175,17 @@ class LangId:
                          "lang_pred": pa.array(preds, pa.string())})
 
 
-def lang_id(sf_dir: str) -> pd.DataFrame:
+def lang_id(sf_dir: str, as_dataset: bool = False):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pyarrow", batch_size=1024,
                          concurrency=pool_size(), **remote_args())
+    if as_dataset:      # streaming sink path: no driver frame
+        return out
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def repetition_stats(sf_dir: str) -> pd.DataFrame:
+def repetition_stats(sf_dir: str, as_dataset: bool = False):
     """Gopher-style repetition quality signals per document:
     (doc_id, n_tokens, n_distinct_tokens, dup_token_milli,
     top_bigram_milli) where dup_token_milli is the fraction of token
@@ -206,8 +220,11 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
                          "dup_token_milli": pa.array(dupm, pa.int64()),
                          "top_bigram_milli": pa.array(topm, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
-        .sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(f, batch_format="pyarrow",
+                         **remote_args())
+    if as_dataset:   # streaming sink path: no driver frame
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def topk_ngrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
@@ -289,7 +306,7 @@ def rolling_fingerprint(tokens, window: int = 5) -> int:
     return best
 
 
-def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+def doc_fingerprint(sf_dir: str, as_dataset: bool = False):
     """(doc_id, fingerprint) via min rolling hash; hash-checked against
     a DuckDB replica (modular window power sums — __ray_entry__
     _fingerprint_sql) and the pytest oracle."""
@@ -302,8 +319,11 @@ def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": t.column("doc_id"),
                          "fingerprint": pa.array(fps, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
-        .sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(f, batch_format="pyarrow",
+                         **remote_args())
+    if as_dataset:   # streaming sink path: no driver frame
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 # deterministic production-filter thresholds (integer milli units)
@@ -312,7 +332,7 @@ QF_MIN_STOPWORD_MILLI = 10
 QF_MAX_DUP_MILLI = 900
 
 
-def quality_filter(sf_dir: str) -> pd.DataFrame:
+def quality_filter(sf_dir: str, as_dataset: bool = False):
     """Composite keep/drop decision — the operator a pretraining
     pipeline actually runs, composing the individual signals: reject
     'short' (< QF_MIN_TOKENS tokens), then 'low_stopword'
@@ -347,8 +367,11 @@ def quality_filter(sf_dir: str) -> pd.DataFrame:
                          "keep": pa.array(keeps, pa.bool_()),
                          "reject_reason": pa.array(reasons, pa.string())})
 
-    return ds.map_batches(f, batch_format="pyarrow", **remote_args()).to_pandas()\
-        .sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(f, batch_format="pyarrow",
+                         **remote_args())
+    if as_dataset:   # streaming sink path: no driver frame
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 DECON_N = 8               # benchmark n-gram order

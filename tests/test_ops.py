@@ -2065,3 +2065,26 @@ def test_event_props_policy_matches_oracle(ray_session, tmp_path):
     assert list(eng["event_type"]) == list(ora["event_type"])
     for c in ("n_events", "n_with_k", "sum_k", "avg_k_milli"):
         assert list(eng[c]) == list(ora[c].astype("int64")), c
+
+
+@pytest.mark.parametrize("op", ["token_count", "quality_score",
+                                "dup_span_mask", "dup_span_clean",
+                                "lang_id"])
+def test_streaming_sink_matches_dataframe(ray_session, tmp_path, op):
+    """The as_dataset sink path (write_parquet, never a driver frame)
+    yields exactly the DataFrame query's rows (round-4 verdict next
+    #8)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_sink", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out_dir = str(tmp_path / op)
+    m.streaming_sinks()[op](SF, out_dir)
+    got = pd.read_parquet(out_dir)
+    want = m.queries()[op](SF)
+    sort_cols = [c for c in ("doc_id", "span_start") if c in want.columns]
+    got = got[list(want.columns)].sort_values(sort_cols)\
+        .reset_index(drop=True)
+    want = want.sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_categorical=False)
