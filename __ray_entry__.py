@@ -767,6 +767,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_inverse_map": _label_inverse_map,
         "token_count": text.token_count,
         "quality_score": text.quality_score,
+        "doc_chunk_stats": text.doc_chunk_stats,
+        "lang_confusion": text.lang_confusion,
+        "token_entropy": text.token_entropy,
         "hash_sample": text.hash_sample,
         "q_distinct_event_types": relational.q_distinct_event_types,
         # --- CATENA flagship (SURVEY.md §2/§3; parity-pinned,
@@ -842,6 +845,8 @@ _R5_FRONT = [
     "normalized_dedup", "q5_local_supplier_volume", "q_funnel",
     "q_hopping_window", "q_order_gaps", "q_running_total",
     "rollup_counts", "stratified_sample", "token_freq_histogram",
+    # new in round 5 — need their first driver row
+    "doc_chunk_stats", "lang_confusion", "token_entropy",
     # changed in round 5 — re-confirm under the driver
     "dup_span_mask", "dup_span_clean", "event_props_stats",
     "hard_negatives", "mmr_select", "catena_closure_prf",
@@ -2597,6 +2602,54 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (SELECT doc_id, {lang_counts} FROM documents)
             SELECT doc_id, {lang_case} AS lang_pred
             FROM counts ORDER BY doc_id
+        """,
+        # the same stopword-argmax predictor, audited against the
+        # labeled lang column as a confusion table
+        "lang_confusion": f"""
+            WITH counts AS (SELECT lang, {lang_counts} FROM documents),
+            p AS (SELECT lang, {lang_case} AS lang_pred FROM counts)
+            SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        # chunk = 32, overlap = 8 => stride = 24; ceil via
+        # (extra + 23) // 24 (non-negative operands, so // == floor)
+        "doc_chunk_stats": """
+            WITH n AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                           AS n
+                FROM documents),
+            c AS (
+                SELECT doc_id, n,
+                       CASE WHEN n = 0 THEN 0
+                            ELSE 1 + (GREATEST(n - 32, 0) + 23) // 24
+                       END AS n_chunks
+                FROM n)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(n_chunks AS BIGINT) AS n_chunks,
+                   CAST(CASE WHEN n = 0 THEN 0
+                        ELSE n - (n_chunks - 1) * 24 END AS BIGINT)
+                       AS last_chunk_tokens
+            FROM c ORDER BY doc_id
+        """,
+        # n * H(doc) in integer micro-nats: per-TYPE term micro-rounded
+        # BEFORE the weighted sum (the unigram_logprob convention)
+        "token_entropy": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS t
+                FROM documents),
+            tf AS (SELECT doc_id, t, COUNT(*) AS c
+                   FROM tok GROUP BY doc_id, t),
+            nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+                   FROM tf GROUP BY doc_id)
+            SELECT tf.doc_id, nn.n AS n_tokens,
+                   CAST(SUM(tf.c * CAST(FLOOR(
+                        ln(CAST(nn.n AS DOUBLE) / tf.c) * 1000000
+                        + 0.5) AS BIGINT)) AS BIGINT) AS ent_sum_micro
+            FROM tf JOIN nn ON nn.doc_id = tf.doc_id
+            GROUP BY tf.doc_id, nn.n ORDER BY tf.doc_id
         """,
         "doc_fingerprint": _fingerprint_sql(),
         "token_count_bpe": _token_bpe_sql(),

@@ -1788,3 +1788,103 @@ def alpha_mix_weights(sf_dir: str, alpha_milli: int = 300,
                         "weight_milli": pd.Series(
                             1000 * raw // max(1, s), dtype="int64")})
     return out.sort_values("group").reset_index(drop=True)
+
+
+def doc_chunk_stats(sf_dir: str, chunk: int = 32,
+                    overlap: int = 8) -> pd.DataFrame:
+    """Fixed-size token chunking with overlap — the sequence-prep step
+    that turns documents into training windows (stride = chunk -
+    overlap; the final window keeps whatever remains).  Emits the
+    per-document summary a chunking run publishes: n_chunks =
+    1 + ceil((n - chunk) / stride) for n > chunk else 1 (0 for empty
+    docs) and the last window's token count.  Pure integer arithmetic,
+    one map_batches pass, no exchange.  Returns (doc_id, n_tokens,
+    n_chunks, last_chunk_tokens) ordered by doc_id."""
+    assert 0 <= overlap < chunk
+    stride = chunk - overlap
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = np.array([len(TOKEN_RE.findall(x))
+                      for x in t.column("text").to_pylist()], np.int64)
+        extra = np.maximum(n - chunk, 0)
+        nchunks = np.where(n == 0, 0,
+                           1 + (extra + stride - 1) // stride)
+        last = np.where(n == 0, 0, n - (nchunks - 1) * stride)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(n),
+                         "n_chunks": pa.array(nchunks.astype(np.int64)),
+                         "last_chunk_tokens": pa.array(
+                             last.astype(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID audit: confusion counts of the stopword-argmax
+    predictor (the lang_id actor pool) against the table's labeled
+    lang column — the sanity table any lang-filter deployment publishes
+    before trusting the classifier at corpus scale.  Per-batch partial
+    (lang, lang_pred) counts fold before one languages^2-scale
+    groupby-sum.  Returns (lang, lang_pred, n) ordered by (lang,
+    lang_pred)."""
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    scorer = LangId()
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = scorer(t).column("lang_pred").to_pylist()
+        agg: dict = {}
+        for lab, p in zip(t.column("lang").to_pylist(), pred):
+            agg[(lab, p)] = agg.get((lab, p), 0) + 1
+        return pa.table({
+            "lang": pa.array([k[0] for k in agg], pa.string()),
+            "lang_pred": pa.array([k[1] for k in agg], pa.string()),
+            "n": pa.array(list(agg.values()), pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **remote_args())
+           .groupby(["lang", "lang_pred"])
+           .aggregate(Sum("n", alias_name="n")))
+    return out.to_pandas().sort_values(["lang", "lang_pred"])\
+        .reset_index(drop=True)
+
+
+def token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document token-distribution entropy — the repetitiveness
+    signal complementing repetition_stats: ent_sum_micro =
+    sum over token types of c * floor(ln(n/c) * 1e6 + 0.5), i.e.
+    n * H(doc) in integer micro-nats (0 for single-type docs; the
+    per-type term is micro-rounded BEFORE the weighted sum, the
+    unigram_logprob convention, so the result is exact integer
+    arithmetic and hash-identical to the DuckDB oracle).  One
+    map_batches pass, no exchange.  Returns (doc_id, n_tokens,
+    ent_sum_micro) for docs with >= 1 token, ordered by doc_id."""
+    tok = LOWER_TOKEN_RE
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, nt, ent = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            c = Counter(tok.findall(x.lower()))
+            n = sum(c.values())
+            if n == 0:
+                continue
+            cv = np.fromiter(c.values(), np.int64, count=len(c))
+            s = np.floor(np.log(n / cv.astype(np.float64)) * 1_000_000
+                         + 0.5).astype(np.int64)
+            ids.append(d)
+            nt.append(n)
+            ent.append(int((cv * s).sum()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "ent_sum_micro": pa.array(ent, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", **remote_args())\
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

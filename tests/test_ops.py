@@ -2088,3 +2088,60 @@ def test_streaming_sink_matches_dataframe(ray_session, tmp_path, op):
         .reset_index(drop=True)
     want = want.sort_values(sort_cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_categorical=False)
+
+
+def test_doc_chunk_stats_matches_serial(ray_session):
+    from erex.ops.text import TOKEN_RE, doc_chunk_stats
+    chunk, overlap = 32, 8
+    stride = chunk - overlap
+    out = doc_chunk_stats(SF, chunk=chunk, overlap=overlap)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    for r in docs.sample(50, random_state=0).itertuples():
+        n = len(TOKEN_RE.findall(r.text))
+        row = out[out["doc_id"] == r.doc_id].iloc[0]
+        assert row["n_tokens"] == n
+        if n == 0:
+            assert row["n_chunks"] == 0
+        else:
+            # every token covered, windows overlap by `overlap`
+            nch = int(row["n_chunks"])
+            starts = [i * stride for i in range(nch)]
+            assert starts[-1] < n and (nch == 1 or
+                                       starts[-1] + chunk >= n)
+            assert row["last_chunk_tokens"] == n - starts[-1]
+
+
+def test_lang_confusion_sums_to_corpus(ray_session):
+    from erex.ops.text import lang_confusion, lang_id
+    conf = lang_confusion(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    assert conf["n"].sum() == len(docs)
+    # the confusion table aggregates exactly the lang_id predictions
+    pred = lang_id(SF).merge(docs, on="doc_id")
+    want = pred.groupby(["lang", "lang_pred"]).size()
+    for r in conf.itertuples():
+        assert want[(r.lang, r.lang_pred)] == r.n
+
+
+def test_token_entropy_matches_serial(ray_session):
+    import math
+    from collections import Counter
+    from erex.ops.text import LOWER_TOKEN_RE, token_entropy
+    out = token_entropy(SF).set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    for r in docs.sample(50, random_state=1).itertuples():
+        c = Counter(LOWER_TOKEN_RE.findall(r.text.lower()))
+        n = sum(c.values())
+        if n == 0:
+            assert r.doc_id not in out.index
+            continue
+        ent = sum(v * math.floor(math.log(n / v) * 1_000_000 + 0.5)
+                  for v in c.values())
+        assert out.loc[r.doc_id, "n_tokens"] == n
+        assert out.loc[r.doc_id, "ent_sum_micro"] == ent
+        # single-type docs have zero entropy
+        if len(c) == 1:
+            assert ent == 0
