@@ -31,10 +31,22 @@ def gen(out: str, scale: int, seed: int = 2024) -> None:
     base = "/root/testdata/sf0.1"
 
     # --- documents -----------------------------------------------------
+    # Template mixing matters: the driver's sf tables have ~9% duplicate
+    # 8-gram positions and real minhash near-dup pairs; pure uniform
+    # draws would make every k-gram unique and under-exercise the dedup
+    # machinery, so half of each document is drawn from a fixed pool of
+    # 8-word sentences (shared across documents) and half is random.
     n_docs = 5000 * scale
-    lens = rng.integers(10, 101, n_docs)
     words = np.array(VOCAB)
-    texts = [" ".join(words[rng.integers(0, 31, n)]) for n in lens]
+    pool = [" ".join(words[rng.integers(0, 31, 8)]) for _ in range(3000)]
+    texts = []
+    for _ in range(n_docs):
+        n_sent = int(rng.integers(2, 13))   # 16-96 tokens
+        parts = [pool[int(rng.integers(0, len(pool)))]
+                 if rng.random() < 0.5
+                 else " ".join(words[rng.integers(0, 31, 8)])
+                 for _ in range(n_sent)]
+        texts.append(" ".join(parts))
     pd.DataFrame({
         "doc_id": np.arange(n_docs, dtype=np.int64),
         "text": texts,
