@@ -423,35 +423,48 @@ def copurchase_triangles(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         raise ValueError(f"mode must be auto/broadcast/join: {mode}")
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # rank-ordered out-neighbor pairs per source, with sources
+        # BATCHED BY OUT-DEGREE CLASS (one reshape+take per distinct
+        # degree) instead of a Python groupby iteration per source —
+        # the same size-class triu trick as _copurchase_edges.pairs
+        # (a per-source loop costs ~50-100 us/source, pathological at
+        # web node counts)
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        key = _rank_key(g["db"].to_numpy(np.int64), b)
+        order = np.lexsort((key, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        counts = np.diff(np.r_[starts, len(a)])
         chunks = []
-        for _a, sub in g.groupby("a"):
-            bs = sub["b"].to_numpy(dtype=np.int64)
-            if len(bs) < 2:
+        for c in np.unique(counts):
+            if c < 2:
                 continue
-            k = _rank_key(sub["db"].to_numpy(dtype=np.int64), bs)
-            bs = bs[np.argsort(k)]
-            # all rank-ordered out-neighbor pairs, packed into one
-            # int64 per pair (node ids are far below 2^31)
-            iu, ju = np.triu_indices(len(bs), k=1)
-            chunks.append((bs[iu] << 32) | bs[ju])
+            idx = starts[counts == c]
+            mat = b[idx[:, None] + np.arange(c)].astype(np.uint64)
+            iu, ju = np.triu_indices(int(c), k=1)
+            # node ids are far below 2^31: pack each pair in one int64
+            chunks.append(((mat[:, iu] << np.uint64(32)) | mat[:, ju])
+                          .reshape(-1).view(np.int64))
         if not chunks:
             return pd.DataFrame({"v": pd.Series([], dtype="int64"),
                                  "w": pd.Series([], dtype="int64"),
                                  "m": pd.Series([], dtype="int64")})
         packed = np.concatenate(chunks)
-        uniq, counts = np.unique(packed, return_counts=True)
+        uniq, cnt = np.unique(packed, return_counts=True)
         return pd.DataFrame({
             "v": pd.Series(uniq >> 32, dtype="int64"),
             "w": pd.Series(uniq & 0xFFFFFFFF, dtype="int64"),
-            "m": pd.Series(counts, dtype="int64")})
+            "m": pd.Series(cnt, dtype="int64")})
 
+    from .._env import default_join_partitions
     wedge_ds = (oriented.groupby("ashard")
                 .map_groups(wedges, batch_format="pandas",
                             **remote_args()))
     closed = wedge_ds.join(
         oriented.select_columns(["a", "b"]).rename_columns(
             {"a": "v", "b": "w"}),
-        "inner", 8, on=("v", "w"))
+        "inner", default_join_partitions(), on=("v", "w"))
     total = closed.sum("m") or 0
     return pd.DataFrame({"n_triangles": pd.Series([int(total)],
                                                   dtype="int64")})
