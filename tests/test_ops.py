@@ -2145,3 +2145,26 @@ def test_token_entropy_matches_serial(ray_session):
         # single-type docs have zero entropy
         if len(c) == 1:
             assert ent == 0
+
+
+def test_ops_invariant_under_shard_count(ray_session, monkeypatch):
+    """Round-5 shard parameterization: every shard-then-local reduction
+    must give identical output at any shard count (same key -> same
+    shard is the only requirement)."""
+    import erex.ops.dedup as dd
+    import erex.ops.graph as gg
+    import erex.ops.relational as rr
+    base = [dd.dup_span_mask(SF), dd.minhash_lsh_pairs(SF),
+            dd.dup_shingle_fraction(SF), gg.copurchase_degree(SF),
+            rr.q_sessionize(SF), rr.fk_integrity(SF)]
+    for mod in (dd, gg, rr):
+        monkeypatch.setattr(mod, "default_shard_count",
+                            lambda est_rows=None, **kw: 8, raising=False)
+    monkeypatch.setattr(dd, "_doc_shards", lambda sf, fanout=1: 8)
+    monkeypatch.setattr(gg, "_shards", lambda sf: 8)
+    monkeypatch.setattr(rr, "_shards", lambda sf, table: 8)
+    redo = [dd.dup_span_mask(SF), dd.minhash_lsh_pairs(SF),
+            dd.dup_shingle_fraction(SF), gg.copurchase_degree(SF),
+            rr.q_sessionize(SF), rr.fk_integrity(SF)]
+    for b, r in zip(base, redo):
+        assert r.equals(b)
