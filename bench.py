@@ -121,6 +121,11 @@ def run_bench() -> None:
     timed("dup_span_mask", dedup.dup_span_mask)
     # DSIR hashed-unigram importance weights (constant-size state)
     timed("dsir_weights", text.dsir_weights)
+    # round-5 additions: sequence-prep chunking summary, the lang-ID
+    # confusion audit and per-doc token entropy (all single-pass)
+    timed("doc_chunk_stats", text.doc_chunk_stats)
+    timed("lang_confusion", text.lang_confusion)
+    timed("token_entropy", text.token_entropy)
 
     print(json.dumps({
         "metric": "catena_flagship", "value": round(headline, 3),
