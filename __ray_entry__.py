@@ -715,6 +715,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_histogram": text.token_freq_histogram,
         "histogram_quantiles": sketch.histogram_quantiles,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_revenue_forecast": relational.q6_revenue_forecast,
+        "q10_returned_items": relational.q10_returned_items,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "q_funnel": relational.q_funnel,
         "dataset_split": text.dataset_split,
         "dq_checks": text.dq_checks,
@@ -847,6 +850,7 @@ _R5_FRONT = [
     "rollup_counts", "stratified_sample", "token_freq_histogram",
     # new in round 5 — need their first driver row
     "doc_chunk_stats", "lang_confusion", "token_entropy",
+    "q6_revenue_forecast", "q10_returned_items", "q14_promo_revenue",
     # changed in round 5 — re-confirm under the driver
     "dup_span_mask", "dup_span_clean", "event_props_stats",
     "hard_negatives", "mmr_select", "catena_closure_prf",
@@ -2013,6 +2017,69 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name ORDER BY n_name
+        """,
+        # discount band in integer milli (floor(d*1000+0.5) in [50,70])
+        # — the engine's predicate; revenue = floor(ep*dc*1000+0.5)
+        # per row then exact BIGINT sum
+        "q6_revenue_forecast": """
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR(
+                       l_extendedprice * l_discount * 1000 + 0.5)
+                       AS BIGINT)), 0) AS BIGINT) AS revenue_milli
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT)
+                  BETWEEN 50 AND 70
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            WITH rev AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice
+                                           * (1 - l_discount) * 1000
+                                           + 0.5) AS BIGINT))
+                            AS BIGINT) AS revenue_milli
+                FROM lineitem JOIN orders
+                  ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-04-01'
+                GROUP BY o_custkey
+                ORDER BY revenue_milli DESC, c_custkey ASC
+                LIMIT 20)
+            SELECT rev.c_custkey, c_name, revenue_milli,
+                   CAST(FLOOR(c_acctbal * 1000 + 0.5) AS BIGINT)
+                       AS c_acctbal_milli,
+                   n_name
+            FROM rev
+            JOIN customer ON customer.c_custkey = rev.c_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue_milli DESC, rev.c_custkey ASC
+        """,
+        # promo_milli replicates the engine's pure-integer rounding
+        # ((1000*promo + total//2) // total), NOT a float ratio
+        "q14_promo_revenue": """
+            WITH s AS (
+                SELECT
+                    CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(FLOOR(l_extendedprice
+                                        * (1 - l_discount) * 1000
+                                        + 0.5) AS BIGINT) END), 0)
+                        AS BIGINT) AS promo_rev_milli,
+                    CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice
+                                        * (1 - l_discount) * 1000
+                                        + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS total_rev_milli
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-02-01')
+            SELECT promo_rev_milli, total_rev_milli,
+                   CAST(CASE WHEN total_rev_milli = 0 THEN 0
+                        ELSE (1000 * promo_rev_milli
+                              + total_rev_milli // 2)
+                             // total_rev_milli END AS BIGINT)
+                       AS promo_milli
+            FROM s
         """,
         # JSON property extraction: CAST(json_extract AS BIGINT) is
         # null for absent/malformed k, matching the engine's parse

@@ -1129,3 +1129,186 @@ def fk_integrity(sf_dir: str) -> pd.DataFrame:
     for c in df.columns[1:]:
         df[c] = df[c].astype("int64")
     return df.sort_values("relationship").reset_index(drop=True)
+
+
+def q6_revenue_forecast(sf_dir: str, date_from: str = "1996-01-01",
+                        date_to: str = "1997-01-01",
+                        disc_lo_milli: int = 50,
+                        disc_hi_milli: int = 70,
+                        max_qty: int = 24) -> pd.DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-sum —
+    the cheapest possible full-corpus pass and the sanity bar every
+    engine's predicate pushdown is measured against.  All three
+    predicates (ship year, milli-discount band, quantity cap) apply
+    inside one map_batches over a 4-column pruned read; each batch
+    emits ONE partial-sum row, so the driver folds #batches rows, not
+    #lineitems.  The discount band compares in integer milli (the
+    file-wide convention) — a raw float `BETWEEN 0.05 AND 0.07` would
+    be representation-dependent on both sides.  Returns one row
+    (revenue_milli)."""
+    lo = pa.scalar(np.datetime64(date_from, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"), pa.timestamp("us"))
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        t = t.filter(keep)
+        dm = np.floor(t.column("l_discount").to_numpy(
+            zero_copy_only=False) * 1000.0 + 0.5).astype(np.int64)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = (dm >= disc_lo_milli) & (dm <= disc_hi_milli) \
+            & (qty < max_qty)
+        ep = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        rev = np.floor(ep * dc * 1000.0 + 0.5).astype(np.int64)
+        return pa.table({"revenue_milli":
+                         pa.array([int(rev.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           **remote_args()).to_pandas()
+    return pd.DataFrame({"revenue_milli":
+                         [np.int64(parts["revenue_milli"].sum())]})
+
+
+def q10_returned_items(sf_dir: str, date_from: str = "1996-01-01",
+                       date_to: str = "1996-04-01",
+                       k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-k customers by lost
+    revenue on returned lineitems for one order quarter.  Join plan
+    for scale: orders is date-pruned in a distributed pass, then
+    lineitem (returnflag='R') joins it with a real distributed hash
+    join — BOTH sides are fact-scale, so no broadcast; revenue partials
+    fold per batch down to custkey-cardinality before the groupby; only
+    the final top-k (bounded at k rows) gathers customer/nation detail,
+    looked up on the driver from the two dimension reads.  Returns
+    (c_custkey, c_name, revenue_milli, c_acctbal_milli, n_name) by
+    revenue desc, custkey asc."""
+    from .._env import default_join_partitions
+    npart = default_join_partitions()
+    lo = pa.scalar(np.datetime64(date_from, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"), pa.timestamp("us"))
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])\
+        .map_batches(orders_prep, batch_format="pyarrow",
+                     **remote_args())
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 1000.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev_milli": pa.array(rev)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])\
+        .map_batches(li_prep, batch_format="pyarrow", **remote_args())
+
+    j = li.join(orders, "inner", npart, on=("l_orderkey",),
+                right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_custkey": t.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "rev_milli": t.column("rev_milli").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("c_custkey", as_index=False)["rev_milli"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (j.map_batches(partial, batch_format="pyarrow",
+                         **remote_args())
+           .groupby("c_custkey")
+           .aggregate(Sum("rev_milli", alias_name="revenue_milli")))
+    df = agg.to_pandas()
+    df = df.sort_values(["revenue_milli", "c_custkey"],
+                        ascending=[False, True]).head(k)
+    # k-bounded dimension fill-in: customer/nation detail only for the
+    # k winners (driver-side lookup over dimension tables, never the
+    # fact path)
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name",
+                                    "c_nationkey", "c_acctbal"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    cust = cust[cust["c_custkey"].isin(df["c_custkey"])]
+    cust = cust.merge(nat, left_on="c_nationkey",
+                      right_on="n_nationkey")
+    df = df.merge(cust[["c_custkey", "c_name", "c_acctbal", "n_name"]],
+                  on="c_custkey")
+    df["c_acctbal_milli"] = np.floor(
+        df["c_acctbal"].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+    df["c_custkey"] = df["c_custkey"].astype("int64")
+    df["revenue_milli"] = df["revenue_milli"].astype("int64")
+    return df[["c_custkey", "c_name", "revenue_milli",
+               "c_acctbal_milli", "n_name"]].reset_index(drop=True)
+
+
+def q14_promo_revenue(sf_dir: str, promo_type: str = "PROMO",
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1996-02-01") -> pd.DataFrame:
+    """TPC-H Q14 (promotion effect): promo revenue share over one ship
+    month.  The part table is the classic broadcast side — shipped
+    ONCE via ray.put as a sorted (p_partkey, is_promo) pair and probed
+    with one vectorized searchsorted per batch (at 100 TB part is
+    ~10^-4 of lineitem; broadcasting it beats any shuffle by orders of
+    magnitude).  Both the promo and total sums fold to one partial row
+    per batch.  promo_milli = floor(1000 * promo / total + 0.5) — the
+    integer-ratio convention (x100 percent in the spec; x1000 here for
+    the file-wide milli grain).  Returns one row (promo_rev_milli,
+    total_rev_milli, promo_milli)."""
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    part = part.sort_values("p_partkey")
+    pref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                    (part["p_type"] == promo_type)
+                    .to_numpy(np.bool_)))
+    lo = pa.scalar(np.datetime64(date_from, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"), pa.timestamp("us"))
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table, _p=pref) -> pa.Table:
+        keys, promo = ray.get(_p)
+        d = t.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        t = t.filter(keep)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 1000.0 + 0.5)\
+            .astype(np.int64)
+        if len(keys) and len(pk):
+            pos = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+            is_promo = (keys[pos] == pk) & promo[pos]
+        else:
+            is_promo = np.zeros(len(pk), bool)
+        return pa.table({
+            "promo_rev_milli": pa.array([int(rev[is_promo].sum())],
+                                        pa.int64()),
+            "total_rev_milli": pa.array([int(rev.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           **remote_args()).to_pandas()
+    promo_rev = int(parts["promo_rev_milli"].sum())
+    total_rev = int(parts["total_rev_milli"].sum())
+    ratio = (1000 * promo_rev + total_rev // 2) // total_rev \
+        if total_rev else 0
+    return pd.DataFrame({"promo_rev_milli": [np.int64(promo_rev)],
+                         "total_rev_milli": [np.int64(total_rev)],
+                         "promo_milli": [np.int64(ratio)]})

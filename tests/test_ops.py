@@ -2168,3 +2168,33 @@ def test_ops_invariant_under_shard_count(ray_session, monkeypatch):
             rr.q_sessionize(SF), rr.fk_integrity(SF)]
     for b, r in zip(base, redo):
         assert r.equals(b)
+
+
+def test_q6_q10_q14_match_duckdb(ray_session):
+    """The round-5 TPC-H additions (Q6 scan-filter-sum, Q10 returned
+    items, Q14 promo share) == their registered DuckDB oracles on the
+    same parquet — engine and oracle loaded from __ray_entry__ so the
+    test pins exactly what the driver compares."""
+    import duckdb
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "re_entry_t", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    q, o = m.queries(), m.oracle_sql()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "part", "nation",
+              "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name in ("q6_revenue_forecast", "q10_returned_items",
+                 "q14_promo_revenue"):
+        out = q[name](SF)
+        ref = con.sql(o[name]).df()
+        assert list(out.columns) == list(ref.columns), name
+        assert len(out) == len(ref), name
+        for c in out.columns:
+            assert list(out[c]) == list(ref[c]), (name, c)
+    # Q6/Q14 must not be vacuous at sf0.001
+    assert int(q["q6_revenue_forecast"](SF)["revenue_milli"][0]) > 0
+    r14 = q["q14_promo_revenue"](SF)
+    assert int(r14["total_rev_milli"][0]) > 0
