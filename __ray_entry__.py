@@ -713,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window": relational.q_hopping_window,
         "rollup_counts": relational.rollup_counts,
         "token_freq_histogram": text.token_freq_histogram,
+        "gopher_quality_flags": text.gopher_quality_flags,
         "histogram_quantiles": sketch.histogram_quantiles,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q6_revenue_forecast": relational.q6_revenue_forecast,
@@ -824,6 +825,7 @@ def streaming_sinks() -> dict[str, Callable[[str, str], None]]:
         "repetition_stats": text.repetition_stats,
         "dup_span_mask": dedup.dup_span_mask,
         "dup_span_clean": dedup.dup_span_clean,
+        "gopher_quality_flags": text.gopher_quality_flags,
     }
 
     def sink(fn):
@@ -851,6 +853,7 @@ _R5_FRONT = [
     # new in round 5 — need their first driver row
     "doc_chunk_stats", "lang_confusion", "token_entropy",
     "q6_revenue_forecast", "q10_returned_items", "q14_promo_revenue",
+    "gopher_quality_flags",
     # changed in round 5 — re-confirm under the driver
     "dup_span_mask", "dup_span_clean", "event_props_stats",
     "hard_negatives", "mmr_select", "catena_closure_prf",
@@ -2717,6 +2720,53 @@ def oracle_sql() -> dict[str, str]:
                         + 0.5) AS BIGINT)) AS BIGINT) AS ent_sum_micro
             FROM tf JOIN nn ON nn.doc_id = tf.doc_id
             GROUP BY tf.doc_id, nn.n ORDER BY tf.doc_id
+        """,
+        # Gopher gate: words = [a-z0-9]+ runs; mean length in integer
+        # milli (1000*sumlen // n); stop inventory = the shared
+        # STOPWORDS tuple; empty docs keep n=0 rows via LEFT JOIN
+        "gopher_quality_flags": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS t
+                FROM documents),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n, SUM(len(t)) AS sumlen,
+                       COUNT(DISTINCT CASE WHEN t IN
+                           ('the','a','an','and','or','of','to','in',
+                            'is','it','that','for','on','with','as',
+                            'at','by','from') THEN t END) AS nstop
+                FROM tok GROUP BY doc_id),
+            j AS (
+                SELECT d.doc_id,
+                       COALESCE(agg.n, 0) AS n_words,
+                       CASE WHEN COALESCE(agg.n, 0) = 0 THEN 0
+                            ELSE 1000 * agg.sumlen // agg.n
+                       END AS mean_word_len_milli,
+                       COALESCE(agg.nstop, 0) AS n_stop_distinct
+                FROM documents d LEFT JOIN agg USING (doc_id)),
+            fl AS (
+                SELECT doc_id, n_words, mean_word_len_milli,
+                       n_stop_distinct,
+                       CASE WHEN n_words BETWEEN 50 AND 100000
+                            THEN 1 ELSE 0 END AS flag_word_count,
+                       CASE WHEN mean_word_len_milli
+                                 BETWEEN 3000 AND 10000
+                            THEN 1 ELSE 0 END AS flag_mean_len,
+                       CASE WHEN n_stop_distinct >= 2
+                            THEN 1 ELSE 0 END AS flag_stop
+                FROM j)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(mean_word_len_milli AS BIGINT)
+                       AS mean_word_len_milli,
+                   CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+                   CAST(flag_word_count AS BIGINT) AS flag_word_count,
+                   CAST(flag_mean_len AS BIGINT) AS flag_mean_len,
+                   CAST(flag_stop AS BIGINT) AS flag_stop,
+                   CAST(flag_word_count * flag_mean_len * flag_stop
+                        AS BIGINT) AS keep
+            FROM fl ORDER BY doc_id
         """,
         "doc_fingerprint": _fingerprint_sql(),
         "token_count_bpe": _token_bpe_sql(),

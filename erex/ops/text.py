@@ -1888,3 +1888,55 @@ def token_entropy(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(f, batch_format="pyarrow", **remote_args())\
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def gopher_quality_flags(sf_dir: str, min_words: int = 50,
+                         max_words: int = 100_000,
+                         min_len_milli: int = 3000,
+                         max_len_milli: int = 10_000,
+                         min_stop_distinct: int = 2,
+                         as_dataset: bool = False):
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1, the
+    rule set most corpus pipelines start from): word-count bounds,
+    mean-word-length band, and the >=2-distinct-stopwords prose test —
+    all in exact integer arithmetic so the DuckDB oracle hashes
+    identically.  One map_batches pass over a 2-column pruned read, no
+    exchange; tokens are the file-wide [a-z0-9]+ runs and the stopword
+    inventory is the shared STOPWORDS tuple (same set as
+    stopword_ratio), so the flags compose with the other text signals.
+    Returns (doc_id, n_words, mean_word_len_milli, n_stop_distinct,
+    flag_word_count, flag_mean_len, flag_stop, keep) with flags as
+    int64 0/1, ordered by doc_id."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sw = frozenset(STOPWORDS)
+
+    def f(t: pa.Table) -> pa.Table:
+        nw, ml, nsd = [], [], []
+        for x in t.column("text").to_pylist():
+            toks = LOWER_TOKEN_RE.findall(x.lower())
+            n = len(toks)
+            nw.append(n)
+            ml.append(1000 * sum(map(len, toks)) // n if n else 0)
+            nsd.append(len(sw.intersection(toks)))
+        nw_a = np.asarray(nw, np.int64)
+        ml_a = np.asarray(ml, np.int64)
+        ns_a = np.asarray(nsd, np.int64)
+        f_wc = ((nw_a >= min_words) & (nw_a <= max_words))\
+            .astype(np.int64)
+        f_ml = ((ml_a >= min_len_milli) & (ml_a <= max_len_milli))\
+            .astype(np.int64)
+        f_st = (ns_a >= min_stop_distinct).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_words": pa.array(nw_a),
+                         "mean_word_len_milli": pa.array(ml_a),
+                         "n_stop_distinct": pa.array(ns_a),
+                         "flag_word_count": pa.array(f_wc),
+                         "flag_mean_len": pa.array(f_ml),
+                         "flag_stop": pa.array(f_st),
+                         "keep": pa.array(f_wc & f_ml & f_st)})
+
+    out = ds.map_batches(f, batch_format="pyarrow", **remote_args())
+    if as_dataset:   # streaming sink path: no driver frame
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

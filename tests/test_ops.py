@@ -2198,3 +2198,24 @@ def test_q6_q10_q14_match_duckdb(ray_session):
     assert int(q["q6_revenue_forecast"](SF)["revenue_milli"][0]) > 0
     r14 = q["q14_promo_revenue"](SF)
     assert int(r14["total_rev_milli"][0]) > 0
+
+
+def test_gopher_quality_flags(ray_session):
+    """Gopher gate == its registered DuckDB oracle; flags must vary
+    (a gate that passes or fails everything is vacuous)."""
+    import duckdb
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "re_entry_g", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["gopher_quality_flags"](SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF}/documents.parquet'")
+    ref = con.sql(m.oracle_sql()["gopher_quality_flags"]).df()
+    assert list(out.columns) == list(ref.columns)
+    for c in out.columns:
+        assert list(out[c]) == list(ref[c]), c
+    assert 0 < out["keep"].sum() < len(out)
+    assert 0 < out["flag_word_count"].sum() < len(out)
