@@ -714,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": relational.rollup_counts,
         "token_freq_histogram": text.token_freq_histogram,
         "gopher_quality_flags": text.gopher_quality_flags,
+        "source_quality_report": text.source_quality_report,
         "histogram_quantiles": sketch.histogram_quantiles,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q6_revenue_forecast": relational.q6_revenue_forecast,
@@ -853,7 +854,7 @@ _R5_FRONT = [
     # new in round 5 — need their first driver row
     "doc_chunk_stats", "lang_confusion", "token_entropy",
     "q6_revenue_forecast", "q10_returned_items", "q14_promo_revenue",
-    "gopher_quality_flags",
+    "gopher_quality_flags", "source_quality_report",
     # changed in round 5 — re-confirm under the driver
     "dup_span_mask", "dup_span_clean", "event_props_stats",
     "hard_negatives", "mmr_select", "catena_closure_prf",
@@ -2720,6 +2721,50 @@ def oracle_sql() -> dict[str, str]:
                         + 0.5) AS BIGINT)) AS BIGINT) AS ent_sum_micro
             FROM tf JOIN nn ON nn.doc_id = tf.doc_id
             GROUP BY tf.doc_id, nn.n ORDER BY tf.doc_id
+        """,
+        # per-source report card: composes the shared quality_milli
+        # formula and the Gopher keep gate; integer means
+        "source_quality_report": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS t
+                FROM documents),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n, SUM(len(t)) AS sumlen,
+                       COUNT(DISTINCT CASE WHEN t IN
+                           ('the','a','an','and','or','of','to','in',
+                            'is','it','that','for','on','with','as',
+                            'at','by','from') THEN t END) AS nstop
+                FROM tok GROUP BY doc_id),
+            perdoc AS (
+                SELECT d.source, d.n_chars,
+                       (1000 * len(regexp_extract_all(d.text,
+                                                      '[A-Za-z]')))
+                           // GREATEST(1, length(d.text))
+                       + CASE WHEN ((1000 * len(regexp_extract_all(
+                             d.text, '[A-Za-z]')))
+                             % GREATEST(1, length(d.text))) * 2
+                             >= GREATEST(1, length(d.text))
+                         THEN 1 ELSE 0 END AS q_milli,
+                       CASE WHEN COALESCE(agg.n, 0) BETWEEN 50
+                                 AND 100000
+                            AND (CASE WHEN COALESCE(agg.n, 0) = 0
+                                 THEN 0 ELSE 1000 * agg.sumlen
+                                      // agg.n END)
+                                BETWEEN 3000 AND 10000
+                            AND COALESCE(agg.nstop, 0) >= 2
+                       THEN 1 ELSE 0 END AS keep
+                FROM documents d LEFT JOIN agg USING (doc_id))
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(q_milli) // COUNT(*) AS BIGINT)
+                       AS mean_quality_milli,
+                   CAST(SUM(keep) AS BIGINT) AS n_keep,
+                   CAST(1000 * SUM(keep) // COUNT(*) AS BIGINT)
+                       AS keep_milli
+            FROM perdoc GROUP BY source ORDER BY source
         """,
         # Gopher gate: words = [a-z0-9]+ runs; mean length in integer
         # milli (1000*sumlen // n); stop inventory = the shared

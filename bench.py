@@ -126,6 +126,11 @@ def run_bench() -> None:
     timed("doc_chunk_stats", text.doc_chunk_stats)
     timed("lang_confusion", text.lang_confusion)
     timed("token_entropy", text.token_entropy)
+    # late-round-5: the Q6 full-scan filter-sum floor, the Q10
+    # fact-fact hash join and the Gopher quality gate
+    timed("q6_revenue_forecast", relational.q6_revenue_forecast)
+    timed("q10_returned_items", relational.q10_returned_items)
+    timed("gopher_quality_flags", text.gopher_quality_flags)
 
     print(json.dumps({
         "metric": "catena_flagship", "value": round(headline, 3),

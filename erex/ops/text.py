@@ -1940,3 +1940,58 @@ def gopher_quality_flags(sf_dir: str, min_words: int = 50,
     if as_dataset:   # streaming sink path: no driver frame
         return out
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def source_quality_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus report card — the table a curation run
+    publishes per ingest feed before deciding mix weights: document
+    and character volume, the summed alpha-ratio quality signal
+    (quality_milli, the shared formula), and how many docs survive the
+    Gopher gate (gopher_quality_flags' keep, same bounds).  Everything
+    folds per batch to source-cardinality partials before one
+    sources-scale groupby — at 100 TB the exchange moves
+    #batches x #sources rows, never documents.  mean_quality_milli is
+    exact integer floor(sum/n).  Returns (source, n_docs, sum_chars,
+    mean_quality_milli, n_keep, keep_milli) ordered by source."""
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source",
+                                  "n_chars"])
+    sw = frozenset(STOPWORDS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs = t.column("source").to_pylist()
+        qual, keep = [], []
+        for x in t.column("text").to_pylist():
+            qual.append(quality_milli(x))
+            toks = LOWER_TOKEN_RE.findall(x.lower())
+            n = len(toks)
+            ml = 1000 * sum(map(len, toks)) // n if n else 0
+            keep.append(int(50 <= n <= 100_000
+                            and 3000 <= ml <= 10_000
+                            and len(sw.intersection(toks)) >= 2))
+        df = pd.DataFrame({
+            "source": srcs,
+            "n_docs": np.ones(len(srcs), np.int64),
+            "sum_chars": t.column("n_chars").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "sum_quality_milli": np.asarray(qual, np.int64),
+            "n_keep": np.asarray(keep, np.int64)})
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          **remote_args())
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars"),
+                      Sum("sum_quality_milli",
+                          alias_name="sum_quality_milli"),
+                      Sum("n_keep", alias_name="n_keep")))
+    df = out.to_pandas().sort_values("source").reset_index(drop=True)
+    for c in df.columns[1:]:
+        df[c] = df[c].astype("int64")
+    df["mean_quality_milli"] = df["sum_quality_milli"] // df["n_docs"]
+    df["keep_milli"] = 1000 * df["n_keep"] // df["n_docs"]
+    return df[["source", "n_docs", "sum_chars", "mean_quality_milli",
+               "n_keep", "keep_milli"]]

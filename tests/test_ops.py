@@ -2219,3 +2219,23 @@ def test_gopher_quality_flags(ray_session):
         assert list(out[c]) == list(ref[c]), c
     assert 0 < out["keep"].sum() < len(out)
     assert 0 < out["flag_word_count"].sum() < len(out)
+
+
+def test_source_quality_report(ray_session):
+    """Per-source report card == its registered DuckDB oracle."""
+    import duckdb
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "re_entry_s", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["source_quality_report"](SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF}/documents.parquet'")
+    ref = con.sql(m.oracle_sql()["source_quality_report"]).df()
+    assert list(out.columns) == list(ref.columns)
+    for c in out.columns:
+        assert list(out[c]) == list(ref[c]), c
+    assert len(out) > 1
+    assert (out["n_docs"] > 0).all()
