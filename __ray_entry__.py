@@ -752,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---------------------------------------
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_recall_audit": similarity.ann_recall_audit,
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_quantize": similarity.embedding_quantize,
         "knn_graph_mutual": similarity.knn_graph_mutual,
@@ -855,6 +856,7 @@ _R5_FRONT = [
     "doc_chunk_stats", "lang_confusion", "token_entropy",
     "q6_revenue_forecast", "q10_returned_items", "q14_promo_revenue",
     "gopher_quality_flags", "source_quality_report",
+    "ann_recall_audit",
     # changed in round 5 — re-confirm under the driver
     "dup_span_mask", "dup_span_clean", "event_props_stats",
     "hard_negatives", "mmr_select", "catena_closure_prf",
@@ -1273,6 +1275,28 @@ def _embedding_lsh_sql() -> str:
         WHERE CAST(FLOOR(list_inner_product(x.u, y.u)*1000000+0.5)
               AS BIGINT) >= 400000
         ORDER BY vec_a, vec_b
+    """
+
+
+def _ann_exact_sql() -> str:
+    """DuckDB replica of ann_cosine_topk (exact top-5 for the first 8
+    vec_ids) — shared by the ann_cosine_topk entry and the recall
+    audit's truth side."""
+    return f"""
+        WITH {_nemb_cte()},
+        q AS (SELECT vec_id AS qid, u AS qu
+              FROM nemb WHERE vec_id < 8),
+        c AS (SELECT qid, e.vec_id AS vid,
+                     CAST(FLOOR(list_inner_product(qu, e.u)
+                          *1000000+0.5) AS BIGINT) AS cm
+              FROM q, nemb e WHERE e.vec_id != qid),
+        r AS (SELECT qid, vid, cm,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cm DESC, vid) AS rn
+              FROM c)
+        SELECT qid AS query_id, rn AS rank, vid AS vec_id,
+               cm AS cos_micro
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank
     """
 
 
@@ -2544,25 +2568,30 @@ def oracle_sql() -> dict[str, str]:
                   AS BIGINT) >= 400000
             ORDER BY vec_a, vec_b
         """,
-        "ann_cosine_topk": f"""
-            WITH {_nemb_cte()},
-            q AS (SELECT vec_id AS qid, u AS qu
-                  FROM nemb WHERE vec_id < 8),
-            c AS (SELECT qid, e.vec_id AS vid,
-                         CAST(FLOOR(list_inner_product(qu, e.u)
-                              *1000000+0.5) AS BIGINT) AS cm
-                  FROM q, nemb e WHERE e.vec_id != qid),
-            r AS (SELECT qid, vid, cm,
-                         ROW_NUMBER() OVER (PARTITION BY qid
-                             ORDER BY cm DESC, vid) AS rn
-                  FROM c)
-            SELECT qid AS query_id, rn AS rank, vid AS vec_id,
-                   cm AS cos_micro
-            FROM r WHERE rn <= 5 ORDER BY query_id, rank
-        """,
+        "ann_cosine_topk": _ann_exact_sql(),
         "dedup_embedding_lsh": _embedding_lsh_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ivf_sql(),
+        # recall@k audit = intersection of the two registered ANN
+        # replicas (exact and multi-probe LSH), composed as subqueries
+        "ann_recall_audit": f"""
+            WITH ex AS (SELECT * FROM ({_ann_exact_sql()}) t),
+            ap AS (SELECT * FROM ({_ann_lsh_sql()}) t),
+            j AS (
+                SELECT ex.query_id,
+                       COUNT(*) AS n_exact,
+                       COUNT(ap.vec_id) AS n_hits
+                FROM ex LEFT JOIN ap
+                  ON ap.query_id = ex.query_id
+                 AND ap.vec_id = ex.vec_id
+                GROUP BY ex.query_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(n_hits AS BIGINT) AS n_hits,
+                   CAST(1000 * n_hits // GREATEST(1, n_exact)
+                        AS BIGINT) AS recall_milli
+            FROM j ORDER BY query_id
+        """,
         "embedding_centroids": """
             SELECT label, i - 1 AS dim,
                    CAST(FLOOR(1000000 * SUM(CAST(v AS DOUBLE)) / COUNT(*)

@@ -1014,3 +1014,30 @@ def mmr_select(sf_dir: str, k: int = 5, pool: int = 16,
         "rel_micro": pd.Series([int(rel[i]) for i in selected],
                                dtype="int64"),
         "mmr_score": pd.Series(scores, dtype="int64")})
+
+
+def ann_recall_audit(sf_dir: str, n_queries: int = 8,
+                     k: int = 5) -> pd.DataFrame:
+    """Recall@k of the LSH ANN path against exact cosine top-k — the
+    audit every approximate index ships with before it replaces the
+    exact scan in production: per query, how many of the true top-k
+    the multi-probe LSH candidates recovered.  Both sides are the
+    already-registered operators (ann_cosine_topk, ann_lsh_topk), so
+    this composes two corpus passes; the intersection runs on the
+    driver over 2 x k x n_queries rows — output-scale by
+    construction.  Returns (query_id, n_exact, n_hits, recall_milli)
+    ordered by query_id."""
+    exact = ann_cosine_topk(sf_dir, n_queries=n_queries, k=k)
+    approx = ann_lsh_topk(sf_dir, n_queries=n_queries, k=k)
+    rows = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        hits = len(truth & got)
+        rows.append((int(qid), len(truth), hits,
+                     1000 * hits // max(1, len(truth))))
+    df = pd.DataFrame(rows, columns=["query_id", "n_exact", "n_hits",
+                                     "recall_milli"])
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("query_id").reset_index(drop=True)

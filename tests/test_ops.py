@@ -2239,3 +2239,25 @@ def test_source_quality_report(ray_session):
         assert list(out[c]) == list(ref[c]), c
     assert len(out) > 1
     assert (out["n_docs"] > 0).all()
+
+
+def test_ann_recall_audit(ray_session):
+    """LSH recall@k audit == its composed DuckDB oracle; recall must
+    be in (0, 1000] and not uniformly 1000 OR the LSH would be
+    indistinguishable from exact here."""
+    import duckdb
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "re_entry_a", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["ann_recall_audit"](SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{SF}/embeddings.parquet'")
+    ref = con.sql(m.oracle_sql()["ann_recall_audit"]).df()
+    assert list(out.columns) == list(ref.columns)
+    for c in out.columns:
+        assert list(out[c]) == list(ref[c]), c
+    assert len(out) == 8
+    assert (out["recall_milli"] > 0).all()
