@@ -753,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_recall_audit": similarity.ann_recall_audit,
+        "ivf_recall_audit": lambda sf: similarity.ann_recall_audit(
+            sf, index="ivf"),
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_quantize": similarity.embedding_quantize,
         "knn_graph_mutual": similarity.knn_graph_mutual,
@@ -856,7 +858,7 @@ _R5_FRONT = [
     "doc_chunk_stats", "lang_confusion", "token_entropy",
     "q6_revenue_forecast", "q10_returned_items", "q14_promo_revenue",
     "gopher_quality_flags", "source_quality_report",
-    "ann_recall_audit",
+    "ann_recall_audit", "ivf_recall_audit",
     # changed in round 5 — re-confirm under the driver
     "dup_span_mask", "dup_span_clean", "event_props_stats",
     "hard_negatives", "mmr_select", "catena_closure_prf",
@@ -2577,6 +2579,24 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_audit": f"""
             WITH ex AS (SELECT * FROM ({_ann_exact_sql()}) t),
             ap AS (SELECT * FROM ({_ann_lsh_sql()}) t),
+            j AS (
+                SELECT ex.query_id,
+                       COUNT(*) AS n_exact,
+                       COUNT(ap.vec_id) AS n_hits
+                FROM ex LEFT JOIN ap
+                  ON ap.query_id = ex.query_id
+                 AND ap.vec_id = ex.vec_id
+                GROUP BY ex.query_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(n_hits AS BIGINT) AS n_hits,
+                   CAST(1000 * n_hits // GREATEST(1, n_exact)
+                        AS BIGINT) AS recall_milli
+            FROM j ORDER BY query_id
+        """,
+        "ivf_recall_audit": f"""
+            WITH ex AS (SELECT * FROM ({_ann_exact_sql()}) t),
+            ap AS (SELECT * FROM ({_ivf_sql()}) t),
             j AS (
                 SELECT ex.query_id,
                        COUNT(*) AS n_exact,

@@ -1017,18 +1017,19 @@ def mmr_select(sf_dir: str, k: int = 5, pool: int = 16,
 
 
 def ann_recall_audit(sf_dir: str, n_queries: int = 8,
-                     k: int = 5) -> pd.DataFrame:
-    """Recall@k of the LSH ANN path against exact cosine top-k — the
-    audit every approximate index ships with before it replaces the
-    exact scan in production: per query, how many of the true top-k
-    the multi-probe LSH candidates recovered.  Both sides are the
-    already-registered operators (ann_cosine_topk, ann_lsh_topk), so
-    this composes two corpus passes; the intersection runs on the
-    driver over 2 x k x n_queries rows — output-scale by
-    construction.  Returns (query_id, n_exact, n_hits, recall_milli)
-    ordered by query_id."""
+                     k: int = 5, index: str = "lsh") -> pd.DataFrame:
+    """Recall@k of an approximate ANN path (index = 'lsh' or 'ivf')
+    against exact cosine top-k — the audit every approximate index
+    ships with before it replaces the exact scan in production: per
+    query, how many of the true top-k the candidate set recovered.
+    Both sides are the already-registered operators (ann_cosine_topk
+    vs ann_lsh_topk / ann_ivf_topk), so this composes two corpus
+    passes; the intersection runs on the driver over 2 x k x
+    n_queries rows — output-scale by construction.  Returns
+    (query_id, n_exact, n_hits, recall_milli) ordered by query_id."""
+    approx_fn = {"lsh": ann_lsh_topk, "ivf": ann_ivf_topk}[index]
     exact = ann_cosine_topk(sf_dir, n_queries=n_queries, k=k)
-    approx = ann_lsh_topk(sf_dir, n_queries=n_queries, k=k)
+    approx = approx_fn(sf_dir, n_queries=n_queries, k=k)
     rows = []
     for qid, g in exact.groupby("query_id"):
         truth = set(g["vec_id"])

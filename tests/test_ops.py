@@ -2261,3 +2261,22 @@ def test_ann_recall_audit(ray_session):
         assert list(out[c]) == list(ref[c]), c
     assert len(out) == 8
     assert (out["recall_milli"] > 0).all()
+
+
+def test_ivf_recall_audit(ray_session):
+    """IVF recall@k audit == its composed DuckDB oracle."""
+    import duckdb
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "re_entry_i", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["ivf_recall_audit"](SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{SF}/embeddings.parquet'")
+    ref = con.sql(m.oracle_sql()["ivf_recall_audit"]).df()
+    assert list(out.columns) == list(ref.columns)
+    for c in out.columns:
+        assert list(out[c]) == list(ref[c]), c
+    assert (out["recall_milli"] > 0).all()
