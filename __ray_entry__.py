@@ -743,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_capped": lambda sf: dedup.ngram_jaccard_pairs(
             sf, df_cap=8),
         "dedup_minhash": dedup.minhash_lsh_pairs,
+        "neardup_recall_audit": dedup.neardup_recall_audit,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": lambda sf: similarity.embedding_dup_pairs(
             sf, threshold_micro=400_000),
@@ -858,7 +859,7 @@ _R5_FRONT = [
     "doc_chunk_stats", "lang_confusion", "token_entropy",
     "q6_revenue_forecast", "q10_returned_items", "q14_promo_revenue",
     "gopher_quality_flags", "source_quality_report",
-    "ann_recall_audit", "ivf_recall_audit",
+    "ann_recall_audit", "ivf_recall_audit", "neardup_recall_audit",
     # changed in round 5 — re-confirm under the driver
     "dup_span_mask", "dup_span_clean", "event_props_stats",
     "hard_negatives", "mmr_select", "catena_closure_prf",
@@ -1424,6 +1425,41 @@ def _minhash_pair_ctes() -> str:
             JOIN sh x ON x.doc_id = c.da
             JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
             GROUP BY c.da, c.db)"""
+
+
+def _ngram_jaccard_sql() -> str:
+    """DuckDB replica of ngram_jaccard_pairs (exact >=200-milli pairs)
+    — shared by the dedup_ngram_jaccard entry and the LSH recall
+    audit's truth side."""
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+            WHERE len(ws) >= 3
+            UNION
+            SELECT DISTINCT doc_id, array_to_string(ws, ' ')
+            FROM toks WHERE len(ws) < 3 AND len(ws) > 0),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+                   AS jaccard_milli
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+              >= 200
+        ORDER BY doc_a, doc_b
+    """
 
 
 def _minhash_sql() -> str:
@@ -2461,35 +2497,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text) ORDER BY text_hash
         """,
-        "dedup_ngram_jaccard": """
-            WITH toks AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-                FROM documents),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-                FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
-                WHERE len(ws) >= 3
-                UNION
-                SELECT DISTINCT doc_id, array_to_string(ws, ' ')
-                FROM toks WHERE len(ws) < 3 AND len(ws) > 0),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-                FROM sh a JOIN sh b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id)
-            SELECT da AS doc_a, db AS doc_b,
-                   CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
-                       AS jaccard_milli
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = da
-            JOIN sizes sb ON sb.doc_id = db
-            WHERE CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
-                  >= 200
-            ORDER BY doc_a, doc_b
-        """,
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_ngram_capped": """
             WITH toks AS (
                 SELECT doc_id,
@@ -2523,6 +2531,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "dedup_minhash": _minhash_sql(),
+        # pair recall of banded LSH vs the exact-Jaccard truth set:
+        # composes the two registered replicas as subqueries
+        "neardup_recall_audit": f"""
+            WITH ex AS (SELECT * FROM ({_ngram_jaccard_sql()}) t),
+            ap AS (SELECT * FROM ({_minhash_sql()}) t),
+            h AS (SELECT COUNT(*) AS c FROM ex
+                  JOIN ap ON ap.doc_a = ex.doc_a
+                         AND ap.doc_b = ex.doc_b)
+            SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT)
+                       AS n_exact,
+                   CAST((SELECT COUNT(*) FROM ap) AS BIGINT) AS n_lsh,
+                   CAST(h.c AS BIGINT) AS n_hits,
+                   CAST(1000 * h.c // GREATEST(1,
+                        (SELECT COUNT(*) FROM ex)) AS BIGINT)
+                       AS recall_milli,
+                   CAST(1000 * h.c // GREATEST(1,
+                        (SELECT COUNT(*) FROM ap)) AS BIGINT)
+                       AS precision_milli
+            FROM h
+        """,
         # SimHash: any pair at Hamming<=3 shares an exact 16-bit quarter
         # (pigeonhole over 4 bands), so the engine's band+verify result
         # set equals the plain all-pairs Hamming filter — which IS

@@ -1311,3 +1311,29 @@ def split_by_component(sf_dir: str, n: int = 3,
     out = comp.copy()
     out["split"] = split
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def neardup_recall_audit(sf_dir: str, n: int = 3,
+                         threshold_milli: int = 200) -> pd.DataFrame:
+    """Pair-recall audit of the MinHash-LSH near-dup path against the
+    exact n-gram-Jaccard ground truth — the measurement that justifies
+    replacing the O(df^2) exact pair scan with banded LSH at corpus
+    scale: what fraction of true >=threshold pairs do the 64 bands
+    recover (precision is 1000 by construction — LSH candidates are
+    verified with the same exact Jaccard).  Both sides are the
+    registered operators; the set intersection runs on the driver over
+    two output-scale pair frames.  Returns one row (n_exact, n_lsh,
+    n_hits, recall_milli, precision_milli)."""
+    exact = ngram_jaccard_pairs(sf_dir, n=n,
+                                threshold_milli=threshold_milli)
+    lsh = minhash_lsh_pairs(sf_dir, n=n,
+                            threshold_milli=threshold_milli)
+    te = set(zip(exact["doc_a"], exact["doc_b"]))
+    tl = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    hits = len(te & tl)
+    return pd.DataFrame({
+        "n_exact": [np.int64(len(te))],
+        "n_lsh": [np.int64(len(tl))],
+        "n_hits": [np.int64(hits)],
+        "recall_milli": [np.int64(1000 * hits // max(1, len(te)))],
+        "precision_milli": [np.int64(1000 * hits // max(1, len(tl)))]})

@@ -2280,3 +2280,24 @@ def test_ivf_recall_audit(ray_session):
     for c in out.columns:
         assert list(out[c]) == list(ref[c]), c
     assert (out["recall_milli"] > 0).all()
+
+
+def test_neardup_recall_audit(ray_session):
+    """LSH pair-recall audit == its composed DuckDB oracle; precision
+    is 1000 by construction (candidates are exact-verified)."""
+    import duckdb
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "re_entry_n", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["neardup_recall_audit"](SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF}/documents.parquet'")
+    ref = con.sql(m.oracle_sql()["neardup_recall_audit"]).df()
+    assert list(out.columns) == list(ref.columns)
+    for c in out.columns:
+        assert list(out[c]) == list(ref[c]), c
+    assert int(out["precision_milli"][0]) == 1000
+    assert int(out["n_exact"][0]) > 0
