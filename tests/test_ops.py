@@ -2301,3 +2301,26 @@ def test_neardup_recall_audit(ray_session):
         assert list(out[c]) == list(ref[c]), c
     assert int(out["precision_milli"][0]) == 1000
     assert int(out["n_exact"][0]) > 0
+
+
+def test_round5_late_ops_invariant_under_block_size(ray_session):
+    """The late-round-5 operators (Q6/Q10/Q14 partial sums and joins,
+    the Gopher gate, the per-source report) must not depend on Ray's
+    block structure."""
+    from ray.data import DataContext
+    from erex.ops.relational import (q6_revenue_forecast,
+                                     q10_returned_items,
+                                     q14_promo_revenue)
+    from erex.ops.text import gopher_quality_flags, source_quality_report
+    fns = [q6_revenue_forecast, q10_returned_items, q14_promo_revenue,
+           gopher_quality_flags, source_quality_report]
+    base = [f(SF) for f in fns]
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        redo = [f(SF) for f in fns]
+        for b, r in zip(base, redo):
+            assert r.equals(b)
+    finally:
+        ctx.target_max_block_size = old
