@@ -1960,6 +1960,16 @@ def source_quality_report(sf_dir: str) -> pd.DataFrame:
     sw = frozenset(STOPWORDS)
 
     def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            # typed empty block: an all-empty from_pandas object
+            # column would be null-typed and break block unification
+            # (the hard_negatives empty-path convention)
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "sum_chars": pa.array([], pa.int64()),
+                "sum_quality_milli": pa.array([], pa.int64()),
+                "n_keep": pa.array([], pa.int64())})
         srcs = t.column("source").to_pylist()
         qual, keep = [], []
         for x in t.column("text").to_pylist():
