@@ -234,21 +234,38 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     exploded = _exploded_shingles(sf_dir, n)
 
     # shard-then-local-groupby (see minhash_lsh_pairs): one coarse
-    # shuffle key, vectorized per-shard pair counting
+    # shuffle key; pair expansion is BATCHED BY SHINGLE-DF SIZE CLASS
+    # (the minhash bucket idiom, round-4) — each df-c shingle
+    # contributes triu_indices(c) pairs in one reshape+take, no Python
+    # loop over the mostly-singleton shingle groups.  The shard key
+    # co-locates ALL rows of a shingle, so the per-group size IS the
+    # true global DF and the df_cap cut applies per size class.
     def shard_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
-        agg: dict = {}
-        for _s, docs in g.groupby("shingle")["doc_id"]:
-            u = sorted(docs.unique())
-            if df_cap is not None and len(u) > df_cap:
+        d = g.drop_duplicates(["shingle", "doc_id"])\
+            .sort_values(["shingle", "doc_id"])
+        sh = d["shingle"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        counts = np.diff(np.r_[starts, len(d)])
+        doc = d["doc_id"].to_numpy(np.int64)
+        ca, cb = [], []
+        for c in np.unique(counts):
+            if c < 2 or (df_cap is not None and c > df_cap):
                 continue
-            for i in range(len(u)):
-                for j in range(i + 1, len(u)):
-                    k = (u[i], u[j])
-                    agg[k] = agg.get(k, 0) + 1
-        return pd.DataFrame(
-            {"doc_a": [k[0] for k in agg], "doc_b": [k[1] for k in agg],
-             "inter": np.fromiter(agg.values(), dtype=np.int64,
-                                  count=len(agg))})
+            s = starts[counts == c]
+            idx = s[:, None] + np.arange(c)[None, :]
+            md = doc[idx]
+            iu, ju = np.triu_indices(c, k=1)
+            ca.append(md[:, iu].ravel())
+            cb.append(md[:, ju].ravel())
+        if not ca:
+            return pd.DataFrame({c_: pd.Series([], dtype="int64")
+                                 for c_ in ("doc_a", "doc_b", "inter")})
+        df = pd.DataFrame({"doc_a": np.concatenate(ca),
+                           "doc_b": np.concatenate(cb)})
+        out = df.groupby(["doc_a", "doc_b"], as_index=False).size()\
+            .rename(columns={"size": "inter"})
+        out["inter"] = out["inter"].astype("int64")
+        return out
 
     def sum_inter(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["doc_a", "doc_b"], as_index=False)["inter"].sum()
