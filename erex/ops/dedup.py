@@ -424,29 +424,52 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
     if cand_df.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard_milli"])
     import ray as _ray
-    cand_pairs = frozenset(zip(cand_df["doc_a"], cand_df["doc_b"]))
+    cand_only = cand_df[["doc_a", "doc_b"]].astype("int64")\
+        .drop_duplicates()
     cand_docs = frozenset(cand_df["doc_a"]) | frozenset(cand_df["doc_b"])
-    pairs_ref = _ray.put(cand_pairs)
+    pairs_ref = _ray.put(cand_only)
     docs_ref = _ray.put(cand_docs)
     sizes = dict(zip(cand_df["doc_a"], cand_df["na"]))
     sizes.update(zip(cand_df["doc_b"], cand_df["nb"]))
 
     exploded = _exploded_shingles(sf_dir, n, doc_filter_ref=docs_ref)
 
+    # same size-class vectorization as the candidate stage: expand all
+    # co-occurring pairs per shingle DF class, then keep candidates
+    # with one hash-join (pandas merge) against the broadcast pair
+    # frame — no per-pair Python membership test
     def shard_inter(g: pd.DataFrame) -> pd.DataFrame:
-        allowed = _ray.get(pairs_ref)
-        agg: dict = {}
-        for _s, docs in g.groupby("shingle")["doc_id"]:
-            u = sorted(docs.unique())
-            for i in range(len(u)):
-                for j in range(i + 1, len(u)):
-                    k = (u[i], u[j])
-                    if k in allowed:
-                        agg[k] = agg.get(k, 0) + 1
-        return pd.DataFrame(
-            {"doc_a": [k[0] for k in agg], "doc_b": [k[1] for k in agg],
-             "inter": np.fromiter(agg.values(), dtype=np.int64,
-                                  count=len(agg))})
+        empty = pd.DataFrame({c_: pd.Series([], dtype="int64")
+                              for c_ in ("doc_a", "doc_b", "inter")})
+        d = g.drop_duplicates(["shingle", "doc_id"])\
+            .sort_values(["shingle", "doc_id"])
+        sh = d["shingle"].to_numpy()
+        if len(sh) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        counts = np.diff(np.r_[starts, len(d)])
+        doc = d["doc_id"].to_numpy(np.int64)
+        ca, cb = [], []
+        for c in np.unique(counts):
+            if c < 2:
+                continue
+            s = starts[counts == c]
+            idx = s[:, None] + np.arange(c)[None, :]
+            md = doc[idx]
+            iu, ju = np.triu_indices(c, k=1)
+            ca.append(md[:, iu].ravel())
+            cb.append(md[:, ju].ravel())
+        if not ca:
+            return empty
+        df = pd.DataFrame({"doc_a": np.concatenate(ca),
+                           "doc_b": np.concatenate(cb)})
+        df = df.merge(_ray.get(pairs_ref), on=["doc_a", "doc_b"])
+        if df.empty:
+            return empty
+        out = df.groupby(["doc_a", "doc_b"], as_index=False).size()\
+            .rename(columns={"size": "inter"})
+        out["inter"] = out["inter"].astype("int64")
+        return out
 
     # per-shard partial intersection counts are candidate-pair-scale
     # (the `allowed` filter applies inside the shard), so the
