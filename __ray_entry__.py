@@ -744,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, df_cap=8),
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "neardup_recall_audit": dedup.neardup_recall_audit,
+        "simhash_recall_audit": dedup.simhash_recall_audit,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": lambda sf: similarity.embedding_dup_pairs(
             sf, threshold_micro=400_000),
@@ -860,6 +861,7 @@ _R5_FRONT = [
     "q6_revenue_forecast", "q10_returned_items", "q14_promo_revenue",
     "gopher_quality_flags", "source_quality_report",
     "ann_recall_audit", "ivf_recall_audit", "neardup_recall_audit",
+    "simhash_recall_audit",
     # changed in round 5 — re-confirm under the driver
     "dup_span_mask", "dup_span_clean", "event_props_stats",
     "hard_negatives", "mmr_select", "catena_closure_prf",
@@ -1279,6 +1281,44 @@ def _embedding_lsh_sql() -> str:
               AS BIGINT) >= 400000
         ORDER BY vec_a, vec_b
     """
+
+
+def _simhash_sql() -> str:
+    """DuckDB replica of simhash_pairs (Hamming<=3 on the 64-bit
+    sign-aggregated token hash) — shared by the dedup_simhash entry
+    and the simhash recall audit."""
+    return """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text),
+                                                        '[a-z0-9]+')) AS ws
+                FROM documents),
+            flat AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(t.w), 1, 16))
+                            AS UBIGINT) AS h
+                FROM toks, UNNEST(ws) AS t(w)),
+            bits AS (
+                SELECT doc_id, r.b,
+                       SUM(CASE WHEN (h >> r.b) & 1 = 1
+                           THEN 1 ELSE -1 END) AS s
+                FROM flat, UNNEST(range(0, 64)) AS r(b)
+                GROUP BY doc_id, r.b),
+            sh0 AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0
+                                THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                                ELSE 0 END) AS UBIGINT) AS sim
+                FROM bits GROUP BY doc_id),
+            sh AS (
+                SELECT d.doc_id, COALESCE(s.sim, 0) AS sim
+                FROM documents d LEFT JOIN sh0 s ON s.doc_id = d.doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            ORDER BY doc_a, doc_b
+        """
 
 
 def _ann_exact_sql() -> str:
@@ -2556,38 +2596,7 @@ def oracle_sql() -> dict[str, str]:
         # set equals the plain all-pairs Hamming filter — which IS
         # SQL-expressible: md5-derived 64-bit token hashes, per-bit
         # majority vote via a 64-way unnest, bit_count(xor) pairs
-        "dedup_simhash": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_distinct(regexp_extract_all(lower(text),
-                                                        '[a-z0-9]+')) AS ws
-                FROM documents),
-            flat AS (
-                SELECT doc_id,
-                       CAST(concat('0x', substr(md5(t.w), 1, 16))
-                            AS UBIGINT) AS h
-                FROM toks, UNNEST(ws) AS t(w)),
-            bits AS (
-                SELECT doc_id, r.b,
-                       SUM(CASE WHEN (h >> r.b) & 1 = 1
-                           THEN 1 ELSE -1 END) AS s
-                FROM flat, UNNEST(range(0, 64)) AS r(b)
-                GROUP BY doc_id, r.b),
-            sh0 AS (
-                SELECT doc_id,
-                       CAST(SUM(CASE WHEN s > 0
-                                THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
-                                ELSE 0 END) AS UBIGINT) AS sim
-                FROM bits GROUP BY doc_id),
-            sh AS (
-                SELECT d.doc_id, COALESCE(s.sim, 0) AS sim
-                FROM documents d LEFT JOIN sh0 s ON s.doc_id = d.doc_id)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sim, b.sim)) <= 3
-            ORDER BY doc_a, doc_b
-        """,
+        "dedup_simhash": _simhash_sql(),
         "dedup_embedding": f"""
             WITH {_nemb_cte()}
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -2621,6 +2630,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * n_hits // GREATEST(1, n_exact)
                         AS BIGINT) AS recall_milli
             FROM j ORDER BY query_id
+        """,
+        "simhash_recall_audit": f"""
+            WITH ex AS (SELECT * FROM ({_ngram_jaccard_sql()}) t),
+            ap AS (SELECT * FROM ({_simhash_sql()}) t),
+            h AS (SELECT COUNT(*) AS c FROM ex
+                  JOIN ap ON ap.doc_a = ex.doc_a
+                         AND ap.doc_b = ex.doc_b)
+            SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT)
+                       AS n_exact,
+                   CAST((SELECT COUNT(*) FROM ap) AS BIGINT)
+                       AS n_simhash,
+                   CAST(h.c AS BIGINT) AS n_hits,
+                   CAST(1000 * h.c // GREATEST(1,
+                        (SELECT COUNT(*) FROM ex)) AS BIGINT)
+                       AS recall_milli,
+                   CAST(1000 * h.c // GREATEST(1,
+                        (SELECT COUNT(*) FROM ap)) AS BIGINT)
+                       AS precision_milli
+            FROM h
         """,
         "ivf_recall_audit": f"""
             WITH ex AS (SELECT * FROM ({_ann_exact_sql()}) t),

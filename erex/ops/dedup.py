@@ -1377,3 +1377,28 @@ def neardup_recall_audit(sf_dir: str, n: int = 3,
         "n_hits": [np.int64(hits)],
         "recall_milli": [np.int64(1000 * hits // max(1, len(te)))],
         "precision_milli": [np.int64(1000 * hits // max(1, len(tl)))]})
+
+
+def simhash_recall_audit(sf_dir: str, n: int = 3,
+                         threshold_milli: int = 200,
+                         max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash counterpart of neardup_recall_audit: how much of the
+    exact >=threshold n-gram-Jaccard pair set does Hamming<=3 SimHash
+    banding recover, and at what precision (SimHash pairs are NOT
+    Jaccard-verified, so unlike LSH the precision here is a real
+    measurement, not 1000 by construction).  Both sides are the
+    registered operators; the set intersection runs on the driver over
+    two output-scale pair frames.  Returns one row (n_exact,
+    n_simhash, n_hits, recall_milli, precision_milli)."""
+    exact = ngram_jaccard_pairs(sf_dir, n=n,
+                                threshold_milli=threshold_milli)
+    sim = simhash_pairs(sf_dir, max_hamming=max_hamming)
+    te = set(zip(exact["doc_a"], exact["doc_b"]))
+    ts = set(zip(sim["doc_a"], sim["doc_b"]))
+    hits = len(te & ts)
+    return pd.DataFrame({
+        "n_exact": [np.int64(len(te))],
+        "n_simhash": [np.int64(len(ts))],
+        "n_hits": [np.int64(hits)],
+        "recall_milli": [np.int64(1000 * hits // max(1, len(te)))],
+        "precision_milli": [np.int64(1000 * hits // max(1, len(ts)))]})

@@ -2324,3 +2324,22 @@ def test_round5_late_ops_invariant_under_block_size(ray_session):
             assert r.equals(b)
     finally:
         ctx.target_max_block_size = old
+
+
+def test_simhash_recall_audit(ray_session):
+    """SimHash recall/precision audit == its composed DuckDB oracle."""
+    import duckdb
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "re_entry_sh", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["simhash_recall_audit"](SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF}/documents.parquet'")
+    ref = con.sql(m.oracle_sql()["simhash_recall_audit"]).df()
+    assert list(out.columns) == list(ref.columns)
+    for c in out.columns:
+        assert list(out[c]) == list(ref[c]), c
+    assert int(out["n_exact"][0]) > 0
